@@ -1,0 +1,150 @@
+"""Text kit: search-text assembly + tokenizer (SURVEY.md §2.9 / X10) and the
+text-analysis extensions (language-ID heuristic, quality scoring, token
+counting, fingerprinting) for large-scale training-data pipelines.
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side, codegen'd,
+no Python in the hot path — so it scales linearly with executors at 100 TB.
+
+The reference's TSVECTOR (`to_tsvector('russian', ...)`,
+`iis_etl/logic.py:394-404`) maps to `search_text` + `tokenize`; query-side
+matching is `arrays_overlap(search_tokens, tokenize(query))`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_NONWORD = r"[^\p{L}\p{Nd}]+"
+# ASCII-only variant used when the oracle must reproduce it (DuckDB's \w is
+# not unicode-aware in the same way)
+_NONWORD_ASCII = "[^a-z0-9]+"
+
+
+def search_text(*parts: Column) -> Column:
+    """Space-joined concat of text parts, skipping NULLs (X10,
+    iis_etl/logic.py:344-348). Array parts should be pre-joined with
+    `array_join(col, ' ')` by the caller."""
+    return F.concat_ws(" ", *parts)
+
+
+def tokenize(col: Column | str, ascii_only: bool = False) -> Column:
+    """lowercase → split on non-word runs → drop empties → dedup → sort.
+
+    Deterministic replacement for tsvector's lexeme set (no stemming —
+    documented deviation, SURVEY.md §2.9).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pat = _NONWORD_ASCII if ascii_only else _NONWORD
+    toks = F.split(F.lower(c), pat)
+    toks = F.filter(toks, lambda x: x != "")
+    return F.array_sort(F.array_distinct(toks))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (fast path for budget/quality filters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased string — the shingle
+    set for MinHash / Jaccard dedup. Pure built-ins: substring over a
+    generated offset sequence."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.substring(c, F.lit(0) + i, n))
+    return F.array_distinct(grams)
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-grams (whitespace tokens, lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length saturation,
+    alpha ratio, and mean-word-length sanity. Deterministic, JVM-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    length = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z\p{L}]", "")).cast("double")
+    words = F.size(F.split(F.trim(c), r"\s+")).cast("double")
+    alpha_ratio = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
+    len_sat = F.least(length / F.lit(1000.0), F.lit(1.0))
+    mean_wlen = F.when(words > 0, length / words).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round(
+        F.lit(0.4) * alpha_ratio + F.lit(0.3) * len_sat + F.lit(0.3) * wlen_ok, 6
+    )
+
+
+# tiny per-language stopword markers for the n-gram language heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoint share → 'zh'; else the language
+    whose marker stopwords hit most; ties/none → 'en'. A real pipeline slots
+    a model here — the operator shape (pure column expr, no shuffle) is what
+    matters at scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"[^\p{L}]+")
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda x, m=markers: x.isin(*m))  # noqa: B023
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("de", "fr", "es"):
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return F.when(cjk * 4 > F.length(c), F.lit("zh")).otherwise(best)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical-form document fingerprint: lowercase, collapse whitespace,
+    strip punctuation, md5. Stable across engines (md5 exists in DuckDB) —
+    the exact-dedup key for 100 TB corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.md5(canon)
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens using xxhash64 as the token
+    hash. Majority vote per bit via bit arithmetic in higher-order
+    functions — no UDF, fully distributed."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != ""))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        raw = 1 << i
+        mask = F.lit(raw if raw < 2**63 else raw - 2**64).cast("long")
+        ones = F.size(F.filter(hashes, lambda h, m=mask: h.bitwiseAND(m) != 0))
+        acc = acc.bitwiseOR(
+            F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return acc
