@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import FIXTURE_TABLES
 
@@ -19,8 +20,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver fixture table (schema comes from parquet footer)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver fixture table (schema comes from parquet footer).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    reads as a nanos long (``spark.sql.legacy.parquet.nanosAsLong``); we
+    convert to a micros timestamp here — same truncation DuckDB applies.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_fixtures(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,109 @@
+"""Join kit (SURVEY.md §2.4, J1-J7): the reference's hand-rolled Python
+set-membership patterns as proper relational joins.
+
+Every dimension side is broadcast — the reference pre-fetched key sets into
+Python ``set``s for the same reason (`iis_etl/logic.py:102-103,130-135`);
+at 100 TB the fact side streams through map tasks with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import norm_key
+
+
+def semi_fk_filter(
+    child: DataFrame, dim: DataFrame, child_key: str, dim_key: str = "id"
+) -> DataFrame:
+    """J2/C2: keep child rows whose FK exists in the dim
+    (`iis_etl/logic.py:130-131,139-140`)."""
+    keys = F.broadcast(dim.select(F.col(dim_key).alias(child_key)).distinct())
+    return child.join(keys, child_key, "left_semi")
+
+
+def anti_missing(
+    current: DataFrame, incoming: DataFrame, key: str
+) -> DataFrame:
+    """J5/C6: current rows whose key vanished from the incoming snapshot
+    (`iis_etl/logic.py:165-169`)."""
+    return current.join(
+        F.broadcast(incoming.select(key).distinct()), key, "left_anti"
+    )
+
+
+def fk_repair_placeholders(
+    child: DataFrame,
+    dim: DataFrame,
+    child_fk: str,
+    dim_key: str,
+    placeholder: dict[str, Column],
+) -> DataFrame:
+    """J1: dim ∪ synthesized placeholder parents for dangling child FKs
+    (`Unknown Faculty {id}`, `iis_etl/logic.py:102-110`).
+
+    ``placeholder`` maps every non-key dim column to an expression over the
+    dangling key column (exposed as ``dim_key``).
+    """
+    dangling = (
+        child.select(F.col(child_fk).alias(dim_key))
+        .filter(F.col(dim_key).isNotNull())
+        .distinct()
+        .join(dim.select(dim_key), dim_key, "left_anti")
+    )
+    synth = dangling.select(
+        F.col(dim_key),
+        *[expr.alias(c) for c, expr in placeholder.items()],
+    )
+    return dim.unionByName(synth.select(*dim.columns))
+
+
+def normalized_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_id: str,
+    dim_name_cols: Sequence[str],
+    out_col: str = "resolved_id",
+) -> DataFrame:
+    """J3: resolve a free-text key against a dim matched on ANY of several
+    name columns, lower+trim normalized (`iis_etl/logic.py:177-181,
+    201-210`: dept map doubled on name and abbr).
+
+    The dim is exploded into one (norm_key → id) row per name column,
+    deduped (first id wins per key — the reference dict would keep the
+    last write; we dedupe deterministically by min id), then broadcast.
+    """
+    lookup = None
+    for c in dim_name_cols:
+        part = dim.select(
+            norm_key(F.col(c)).alias("__k"), F.col(dim_id).alias(out_col)
+        ).filter(F.col("__k").isNotNull() & (F.col("__k") != ""))
+        lookup = part if lookup is None else lookup.unionByName(part)
+    lookup = lookup.groupBy("__k").agg(F.min(out_col).alias(out_col))
+    return (
+        facts.withColumn("__k", norm_key(F.col(fact_key)))
+        .join(F.broadcast(lookup), "__k", "left")
+        .drop("__k")
+    )
+
+
+def backfill_first_match(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """J7/A2: backfill a column from the first qualifying source row per
+    key. The reference takes scan-order first (`iis_etl/logic.py:303-316`,
+    nondeterministic in a set engine) — we define 'first' as min
+    ``order_col`` (documented deviation, SURVEY.md §7)."""
+    firsts = source.groupBy(key).agg(
+        F.min_by(value_col, order_col).alias(out_col)
+    )
+    return target.join(firsts, key, "left")

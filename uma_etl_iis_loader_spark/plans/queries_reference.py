@@ -11,7 +11,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_fixture
+from ..operators.joins import (
+    anti_missing,
+    backfill_first_match,
+    fk_repair_placeholders,
+    normalized_lookup,
+    semi_fk_filter,
+)
+from ..operators.merge import insert_if_absent, merge_upsert
 from ..operators.occupancy import rebuild_occupancy
+from ..operators.scd2 import scd2_apply
 from .fixtures import fixture_auditories, fixture_schedule_events
 from .registry import register
 
@@ -69,3 +78,384 @@ def q_flagship_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = fixture_schedule_events(spark, sf_dir)
     auditories = fixture_auditories(spark, sf_dir)
     return rebuild_occupancy(events, auditories)
+
+
+# ---------------------------------------------------------------------------
+# M2-M6 — keyed merge (ON CONFLICT DO UPDATE) with per-column update sets
+# ---------------------------------------------------------------------------
+# old dim = customers with key % 3 != 0; incoming = key % 2 == 0 with changed
+# name/acctbal. update_cols = {c_name, c_acctbal}; c_nationkey/c_mktsegment
+# are insert-only (the M3/M5 wrinkle).
+
+_MERGE_ORACLE = """
+WITH old AS (
+    SELECT * FROM customer WHERE c_custkey % 3 <> 0
+), new AS (
+    SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+           round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN n.c_custkey IS NOT NULL THEN n.c_name ELSE o.c_name END AS c_name,
+       CASE WHEN o.c_custkey IS NOT NULL THEN o.c_nationkey ELSE n.c_nationkey END AS c_nationkey,
+       CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal ELSE o.c_acctbal END AS c_acctbal,
+       CASE WHEN o.c_custkey IS NOT NULL THEN o.c_mktsegment ELSE n.c_mktsegment END AS c_mktsegment
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
+@register("merge_upsert_dim", _MERGE_ORACLE)
+def q_merge_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2-M6: join-based keyed merge (`iis_etl/logic.py:77-96,186-195`)."""
+    customer = read_fixture(spark, sf_dir, "customer")
+    old = customer.filter(F.col("c_custkey") % 3 != 0)
+    new = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return merge_upsert(
+        old, new, ["c_custkey"], update_cols=["c_name", "c_acctbal"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7/M8 — insert-if-absent (ON CONFLICT DO NOTHING)
+# ---------------------------------------------------------------------------
+
+_INSERT_ABSENT_ORACLE = """
+WITH old AS (
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey <= 50
+), new AS (
+    SELECT s_suppkey, concat('NEW-', s_name) AS s_name FROM supplier
+)
+SELECT * FROM old
+UNION ALL
+SELECT n.* FROM new n ANTI JOIN old o ON n.s_suppkey = o.s_suppkey
+"""
+
+
+@register("insert_if_absent", _INSERT_ABSENT_ORACLE)
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7/M8: keep existing, add unseen keys (`iis_etl/logic.py:213-214,246-249`)."""
+    supplier = read_fixture(spark, sf_dir, "supplier")
+    old = supplier.filter(F.col("s_suppkey") <= 50).select("s_suppkey", "s_name")
+    new = supplier.select(
+        "s_suppkey", F.concat(F.lit("NEW-"), F.col("s_name")).alias("s_name")
+    )
+    return insert_if_absent(old, new, ["s_suppkey"])
+
+
+# ---------------------------------------------------------------------------
+# C1-C7 — SCD Type 2 snapshot transition
+# ---------------------------------------------------------------------------
+# dim current = customers % 10 != 1 (valid_from 2024-01-01); history rows for
+# % 10 == 3. incoming = customers % 10 != 2, with a type-2 change (% 10 == 4:
+# name) and a type-1-only change (% 10 == 5: acctbal). now = 2024-06-01.
+
+_SCD2_ORACLE = """
+WITH cur AS (
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+           TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer WHERE c_custkey % 10 <> 1
+), hist AS (
+    SELECT c_custkey, concat(c_name, '_old') AS c_name, c_mktsegment, c_acctbal,
+           TIMESTAMP '2023-01-01' AS valid_from, TIMESTAMP '2024-01-01' AS valid_to
+    FROM customer WHERE c_custkey % 10 = 3
+), inc AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 4 THEN concat(c_name, '_v2') ELSE c_name END AS c_name,
+           c_mktsegment,
+           CASE WHEN c_custkey % 10 = 5 THEN round(c_acctbal + 100.0, 2) ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE c_custkey % 10 <> 2
+), m AS (
+    SELECT o.c_custkey AS o_key, o.c_name AS o_name, o.c_mktsegment AS o_seg,
+           o.c_acctbal AS o_bal, o.valid_from AS o_from,
+           n.c_custkey AS n_key, n.c_name AS n_name, n.c_mktsegment AS n_seg,
+           n.c_acctbal AS n_bal
+    FROM cur o FULL OUTER JOIN inc n ON o.c_custkey = n.c_custkey
+)
+-- new key
+SELECT n_key AS c_custkey, n_name AS c_name, n_seg AS c_mktsegment, n_bal AS c_acctbal,
+       TIMESTAMP '2024-06-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM m WHERE o_key IS NULL
+UNION ALL
+-- type-2 change: closed old
+SELECT o_key, o_name, o_seg, o_bal, o_from, TIMESTAMP '2024-06-01'
+FROM m WHERE o_key IS NOT NULL AND n_key IS NOT NULL
+  AND (o_name IS DISTINCT FROM n_name OR o_seg IS DISTINCT FROM n_seg)
+UNION ALL
+-- type-2 change: new current version
+SELECT n_key, n_name, n_seg, n_bal, TIMESTAMP '2024-06-01', NULL
+FROM m WHERE o_key IS NOT NULL AND n_key IS NOT NULL
+  AND (o_name IS DISTINCT FROM n_name OR o_seg IS DISTINCT FROM n_seg)
+UNION ALL
+-- type-1 only: patched in place
+SELECT o_key, o_name, o_seg, n_bal, o_from, NULL
+FROM m WHERE o_key IS NOT NULL AND n_key IS NOT NULL
+  AND NOT (o_name IS DISTINCT FROM n_name OR o_seg IS DISTINCT FROM n_seg)
+  AND o_bal IS DISTINCT FROM n_bal
+UNION ALL
+-- unchanged
+SELECT o_key, o_name, o_seg, o_bal, o_from, NULL
+FROM m WHERE o_key IS NOT NULL AND n_key IS NOT NULL
+  AND NOT (o_name IS DISTINCT FROM n_name OR o_seg IS DISTINCT FROM n_seg)
+  AND NOT (o_bal IS DISTINCT FROM n_bal)
+UNION ALL
+-- missing from snapshot: closed
+SELECT o_key, o_name, o_seg, o_bal, o_from, TIMESTAMP '2024-06-01'
+FROM m WHERE n_key IS NULL
+UNION ALL
+SELECT * FROM hist
+"""
+
+
+@register("scd2_snapshot", _SCD2_ORACLE)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C7: full SCD2 transition (`iis_etl/logic.py:125-171`)."""
+    customer = read_fixture(spark, sf_dir, "customer")
+    base = customer.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    cur = base.filter(F.col("c_custkey") % 10 != 1).select(
+        "*",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = base.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_old")).alias("c_name"),
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_to"),
+    )
+    dim = cur.unionByName(hist)
+    inc = base.filter(F.col("c_custkey") % 10 != 2).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 4, F.concat(F.col("c_name"), F.lit("_v2"))
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 10 == 5, F.round(F.col("c_acctbal") + 100.0, 2)
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    return scd2_apply(
+        dim,
+        inc,
+        natural_key="c_custkey",
+        type2_cols=["c_name", "c_mktsegment"],
+        type1_cols=["c_acctbal"],
+        now_ts="2024-06-01",
+        surrogate_col=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — left-semi FK validity filter
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@register("semi_join_fk_filter", _SEMI_ORACLE)
+def q_semi_join_fk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/C2: drop rows whose FK is invalid (`iis_etl/logic.py:130-131,139-140`)."""
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = read_fixture(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return semi_fk_filter(orders, dim, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J5/C6 — anti-join deletion detection
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+ON c_custkey = o_custkey
+"""
+
+
+@register("anti_join_deletion", _ANTI_ORACLE)
+def q_anti_join_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/C6: current keys absent from snapshot (`iis_etl/logic.py:165-169`)."""
+    customer = read_fixture(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    snapshot = (
+        read_fixture(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_missing(customer, snapshot, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J1 — FK repair with placeholder parents
+# ---------------------------------------------------------------------------
+
+_FK_REPAIR_ORACLE = """
+WITH dim AS (
+    SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20
+), dangling AS (
+    SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+    WHERE c_nationkey IS NOT NULL
+      AND c_nationkey NOT IN (SELECT n_nationkey FROM dim)
+)
+SELECT n_nationkey, n_name FROM dim
+UNION ALL
+SELECT n_nationkey, concat('Unknown Nation ', CAST(n_nationkey AS VARCHAR))
+FROM dangling
+"""
+
+
+@register("fk_repair_placeholder", _FK_REPAIR_ORACLE)
+def q_fk_repair_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: synthesize 'Unknown Faculty {id}' parents (`iis_etl/logic.py:102-110`)."""
+    dim = read_fixture(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") < 20
+    ).select("n_nationkey", "n_name")
+    child = read_fixture(spark, sf_dir, "customer").select(
+        F.col("c_nationkey")
+    )
+    return fk_repair_placeholders(
+        child,
+        dim,
+        "c_nationkey",
+        "n_nationkey",
+        {
+            "n_name": F.concat(
+                F.lit("Unknown Nation "), F.col("n_nationkey").cast("string")
+            )
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — normalized-key lookup join (name OR abbr, lower+trim)
+# ---------------------------------------------------------------------------
+
+_NORM_LOOKUP_ORACLE = """
+WITH dim AS (
+    SELECT s_suppkey AS id, upper(s_name) AS name,
+           concat('SUP#', CAST(s_suppkey AS VARCHAR)) AS abbr
+    FROM supplier
+), lookup AS (
+    SELECT lower(trim(name)) AS k, min(id) AS resolved_id FROM dim
+    WHERE name IS NOT NULL AND trim(name) <> '' GROUP BY 1
+    UNION ALL
+    SELECT lower(trim(abbr)), min(id) FROM dim
+    WHERE abbr IS NOT NULL AND trim(abbr) <> '' GROUP BY lower(trim(abbr))
+), lk AS (
+    SELECT k, min(resolved_id) AS resolved_id FROM lookup GROUP BY k
+), facts AS (
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 2 = 0 THEN concat('  ', s_name, ' ')
+                WHEN s_suppkey % 5 = 1 THEN 'no-such-room'
+                ELSE concat('sup#', CAST(s_suppkey AS VARCHAR)) END AS room_ref
+    FROM supplier
+)
+SELECT f.s_suppkey, f.room_ref, lk.resolved_id
+FROM facts f LEFT JOIN lk ON lower(trim(f.room_ref)) = lk.k
+"""
+
+
+@register("normalized_key_lookup", _NORM_LOOKUP_ORACLE)
+def q_normalized_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: lookup on lower(trim(name-or-abbr)) (`iis_etl/logic.py:177-181,201-210`)."""
+    supplier = read_fixture(spark, sf_dir, "supplier")
+    dim = supplier.select(
+        F.col("s_suppkey").alias("id"),
+        F.upper("s_name").alias("name"),
+        F.concat(F.lit("SUP#"), F.col("s_suppkey").cast("string")).alias("abbr"),
+    )
+    facts = supplier.select(
+        "s_suppkey",
+        F.when(
+            F.col("s_suppkey") % 2 == 0, F.concat(F.lit("  "), F.col("s_name"), F.lit(" "))
+        )
+        .when(F.col("s_suppkey") % 5 == 1, F.lit("no-such-room"))
+        .otherwise(
+            F.concat(F.lit("sup#"), F.col("s_suppkey").cast("string"))
+        )
+        .alias("room_ref"),
+    )
+    return normalized_lookup(facts, dim, "room_ref", "id", ["name", "abbr"])
+
+
+# ---------------------------------------------------------------------------
+# M1 — KV state latest-per-key (window dedup)
+# ---------------------------------------------------------------------------
+
+_KV_LATEST_ORACLE = """
+SELECT user_id, ts, event_type, value FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register("kv_state_latest", _KV_LATEST_ORACLE)
+def q_kv_state_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: latest value per state key (`iis_etl/logic.py:63-68`) as a
+    window dedup over the events table."""
+    from pyspark.sql.window import Window
+
+    events = read_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/A2 — deterministic first-match backfill
+# ---------------------------------------------------------------------------
+
+# (l_linenumber, l_quantity) pairs are not unique per order in the fixture,
+# so the order key is a composite to keep 'first' deterministic
+_BACKFILL_ORACLE = """
+WITH firsts AS (
+    SELECT l_orderkey AS o_orderkey,
+           arg_min(l_quantity, l_linenumber * 1000 + l_quantity) AS first_qty
+    FROM lineitem WHERE l_quantity > 25
+    GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus, f.first_qty
+FROM orders o LEFT JOIN firsts f ON o.o_orderkey = f.o_orderkey
+"""
+
+
+@register("backfill_first_match", _BACKFILL_ORACLE)
+def q_backfill_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A2: first qualifying value per key, deterministic min-by
+    (`iis_etl/logic.py:302-322`; deviation documented in SURVEY.md §7)."""
+    orders = read_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    src = (
+        read_fixture(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 25)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("l_linenumber") * 1000 + F.col("l_quantity")).alias("ord"),
+            "l_quantity",
+        )
+    )
+    return backfill_first_match(
+        orders, src, "o_orderkey", "ord", "l_quantity", "first_qty"
+    )
