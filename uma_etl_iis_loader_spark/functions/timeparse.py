@@ -35,6 +35,10 @@ def seconds_to_hhmm(col: Column | str) -> Column:
 
 
 def parse_ddmmyyyy(col: Column | str) -> Column:
-    """'dd.MM.yyyy' → date, NULL on failure (X8, iis_etl/logic.py:52-56)."""
+    """'dd.MM.yyyy' → date, NULL on failure (X8, iis_etl/logic.py:52-56).
+
+    try_to_date, not to_date: ANSI mode (Spark 4 default) makes to_date
+    throw on unparseable input; the reference skips the row instead.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c, "d.M.yyyy")
+    return F.try_to_date(c, "d.M.yyyy")

@@ -1,0 +1,214 @@
+"""Schedule-document shredder (E2 / SURVEY.md §2.7, X1-X10): nested
+schedule JSON → flat `schedule_events` rows.
+
+Reference: ``_process_schedule_json`` (`iis_etl/logic.py:271-404`) — a
+per-document Python loop with per-entity savepoint rollback. Here it is one
+declarative plan over ALL documents at once:
+
+- X1  map explode day→lessons (Russian day name → 1-7, unknown days dropped)
+- X2  lesson array explode
+- X3  exam explode (exact_date, NULL day_of_week, [] weeks) unioned in
+- X4  week default [] / [0] → [1,2,3,4]
+- X5  heterogeneous auditory entries → name strings
+- X6  "Last First" fio assembly
+- X7  time parse — ASYMMETRIC: invalid lesson time drops the row
+      (`iis_etl/logic.py:331-333`), invalid exam time defaults to 00:00
+      (`iis_etl/logic.py:366-370`)
+- X8  dd.MM.yyyy exam date parse, unparseable exam dropped
+- X9  Python-`or` default chains (`''` counts as missing)
+- X10 search_text assembly + tokenization (replaces TSVECTOR)
+
+Error isolation: the reference rolls back one entity per bad document
+(savepoints). In Spark malformed raw JSON is quarantined at parse time
+(``parse_schedule_json``: permissive ``from_json``, NULL rows split off)
+— same guarantee, no transaction machinery.
+
+Scale: zero shuffles in the shredder itself (narrow transforms only);
+explodes fan out row-locally. At 100 TB the only shuffles are in the
+downstream aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import (
+    auditory_names,
+    day_int_expr,
+    default_weeks,
+    fio,
+    py_or_str,
+)
+from ..functions.text import search_text, tokenize
+from ..functions.timeparse import hhmm_to_seconds, parse_ddmmyyyy
+from pyspark.sql import types as T
+
+from ..schemas import LESSON
+
+# payload shape: the doc body without the entity columns (those ride along
+# as real columns on the raw frame)
+_DOC_BODY = T.StructType(
+    [
+        T.StructField("schedules", T.MapType(T.StringType(), T.ArrayType(LESSON)), True),
+        T.StructField("exams", T.ArrayType(LESSON), True),
+    ]
+)
+
+
+def parse_schedule_json(raw: DataFrame, json_col: str = "payload") -> tuple[DataFrame, DataFrame]:
+    """Raw (entity_name, entity_type, payload-json) rows → (docs, quarantine).
+
+    Permissive parse: a document that fails to parse lands in quarantine
+    instead of poisoning the batch (replaces the reference's per-entity
+    savepoint rollback, `iis_etl/logic.py:416-424,436-445`).
+    """
+    parsed = raw.withColumn("__doc", F.from_json(F.col(json_col), _DOC_BODY))
+    # from_json yields an all-NULL struct for malformed input; a doc with
+    # neither schedules nor exams is also skipped by the reference (F4,
+    # `iis_etl/logic.py:434`) — both land in quarantine here.
+    usable = (
+        F.col("__doc").isNotNull()
+        & (F.col("__doc.schedules").isNotNull() | F.col("__doc.exams").isNotNull())
+    )
+    ok = parsed.filter(usable).select(
+        "entity_name",
+        "entity_type",
+        F.col("__doc.schedules").alias("schedules"),
+        F.col("__doc.exams").alias("exams"),
+    )
+    quarantine = parsed.filter(~usable).drop("__doc")
+    return ok, quarantine
+
+
+def _common_columns(df: DataFrame, default_subject: str) -> DataFrame:
+    """Shared lesson/exam scalar derivations (X5, X6, X9)."""
+    subject = py_or_str(F.col("lesson.subject"), F.lit(default_subject))
+    return (
+        df.withColumn("subject", subject)
+        .withColumn(
+            "subject_full", py_or_str(F.col("lesson.subjectFullName"), F.col("subject"))
+        )
+        .withColumn("auditories", auditory_names(F.col("lesson.auditories")))
+        .withColumn("related_groups", F.col("lesson.studentGroups"))
+        .withColumn("related_employees", F.col("lesson.employees"))
+        .withColumn("subgroup", F.coalesce(F.col("lesson.numSubgroup"), F.lit(0)))
+    )
+
+
+def _with_search(df: DataFrame) -> DataFrame:
+    """X10: search_text = subject + full name + entity + rooms + people
+    (employee names for group docs, group names for employee docs,
+    `iis_etl/logic.py:344-348,394-404`)."""
+    people = F.when(
+        F.col("entity_type") == "group",
+        F.array_join(fio(F.col("related_employees")), " "),
+    ).otherwise(
+        F.array_join(
+            F.transform(F.col("related_groups"), lambda g: g["name"]), " "
+        )
+    )
+    txt = search_text(
+        F.col("subject"),
+        F.col("subject_full"),
+        F.col("entity_name"),
+        F.array_join(F.col("auditories"), " "),
+        people,
+    )
+    return df.withColumn("search_text", txt).withColumn(
+        "search_tokens", tokenize(F.col("search_text"))
+    )
+
+
+def shred_schedule_docs(docs: DataFrame) -> DataFrame:
+    """SCHEDULE_DOC rows → SCHEDULE_EVENTS rows (lessons ∪ exams)."""
+    # ---- lesson branch (X1/X2) -------------------------------------------
+    lessons = (
+        docs.select(
+            "entity_name",
+            "entity_type",
+            F.explode("schedules").alias("day_name", "lessons"),
+        )
+        .withColumn("day_of_week", day_int_expr(F.col("day_name")))
+        .filter(F.col("day_of_week").isNotNull())  # unknown day keys skipped
+        .select(
+            "entity_name",
+            "entity_type",
+            "day_of_week",
+            F.explode("lessons").alias("lesson"),
+        )
+        .withColumn("start_time", hhmm_to_seconds(F.col("lesson.startLessonTime")))
+        .withColumn("end_time", hhmm_to_seconds(F.col("lesson.endLessonTime")))
+        # X7 lesson asymmetry: invalid time → row dropped
+        .filter(F.col("start_time").isNotNull() & F.col("end_time").isNotNull())
+        .withColumn("week_numbers", default_weeks(F.col("lesson.weekNumber")))
+        .withColumn("exact_date", F.lit(None).cast("date"))
+    )
+    lessons = _with_search(_common_columns(lessons, "Без названия"))
+
+    # ---- exam branch (X3) -------------------------------------------------
+    exams = (
+        docs.select(
+            "entity_name", "entity_type", F.explode("exams").alias("lesson")
+        )
+        .withColumn("exact_date", parse_ddmmyyyy(F.col("lesson.dateLesson")))
+        # X8: unparseable exam date → exam skipped
+        .filter(F.col("exact_date").isNotNull())
+        # X7 exam asymmetry: invalid time → 00:00
+        .withColumn(
+            "start_time",
+            F.coalesce(hhmm_to_seconds(F.col("lesson.startLessonTime")), F.lit(0)),
+        )
+        .withColumn(
+            "end_time",
+            F.coalesce(hhmm_to_seconds(F.col("lesson.endLessonTime")), F.lit(0)),
+        )
+        .withColumn("day_of_week", F.lit(None).cast("int"))
+        .withColumn("week_numbers", F.array().cast("array<int>"))
+    )
+    exams = _with_search(_common_columns(exams, "Экзамен"))
+
+    cols = [
+        "entity_name",
+        "entity_type",
+        "subject",
+        "subject_full",
+        "auditories",
+        "day_of_week",
+        "start_time",
+        "end_time",
+        "week_numbers",
+        "exact_date",
+        "related_groups",
+        "related_employees",
+        "subgroup",
+        "search_text",
+        "search_tokens",
+    ]
+    return lessons.select(*cols).unionByName(exams.select(*cols))
+
+
+def backfill_student_counts(docs: DataFrame) -> DataFrame:
+    """J7: per group document, first positive ``numberOfStudents`` where a
+    lesson's studentGroups entry names the document's own entity
+    (`iis_etl/logic.py:302-322`). 'First' is defined deterministically as
+    the minimum positive count (documented deviation, SURVEY.md §7).
+
+    Returns (entity_name, number_of_students) for group docs that have one.
+    """
+    lessons = docs.filter(F.col("entity_type") == "group").select(
+        "entity_name",
+        F.explode(
+            F.flatten(F.map_values(F.col("schedules")))
+        ).alias("lesson"),
+    )
+    own = lessons.select(
+        "entity_name",
+        F.explode("lesson.studentGroups").alias("sg"),
+    ).filter(
+        (F.col("sg.name") == F.col("entity_name"))
+        & (F.col("sg.numberOfStudents") > 0)
+    )
+    return own.groupBy("entity_name").agg(
+        F.min("sg.numberOfStudents").alias("number_of_students")
+    )

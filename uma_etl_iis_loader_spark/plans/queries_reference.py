@@ -459,3 +459,260 @@ def q_backfill_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backfill_first_match(
         orders, src, "o_orderkey", "ord", "l_quantity", "first_qty"
     )
+
+
+# ---------------------------------------------------------------------------
+# X9 — Python-`or` default chains ('' counts as missing)
+# ---------------------------------------------------------------------------
+
+_PY_OR_ORACLE = """
+SELECT p_partkey,
+       COALESCE(NULLIF(TRIM(CASE WHEN p_partkey % 5 = 0 THEN ''
+                                 WHEN p_partkey % 7 = 0 THEN NULL
+                                 ELSE p_name END), ''), 'Без названия') AS subject
+FROM part
+"""
+
+
+@register("py_or_defaults", _PY_OR_ORACLE)
+def q_py_or_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: `x or default` with ''-is-missing (`iis_etl/logic.py:89,113,338`)."""
+    from ..functions.normalize import py_or_str
+
+    part = read_fixture(spark, sf_dir, "part")
+    raw = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(""))
+        .when(F.col("p_partkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("p_name"))
+    )
+    return part.select(
+        "p_partkey", py_or_str(raw, F.lit("Без названия")).alias("subject")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — week-number default
+# ---------------------------------------------------------------------------
+
+_WEEK_DEFAULT_ORACLE = """
+SELECT p_partkey,
+       CASE WHEN weeks IS NULL OR len(weeks) = 0 OR weeks = [0]
+            THEN [1, 2, 3, 4] ELSE weeks END AS week_numbers
+FROM (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 4 = 0 THEN CAST([] AS INT[])
+                WHEN p_partkey % 4 = 1 THEN [0]
+                WHEN p_partkey % 4 = 2 THEN CAST(NULL AS INT[])
+                ELSE [CAST(p_partkey % 5 + 1 AS INT), 2] END AS weeks
+    FROM part
+)
+"""
+
+
+@register("week_default", _WEEK_DEFAULT_ORACLE)
+def q_week_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: []/NULL/[0] → [1,2,3,4] (`iis_etl/logic.py:18-21`)."""
+    from ..functions.normalize import default_weeks
+
+    part = read_fixture(spark, sf_dir, "part")
+    weeks = (
+        F.when(F.col("p_partkey") % 4 == 0, F.array().cast("array<int>"))
+        .when(F.col("p_partkey") % 4 == 1, F.array(F.lit(0)))
+        .when(F.col("p_partkey") % 4 == 2, F.lit(None).cast("array<int>"))
+        .otherwise(
+            F.array((F.col("p_partkey") % 5 + 1).cast("int"), F.lit(2))
+        )
+    )
+    return part.select(
+        "p_partkey", default_weeks(weeks).alias("week_numbers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7 — asymmetric time parsing (lesson drops, exam defaults)
+# ---------------------------------------------------------------------------
+# time strings synthesized from events: valid 'H:MM' for most rows, garbage
+# for event_id % 7 = 0, out-of-range hour for % 11 = 0.
+
+_TIME_STR_SQL = """CASE WHEN event_id % 7 = 0 THEN 'xx:yy'
+         WHEN event_id % 11 = 0 THEN '25:61'
+         ELSE concat(CAST(event_id % 24 AS VARCHAR), ':',
+                     lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')) END"""
+
+_PARSE_SQL = """CASE WHEN regexp_matches(t, '^\\s*\\d{1,2}:\\d{2}\\s*$')
+          AND CAST(split_part(trim(t), ':', 1) AS INT) < 24
+          AND CAST(split_part(trim(t), ':', 2) AS INT) < 60
+     THEN CAST(split_part(trim(t), ':', 1) AS INT) * 3600
+          + CAST(split_part(trim(t), ':', 2) AS INT) * 60 END"""
+
+_LESSON_TIME_ORACLE = f"""
+WITH src AS (SELECT event_id, {_TIME_STR_SQL} AS t FROM events)
+SELECT event_id, secs AS start_time FROM (
+    SELECT event_id, {_PARSE_SQL} AS secs FROM src
+) WHERE secs IS NOT NULL
+"""
+
+_EXAM_TIME_ORACLE = f"""
+WITH src AS (SELECT event_id, {_TIME_STR_SQL} AS t FROM events)
+SELECT event_id, COALESCE({_PARSE_SQL}, 0) AS start_time FROM src
+"""
+
+
+def _time_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_fixture(spark, sf_dir, "events")
+    t = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("xx:yy"))
+        .when(F.col("event_id") % 11 == 0, F.lit("25:61"))
+        .otherwise(
+            F.concat(
+                (F.col("event_id") % 24).cast("string"),
+                F.lit(":"),
+                F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+            )
+        )
+    )
+    return events.select("event_id", t.alias("t"))
+
+
+@register("time_parse_lesson", _LESSON_TIME_ORACLE)
+def q_time_parse_lesson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 lesson branch: invalid time → row dropped (`iis_etl/logic.py:331-333`)."""
+    from ..functions.timeparse import hhmm_to_seconds
+
+    src = _time_strings(spark, sf_dir)
+    return (
+        src.select("event_id", hhmm_to_seconds(F.col("t")).alias("start_time"))
+        .filter(F.col("start_time").isNotNull())
+    )
+
+
+@register("time_parse_exam_default", _EXAM_TIME_ORACLE)
+def q_time_parse_exam_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 exam branch: invalid time → 00:00, row kept (`iis_etl/logic.py:366-370`)."""
+    from ..functions.timeparse import hhmm_to_seconds
+
+    src = _time_strings(spark, sf_dir)
+    return src.select(
+        "event_id",
+        F.coalesce(hhmm_to_seconds(F.col("t")), F.lit(0)).alias("start_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — heterogeneous auditory entries → names
+# ---------------------------------------------------------------------------
+
+_AUD_NAMES_ORACLE = """
+WITH docs AS (
+    SELECT l_orderkey,
+           array_agg(struct_pack(
+               id := l_suppkey,
+               name := CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                            ELSE concat('Room-', CAST(l_suppkey AS VARCHAR)) END
+           ) ORDER BY l_linenumber, l_suppkey) AS auds
+    FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey,
+       list_sort(list_distinct(list_filter(
+           list_transform(auds, a -> COALESCE(a.name, CAST(a.id AS VARCHAR))),
+           x -> x IS NOT NULL AND x <> ''))) AS aud_names
+FROM docs
+"""
+
+
+@register("heterogeneous_aud_names", _AUD_NAMES_ORACLE)
+def q_heterogeneous_aud_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: dict/str/int auditory entries → names with str(id) fallback
+    (`iis_etl/logic.py:23-34`)."""
+    from ..functions.normalize import auditory_names
+
+    li = read_fixture(spark, sf_dir, "lineitem")
+    docs = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_suppkey").alias("id"),
+                F.when(
+                    F.col("l_linenumber") % 3 == 0, F.lit(None).cast("string")
+                )
+                .otherwise(
+                    F.concat(F.lit("Room-"), F.col("l_suppkey").cast("string"))
+                )
+                .alias("name"),
+            ).alias("aud"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("aud").alias("auds"))
+    )
+    return docs.select(
+        "l_orderkey",
+        F.array_sort(F.array_distinct(auditory_names(F.col("auds")))).alias(
+            "aud_names"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — day-name CASE both ways + truncation
+# ---------------------------------------------------------------------------
+
+_SCALAR_KIT_ORACLE = f"""
+WITH src AS (
+    SELECT o_orderkey,
+           CAST(datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1 AS INT) AS day_of_week,
+           o_orderpriority
+    FROM orders
+)
+SELECT o_orderkey,
+       {_DAY_CASE_SQL} AS day_name,
+       CASE {_DAY_CASE_SQL}
+            WHEN 'Понедельник' THEN 1 WHEN 'Вторник' THEN 2 WHEN 'Среда' THEN 3
+            WHEN 'Четверг' THEN 4 WHEN 'Пятница' THEN 5 WHEN 'Суббота' THEN 6
+            WHEN 'Воскресенье' THEN 7 END AS day_roundtrip,
+       substr(o_orderpriority, 1, 3) AS prio_short
+FROM src
+"""
+
+
+@register("day_case_and_truncate", _SCALAR_KIT_ORACLE)
+def q_day_case_and_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: int↔Russian day name CASE (`iis_etl/logic.py:324-327,454-457`)
+    + `str(x)[:n]` truncation (`iis_etl/logic.py:91,259`)."""
+    from ..functions.normalize import day_int_expr, day_name_expr, truncate
+    from .fixtures import day_of_week_expr
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        day_of_week_expr(F.col("o_orderdate")).alias("day_of_week"),
+        "o_orderpriority",
+    )
+    return src.select(
+        "o_orderkey",
+        day_name_expr(F.col("day_of_week")).alias("day_name"),
+        day_int_expr(day_name_expr(F.col("day_of_week"))).alias("day_roundtrip"),
+        truncate(F.col("o_orderpriority"), 3).alias("prio_short"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9/X10 — search tokenizer (TSVECTOR replacement)
+# ---------------------------------------------------------------------------
+
+_TOKENIZE_ORACLE = """
+SELECT doc_id,
+       list_sort(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''
+       ))) AS tokens
+FROM documents
+"""
+
+
+@register("search_tokenize", _TOKENIZE_ORACLE)
+def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: tokenizer replacing to_tsvector (`iis_etl/logic.py:394-404`):
+    lowercase → split non-word → dedup → sort."""
+    from ..functions.text import tokenize
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokenize("text", ascii_only=True).alias("tokens"))
