@@ -1,0 +1,84 @@
+"""Dedup operator semantics on the documents fixture (sf0.001) plus
+hand-built near-dup cases. MinHash-LSH is validated against exact n-gram
+Jaccard (no false positives; recall on true dups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uma_etl_iis_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the rain falls quietly outside the house"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("quietly", "loudly")),  # near-dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "Yet another unrelated document mentioning parquet column pruning"),
+        (6, BASE + " extra trailing sentence appended here"),  # near-dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    out = {r.keep_id: r.dup_count for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1 and 2 share a fingerprint
+    assert sum(out.values()) == 6
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 6) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, n=5, threshold=0.5, char_level=True
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=5, threshold=0.5, char_level=True
+        ).collect()
+    }
+    # verify step kills false positives → LSH output ⊆ exact
+    assert lsh <= exact
+    # 16 bands × 4 rows at jaccard ≥ 0.5 → collision prob ≈ 1-(1-0.5^4)^16 ≈ 0.65/pair;
+    # identical docs (jaccard 1.0) always collide
+    assert (1, 2) in lsh
+    assert len(lsh) >= len(exact) - 1  # at most one borderline pair missed
+
+
+def test_simhash_flags_exact_and_near(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(_docs(spark), max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs  # identical text → identical signature
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_fixture_dedup_runs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert exact_dedup(docs).count() > 0
+    assert minhash_lsh_pairs(docs, n=5, char_level=True).count() >= 0

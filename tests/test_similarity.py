@@ -1,0 +1,47 @@
+"""Similarity search: brute-force exactness properties + IVF recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uma_etl_iis_loader_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_brute_force_topk_shape(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, _queries(emb), k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        assert sorted(r.rank for r in rows) == list(range(1, 11))
+        # rank 1 must be the query itself (cosine with itself = 1)
+        top = min(rows, key=lambda r: r.rank)
+        assert top.neighbor_id == q
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=10, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/nlist = 0.5 of the corpus scanned → decent recall floor
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"

@@ -77,7 +77,7 @@ def quality_score(col: Column | str) -> Column:
     alpha ratio, and mean-word-length sanity. Deterministic, JVM-only."""
     c = F.col(col) if isinstance(col, str) else col
     length = F.length(c).cast("double")
-    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z\p{L}]", "")).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
     words = F.size(F.split(F.trim(c), r"\s+")).cast("double")
     alpha_ratio = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
     len_sat = F.least(length / F.lit(1000.0), F.lit(1.0))
@@ -105,14 +105,14 @@ def lang_id(col: Column | str) -> Column:
     a model here — the operator shape (pure column expr, no shuffle) is what
     matters at scale."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(c), r"[^\p{L}]+")
-    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
-    scores = {
-        lang: F.size(
-            F.filter(toks, lambda x, m=markers: x.isin(*m))  # noqa: B023
-        )
-        for lang, markers in _LANG_MARKERS.items()
-    }
+    toks = F.split(F.lower(c), "[^a-z]+")
+    cjk = F.length(F.regexp_replace(c, r"[^\x{4e00}-\x{9fff}]", ""))
+    def marker_hits(markers: list[str]):
+        # closure factory: a default-arg lambda would look binary to Spark's
+        # higher-order-function arity sniffing (element, index)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_hits(m) for lang, m in _LANG_MARKERS.items()}
     best = F.lit("en")
     best_score = scores["en"]
     for lang in ("de", "fr", "es"):
@@ -131,20 +131,42 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(canon)
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over whitespace tokens using xxhash64 as the token
-    hash. Majority vote per bit via bit arithmetic in higher-order
-    functions — no UDF, fully distributed."""
+def simhash64(col: Column | str, gram_n: int = 2) -> Column:
+    """64-bit SimHash over distinct word n-grams (default bigrams — unigram
+    signatures collide wholesale on shared-vocabulary corpora) using
+    xxhash64 as the feature hash. Majority vote per bit via bit arithmetic
+    in higher-order functions — no UDF, fully distributed."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.array_distinct(F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != ""))
+    toks = (
+        word_ngrams(c, gram_n)
+        if gram_n > 1
+        else F.array_distinct(F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != ""))
+    )
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(toks)
-    acc = F.lit(0).cast("long")
-    for i in range(64):
-        raw = 1 << i
-        mask = F.lit(raw if raw < 2**63 else raw - 2**64).cast("long")
-        ones = F.size(F.filter(hashes, lambda h, m=mask: h.bitwiseAND(m) != 0))
-        acc = acc.bitwiseOR(
-            F.when(ones * 2 >= n, mask).otherwise(F.lit(0).cast("long"))
-        )
-    return acc
+
+    # one fold over tokens carrying 64 bit-counters (a per-bit filter pass
+    # would scan the token array 64 times and blow up the expression tree)
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else (1 << 63) - 2**64).cast("long")
+            for i in range(64)
+        ]
+    )
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0),
+        ),
+    )
+    votes = F.zip_with(
+        counts,
+        masks,
+        lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        votes, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )

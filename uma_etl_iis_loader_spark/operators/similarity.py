@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
+  score JVM-side, window-rank per query. The correctness baseline; linear
+  scan of the corpus per query batch (fine when queries ≪ corpus and the
+  corpus scan is the dominant, embarrassingly-parallel cost).
+- ``ivf_topk`` — the 100 TB path: IVF (inverted-file) bucketing with
+  deterministic centroids. Corpus is pre-assigned to nlist centroid
+  partitions (one broadcast join), each query probes its nprobe nearest
+  centroids, and only those partitions are scored. Cuts scanned rows by
+  ~nlist/nprobe at a recall cost measured in tests.
+
+Output is (query id, neighbor id, rank) — ids and integer ranks only, so
+float noise between engines cannot flip a compared value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. Ties broken by neighbor
+    id for determinism."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = c.join(F.broadcast(q)).withColumn(
+        "sim", cosine(F.col("cvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _assign_centroid(
+    df: DataFrame, centroids: DataFrame, key: str, vec: str, n: int
+) -> DataFrame:
+    """Top-n nearest broadcast centroids by cosine per ``key`` row."""
+    scored = df.join(F.broadcast(centroids)).withColumn(
+        "__csim", cosine(F.col(vec), F.col("cent_vec"))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n)
+        .drop("__csim", "__crank", "cent_vec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: IVF bucketing with deterministic centroids
+    (every ceil(N/nlist)-th corpus vector by id — a seeded sample without
+    randomness so reruns and oracles agree).
+
+    At scale the corpus assignment is written once, partitioned by
+    ``centroid_id``; queries then prune all but nprobe partitions
+    (partition pruning on the parquet scan).
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    # deterministic pseudo-random sample: nlist lowest hash-of-id rows.
+    # orderBy+limit executes as a distributed top-k (no global sort); the
+    # row_number window then runs over only nlist rows.
+    sample = c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id").limit(nlist)
+    w_small = Window.orderBy("neighbor_id")
+    centroids = sample.withColumn(
+        "centroid_id", F.row_number().over(w_small) - 1
+    ).select("centroid_id", F.col("cvec").alias("cent_vec"))
+
+    assigned = _assign_centroid(c, centroids, "neighbor_id", "cvec", 1)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probed = _assign_centroid(q, centroids, "query_id", "qvec", nprobe)
+
+    scored = probed.join(assigned, "centroid_id").withColumn(
+        "sim", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,7 +1,254 @@
 """Training-data-pipeline extension queries (dedup, similarity search,
-text analysis, multimodal) over the documents/embeddings fixtures.
-
-Populated incrementally; see operators/{dedup,similarity,textops}.py.
+text analysis) over the documents/embeddings fixtures, with DuckDB oracles
+where ANSI-SQL-expressible (minhash/simhash use xxhash64, which DuckDB
+lacks → rows-only checks there, with exact-Jaccard equivalence covered in
+pytest instead).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, lang_id, quality_score, token_count
+from ..io import read_fixture
+from ..operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import brute_force_topk, ivf_topk
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup — canonical-form fingerprint
+# ---------------------------------------------------------------------------
+
+_CANON_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+_EXACT_DEDUP_ORACLE = f"""
+SELECT md5({_CANON_SQL}) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _EXACT_DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of canonicalized text, min-id survivor."""
+    return exact_dedup(read_fixture(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACCARD_ORACLE = """
+WITH g AS (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2])
+           )) AS grams
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+          FROM documents)
+), inv AS (
+    SELECT id, u.gram FROM g, unnest(g.grams) AS u(gram)
+), shared AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.id < b.id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT id, len(grams) AS sz FROM g
+)
+SELECT id_a, id_b
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.35."""
+    return ngram_jaccard_pairs(
+        read_fixture(spark, sf_dir, "documents"), n=3, threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup (rows-only: DuckDB lacks xxhash64)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified ≥ 0.5
+    (char 5-grams). Equivalence to exact Jaccard is pytest-verified
+    (tests/test_dedup.py) since the signature hash is engine-specific."""
+    return minhash_lsh_pairs(
+        read_fixture(spark, sf_dir, "documents"),
+        num_hashes=64,
+        bands=16,
+        n=5,
+        threshold=0.5,
+        char_level=True,
+    )
+
+
+@register("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs, hamming ≤ 3 via 4-band pigeonhole."""
+    return simhash_pairs(read_fixture(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COSINE_PAIRS_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+@register("dedup_embedding_cosine", _COSINE_PAIRS_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, cosine ≥ 0.45 (ids only — float noise
+    stays internal)."""
+    return embedding_cosine_pairs(
+        read_fixture(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force top-k (oracle) + IVF ANN (rows-only)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id % 25 = 0
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[])) AS sim
+    FROM embeddings e, q
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@register("knn_brute_force", _TOPK_ORACLE)
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 25th vector as query."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vectors(spark, sf_dir), k=10)
+
+
+@register("knn_ivf_ann")
+def q_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (nlist=16, nprobe=4); recall vs brute force
+    asserted in pytest (approximate by design — no SQL oracle)."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vectors(spark, sf_dir), k=10, nlist=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counting / quality / language / fingerprint
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars_computed,
+       md5({_CANON_SQL}) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count + canonical fingerprint."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       round(0.4 * (CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END)
+       + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+       + 0.3 * (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                                THEN CAST(length(text) AS DOUBLE)
+                                     / len(regexp_split_to_array(trim(text), '\\s+'))
+                                ELSE 0.0 END) BETWEEN 3 AND 12
+                     THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM documents
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (alpha ratio + length saturation + mean
+    word length sanity)."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_LANG_ID_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(lower(text), '[^a-z]+') AS t,
+           length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+    FROM documents
+), scores AS (
+    SELECT doc_id, cjk, length(text) AS n,
+           len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS s_en,
+           len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+           len(list_filter(t, x -> x IN ('le','la','les','et','des'))) AS s_fr,
+           len(list_filter(t, x -> x IN ('el','la','los','que','de'))) AS s_es
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN cjk * 4 > n THEN 'zh'
+            WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+            WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+            WHEN s_de > s_en THEN 'de'
+            ELSE 'en' END AS lang_pred
+FROM scores
+"""
+
+
+@register("text_lang_id", _LANG_ID_ORACLE)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword + CJK-share language heuristic."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
