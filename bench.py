@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed with a full action (count over the materialized
+result) after a warm-up of the session; time includes the parquet scan —
+there is no caching between queries, so numbers reflect cold plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Breadth-representative headline set: the flagship, the write-pattern core
+# (merge/SCD2), window/backfill, and every training-data-pipeline family
+# (dedup x4, ANN x2, text x3). Quadratic all-pairs ops (embedding_cosine,
+# brute-force pair scan) are exercised via their bucketed/LSH variants.
+HEADLINE = [
+    "flagship_occupancy",
+    "merge_upsert_dim",
+    "scd2_snapshot",
+    "kv_state_latest",
+    "backfill_first_match",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_brute_force",
+    "knn_ivf_ann",
+    "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "search_tokenize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from uma_etl_iis_loader_spark.plans.registry import QUERIES
+    from uma_etl_iis_loader_spark.session import build_session
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warm-up so q1 doesn't pay session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,13 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The fixture files are single-row-group parquet: the scan cannot split,
+    # so without this every map stage runs on ONE core. Round-robin to the
+    # cluster's parallelism when the input has fewer splits — on a real
+    # multi-row-group/multi-file dataset (the 100 TB case) this is a no-op.
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(parallelism, 8):
+        df = df.repartition(parallelism)
     return df
 
 

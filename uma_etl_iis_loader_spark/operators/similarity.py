@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine_arrow
 
 
 def brute_force_topk(
@@ -32,21 +32,54 @@ def brute_force_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Ties broken by neighbor
-    id for determinism."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    scored = c.join(F.broadcast(q)).withColumn(
-        "sim", cosine(F.col("cvec"), F.col("qvec"))
+    id for determinism.
+
+    Execution: the (small) query set is collected and shipped into a
+    ``mapInPandas`` kernel — each corpus partition computes one normalized
+    (batch × queries) matrix product in numpy and emits only its LOCAL
+    top-k per query. The final window merges partition candidates, so the
+    shuffle carries ≤ partitions × |Q| × k rows instead of |corpus| × |Q|.
+    The corpus scan is embarrassingly parallel — the 100 TB path, provided
+    |Q| stays driver-sized (use ivf_topk for query-heavy workloads).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = np.linalg.norm(qm, axis=1)
+    qm = qm / np.where(qnorm == 0, 1.0, qnorm)[:, None]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cnorm = np.linalg.norm(cm, axis=1)
+            cm = cm / np.where(cnorm == 0, 1.0, cnorm)[:, None]
+            sims = cm @ qm.T  # (batch, queries)
+            top = min(k, len(ids))
+            # local top-k per query (argpartition: O(n) per column)
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            out_q = np.repeat(qids, top)
+            out_n = ids[idx].T.ravel()
+            out_s = np.take_along_axis(sims, idx, axis=0).T.ravel()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -57,7 +90,7 @@ def _assign_centroid(
 ) -> DataFrame:
     """Top-n nearest broadcast centroids by cosine per ``key`` row."""
     scored = df.join(F.broadcast(centroids)).withColumn(
-        "__csim", cosine(F.col(vec), F.col("cent_vec"))
+        "__csim", cosine_arrow(F.col(vec), F.col("cent_vec"))
     )
     w = Window.partitionBy(key).orderBy(
         F.col("__csim").desc(), F.col("centroid_id").asc()
@@ -104,7 +137,7 @@ def ivf_topk(
     probed = _assign_centroid(q, centroids, "query_id", "qvec", nprobe)
 
     scored = probed.join(assigned, "centroid_id").withColumn(
-        "sim", cosine(F.col("qvec"), F.col("cvec"))
+        "sim", cosine_arrow(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -88,16 +88,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified ≥ 0.5
-    (char 5-grams). Equivalence to exact Jaccard is pytest-verified
+    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified ≥ 0.35
+    (word 3-gram shingles — char shingles on a shared-vocabulary corpus
+    push baseline Jaccard so high that LSH buckets degenerate to ~all
+    pairs). Equivalence to exact Jaccard is pytest-verified
     (tests/test_dedup.py) since the signature hash is engine-specific."""
     return minhash_lsh_pairs(
         read_fixture(spark, sf_dir, "documents"),
         num_hashes=64,
         bands=16,
-        n=5,
-        threshold=0.5,
-        char_level=True,
+        n=3,
+        threshold=0.35,
+        char_level=False,
     )
 
 
