@@ -1,0 +1,111 @@
+"""End-to-end run of the full ETL DAG (E1) on a synthetic API payload
+covering the reference's edge cases: dangling FKs, invalid group FK,
+NULL urlId employees, discovered departments, bad schedule JSON."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from uma_etl_iis_loader_spark.plans.etl_job import run_etl
+
+API = {
+    "current_week": 3,
+    "faculties": [
+        {"id": 1, "name": "ФКСиС", "abbrev": "FKSiS"},
+        {"id": 2, "name": "ФИТУ", "abbrev": "FITU"},
+    ],
+    "departments": [
+        {"id": 10, "name": "Информатика", "abbrev": "Inf", "urlId": "inf"},
+    ],
+    "specialities": [
+        {"id": 100, "name": "ПОИТ", "abbrev": "POIT", "code": "1-40",
+         "educationForm": {"id": 1, "name": "Дневная"}, "facultyId": 1},
+        # dangling facultyId 9 → placeholder faculty
+        {"id": 101, "name": "ИСиТ", "abbrev": "IST", "code": "1-53",
+         "educationForm": None, "facultyId": 9},
+    ],
+    "student_groups": [
+        {"id": 1000, "name": "253501", "course": 2,
+         "specialityDepartmentEducationFormId": 100, "numberOfStudents": 0},
+        # invalid speciality FK → dropped (C2)
+        {"id": 1001, "name": "999999", "course": 1,
+         "specialityDepartmentEducationFormId": 999},
+    ],
+    "employees": [
+        {"id": 7, "firstName": "Иван", "lastName": "Петров", "urlId": "ip",
+         "rank": "доцент", "academicDepartment": ["inf", " ИНФОРМАТИКА "]},
+        # NULL urlId → skipped (F2)
+        {"id": 8, "firstName": "Анна", "lastName": "Сидорова", "urlId": None},
+    ],
+    "auditories": [
+        {"id": 501, "name": "311", "buildingNumber": {"name": "4 к."},
+         "capacity": 30, "auditoryType": {"name": "Лекционная"},
+         "department": {"idDepartment": 20, "name": "Новая кафедра",
+                        "abbrev": "NK"}},
+        {"id": 502, "name": "100-5", "buildingNumberId": 5, "capacity": 60,
+         "departmentId": 999},  # unknown dept → FK nulled (J4)
+    ],
+    "schedules": [
+        ("253501", "group", json.dumps({
+            "schedules": {"Понедельник": [{
+                "subject": "ООП",
+                "startLessonTime": "9:00", "endLessonTime": "10:20",
+                "weekNumber": [1, 3], "numSubgroup": 0,
+                "auditories": [{"id": 501, "name": "311-4"}],
+                "employees": [{"firstName": "Иван", "lastName": "Петров",
+                               "middleName": None, "urlId": "ip"}],
+                "studentGroups": [{"name": "253501", "numberOfStudents": 27}],
+            }]},
+            "exams": [],
+        }, ensure_ascii=False)),
+        ("broken", "group", "{definitely not json"),
+    ],
+}
+
+
+def test_run_etl_end_to_end(spark):
+    out = run_etl(spark, API, now_ts="2026-02-13 00:00:00")
+
+    # KV state
+    state = {r.key: r.value for r in out["system_state"].collect()}
+    assert state["current_week"] == "3"
+
+    # J1: dangling faculty 9 repaired with a placeholder
+    fac = {r.id: r.name for r in out["faculties"].collect()}
+    assert fac[9] == "Unknown Faculty 9"
+    assert fac[1] == "ФКСиС"
+
+    # C2: invalid-FK group dropped; SCD2 opened one current version
+    groups = out["student_groups"].collect()
+    assert {g.id for g in groups} == {1000}
+    # J7: student count backfilled from the schedule doc (27)
+    assert groups[0].number_of_students == 27
+
+    # F2 + M5: employee 8 skipped; bridge resolved via name AND abbr → 1 row
+    assert {e.id for e in out["employees"].collect()} == {7}
+    bridge = {(b.department_id, b.employee_id) for b in out["departments_employees"].collect()}
+    assert bridge == {(10, 7)}
+
+    # M7: discovered department 20 inserted; J4: unknown dept 999 nulled
+    depts = {d.id for d in out["departments"].collect()}
+    assert depts == {10, 20}
+    auds = {a.id: a for a in out["auditories"].collect()}
+    assert auds[501].name == "311-4"
+    assert auds[501].department_id == 20
+    assert auds[502].department_id is None
+    assert auds[502].name == "100-5"  # building already embedded → no suffix
+
+    # shred + quarantine
+    assert [r.entity_name for r in out["schedule_quarantine"].collect()] == ["broken"]
+    events = out["schedule_events"].collect()
+    assert len(events) == 1 and events[0].subject == "ООП"
+
+    # E3 flagship on the job's own outputs
+    occ = out["occupancy_index"].collect()
+    assert len(occ) == 2  # weeks [1,3] × one auditory
+    assert all(o.groups == ["253501"] for o in occ)
+    assert {o.week_number for o in occ} == {1, 3}
+    assert all(o.auditory_id == 501 for o in occ)
+    assert all(o.day_of_week == "Понедельник" for o in occ)

@@ -1,0 +1,369 @@
+"""End-to-end ETL job plan — the Spark re-expression of the reference's
+``main.py`` orchestration (E1, `main.py:32-64`):
+
+Phase 1 (dimensions, ordered for FK integrity): system_state → faculties →
+departments → specialities → student_groups (SCD2) → employees (+ bridge)
+→ auditories.  Phase 2 (facts): schedule docs → quarantine/shred →
+schedule_events.  Phase 3 (derived): occupancy index.
+
+The API is injected as plain payload lists (``api`` dict), so the job runs
+hermetically in tests; production wires ``sources.rest.RestSource`` /
+``fetch_manifest`` into the same entry points. Every write is a snapshot
+DataFrame returned to the caller (persist via io.write_snapshot).
+
+Scale: dims are KB-to-MB (driver-created, broadcast in joins); the only
+data-proportional stages are the schedule shred (narrow) and the two
+occupancy shuffles — the same profile as the flagship query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import py_or_str, truncate
+from ..operators.joins import (
+    fk_repair_placeholders,
+    normalized_lookup,
+    semi_fk_filter,
+)
+from ..operators.merge import insert_if_absent, merge_upsert
+from ..operators.occupancy import rebuild_occupancy
+from ..operators.scd2 import scd2_apply
+from ..operators.shred import (
+    backfill_student_counts,
+    parse_schedule_json,
+    shred_schedule_docs,
+)
+from ..schemas import (
+    AUDITORIES,
+    DEPARTMENTS,
+    DEPARTMENTS_EMPLOYEES,
+    EMPLOYEES,
+    FACULTIES,
+    SPECIALITIES,
+    STUDENT_GROUPS,
+    SYSTEM_STATE,
+)
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def sync_system_state(
+    spark: SparkSession, state: DataFrame, key: str, value: str, now_ts
+) -> DataFrame:
+    """M1 (`iis_etl/logic.py:63-68`): single-key upsert into the KV table."""
+    incoming = spark.createDataFrame(
+        [(key, str(value)[:255])], "key string, value string"
+    ).withColumn("updated_at", F.lit(now_ts).cast("timestamp"))
+    return merge_upsert(state, incoming, ["key"], update_cols=["value", "updated_at"])
+
+
+def sync_faculties(spark: SparkSession, dim: DataFrame, payload: list[dict]) -> DataFrame:
+    """M2 (`iis_etl/logic.py:71-82`)."""
+    rows = [
+        (int(p["id"]), p.get("name"), p.get("abbrev")) for p in payload
+    ]
+    incoming = spark.createDataFrame(rows, FACULTIES)
+    return merge_upsert(dim, incoming, ["id"], update_cols=["name", "abbr"])
+
+
+def sync_departments(spark: SparkSession, dim: DataFrame, payload: list[dict]) -> DataFrame:
+    """M3 (`iis_etl/logic.py:85-96`): url_id set on insert, NOT updated;
+    abbr truncated to 50 chars (`iis_etl/logic.py:91`)."""
+    rows = [
+        (int(p["id"]), p.get("name"), p.get("abbrev"), p.get("urlId"))
+        for p in payload
+    ]
+    incoming = spark.createDataFrame(rows, DEPARTMENTS).withColumn(
+        "abbr", truncate(F.col("abbr"), 50)
+    )
+    return merge_upsert(dim, incoming, ["id"], update_cols=["name", "abbr"])
+
+
+def sync_specialities(
+    spark: SparkSession,
+    dim: DataFrame,
+    faculties: DataFrame,
+    payload: list[dict],
+) -> tuple[DataFrame, DataFrame]:
+    """M4 + J1 (`iis_etl/logic.py:99-122`): repair dangling faculty FKs
+    with 'Unknown Faculty {id}' placeholders first, then merge. Returns
+    (specialities, repaired_faculties). education_form falls back
+    name → str(id) → 'Unknown' with Python-or semantics
+    (`iis_etl/logic.py:112-113`)."""
+    rows = []
+    for p in payload:
+        ef = p.get("educationForm") or {}
+        rows.append(
+            (
+                int(p["id"]),
+                p.get("name"),
+                p.get("abbrev"),
+                p.get("code"),
+                ef.get("name") or (str(ef["id"]) if ef.get("id") else None),
+                p.get("facultyId"),
+            )
+        )
+    incoming = spark.createDataFrame(rows, SPECIALITIES).withColumn(
+        "education_form", py_or_str(F.col("education_form"), F.lit("Unknown"))
+    )
+    repaired = fk_repair_placeholders(
+        incoming,
+        faculties,
+        "faculty_id",
+        "id",
+        {
+            "name": F.concat(F.lit("Unknown Faculty "), F.col("id").cast("string")),
+            "abbr": F.lit(None).cast("string"),
+        },
+    )
+    merged = merge_upsert(
+        dim,
+        incoming,
+        ["id"],
+        update_cols=["name", "abbr", "code", "faculty_id"],  # NOT education_form (M4)
+    )
+    return merged, repaired
+
+
+def sync_student_groups(
+    spark: SparkSession,
+    dim: DataFrame,
+    specialities: DataFrame,
+    payload: list[dict],
+    now_ts,
+) -> DataFrame:
+    """C1-C7 (`iis_etl/logic.py:125-171`): semi-join FK validity filter,
+    then the SCD2 transition."""
+    rows = [
+        (
+            int(p["id"]),
+            p.get("name"),
+            p.get("course"),
+            p.get("specialityDepartmentEducationFormId"),
+            p.get("calendarId"),
+            p.get("educationDegree", 1),
+            p.get("numberOfStudents", 0),
+        )
+        for p in payload
+    ]
+    incoming = spark.createDataFrame(
+        rows,
+        "id long, name string, course int, speciality_id long, "
+        "calendar_id string, education_degree int, number_of_students int",
+    )
+    incoming = semi_fk_filter(incoming, specialities, "speciality_id")
+    return scd2_apply(
+        dim,
+        incoming,
+        natural_key="id",
+        type2_cols=["name", "course", "speciality_id"],  # iis_etl/logic.py:152-160
+        type1_cols=["number_of_students"],  # iis_etl/logic.py:161-163
+        now_ts=now_ts,
+    )
+
+
+def sync_employees(
+    spark: SparkSession,
+    dim: DataFrame,
+    bridge: DataFrame,
+    departments: DataFrame,
+    payload: list[dict],
+) -> tuple[DataFrame, DataFrame]:
+    """M5 + J3 + M8 (`iis_etl/logic.py:174-214`): employees with NULL
+    urlId skipped; update set is only rank/degree/url_id; the
+    departments_employees bridge resolves the employee's academicDepartment
+    strings against dept name OR abbr (lower+trim)."""
+    rows = [
+        (
+            int(p["id"]),
+            p.get("firstName"),
+            p.get("lastName"),
+            p.get("middleName"),
+            p.get("degree"),
+            p.get("rank"),
+            p.get("photoLink"),
+            p.get("calendarId"),
+            p.get("urlId"),
+            p.get("academicDepartment") or [],
+        )
+        for p in payload
+    ]
+    incoming_all = spark.createDataFrame(
+        rows,
+        "id long, first_name string, last_name string, middle_name string, "
+        "degree string, rank string, photo_link string, calendar_id string, "
+        "url_id string, academic_department array<string>",
+    ).filter(F.col("url_id").isNotNull())  # F2, iis_etl/logic.py:184
+
+    incoming = incoming_all.drop("academic_department")
+    merged = merge_upsert(
+        dim, incoming, ["id"], update_cols=["rank", "degree", "url_id"]
+    )
+
+    links = (
+        incoming_all.select(
+            F.col("id").alias("employee_id"),
+            F.explode("academic_department").alias("dept_ref"),
+        )
+        .transform(
+            lambda df: normalized_lookup(
+                df, departments, "dept_ref", "id", ["name", "abbr"],
+                out_col="department_id",
+            )
+        )
+        .filter(F.col("department_id").isNotNull())
+        .select("department_id", "employee_id")
+        .dropDuplicates()  # A4, iis_etl/logic.py:199-210
+    )
+    bridge_next = insert_if_absent(bridge, links, ["department_id", "employee_id"])
+    return merged, bridge_next
+
+
+def sync_auditories(
+    spark: SparkSession,
+    dim: DataFrame,
+    departments: DataFrame,
+    payload: list[dict],
+) -> tuple[DataFrame, DataFrame]:
+    """M6 + M7 + J4 (`iis_etl/logic.py:217-268`): building suffix appended
+    when absent, departments discovered from the embedded payload are
+    insert-if-absent'ed FIRST, unknown department FKs nulled, update set
+    is only name/capacity. Returns (auditories, departments)."""
+    aud_rows, dept_rows = [], []
+    for p in payload:
+        raw_name = p.get("name") or ""
+        build = (p.get("buildingNumber") or {}).get("name") or (
+            f"{p['buildingNumberId']} к." if p.get("buildingNumberId") else ""
+        )
+        # iis_etl/logic.py:230-236: suffix building unless already embedded
+        name = (
+            f"{raw_name}-{build.replace(' к.', '')}"
+            if build and build.replace(" к.", "") not in raw_name
+            else raw_name
+        )
+        dept = p.get("department") or {}
+        dept_id = dept.get("idDepartment")
+        if dept_id is not None:
+            dept_rows.append(
+                (int(dept_id), dept.get("name"), dept.get("abbrev"), None)
+            )
+        note = p.get("note")
+        aud_rows.append(
+            (
+                int(p["id"]),
+                name,
+                str(note)[:10] if note is not None else None,  # iis_etl/logic.py:259
+                p.get("capacity"),
+                (p.get("auditoryType") or {}).get("name"),
+                dept_id if dept_id is not None else p.get("departmentId"),
+            )
+        )
+    discovered = spark.createDataFrame(dept_rows, DEPARTMENTS)
+    departments_next = insert_if_absent(departments, discovered, ["id"])  # M7
+
+    incoming = spark.createDataFrame(aud_rows, AUDITORIES)
+    # J4: null the FK when the department is (still) unknown
+    known = departments_next.select(F.col("id").alias("department_id")).distinct()
+    incoming = (
+        incoming.join(
+            F.broadcast(known.withColumn("__known", F.lit(True))),
+            "department_id",
+            "left",
+        )
+        .withColumn(
+            "department_id",
+            F.when(F.col("__known").isNotNull(), F.col("department_id")),
+        )
+        .drop("__known")
+        .select(*[f.name for f in AUDITORIES.fields])
+    )
+    merged = merge_upsert(dim, incoming, ["id"], update_cols=["name", "capacity"])
+    return merged, departments_next
+
+
+def run_etl(
+    spark: SparkSession,
+    api: dict,
+    now_ts: str = "2026-02-13 00:00:00",
+) -> dict[str, DataFrame]:
+    """Full job DAG (`main.py:32-64`). ``api`` maps endpoint name →
+    payload (lists of dicts; ``schedules`` → list of (entity_name,
+    entity_type, raw_json))."""
+    state = _empty(spark, SYSTEM_STATE)
+    faculties = _empty(spark, FACULTIES)
+    departments = _empty(spark, DEPARTMENTS)
+    specialities = _empty(spark, SPECIALITIES)
+    groups = _empty(spark, STUDENT_GROUPS)
+    employees = _empty(spark, EMPLOYEES)
+    bridge = _empty(spark, DEPARTMENTS_EMPLOYEES)
+    auditories = _empty(spark, AUDITORIES)
+
+    # Phase 1 — dimensions, strictly ordered (main.py:40-47)
+    state = sync_system_state(
+        spark, state, "current_week", str(api.get("current_week", 1)), now_ts
+    )
+    faculties = sync_faculties(spark, faculties, api.get("faculties", []))
+    departments = sync_departments(spark, departments, api.get("departments", []))
+    specialities, faculties = sync_specialities(
+        spark, specialities, faculties, api.get("specialities", [])
+    )
+    groups = sync_student_groups(
+        spark, groups, specialities, api.get("student_groups", []), now_ts
+    )
+    employees, bridge = sync_employees(
+        spark, employees, bridge, departments, api.get("employees", [])
+    )
+    auditories, departments = sync_auditories(
+        spark, auditories, departments, api.get("auditories", [])
+    )
+
+    # Phase 2 — facts (main.py:51-52)
+    raw = spark.createDataFrame(
+        api.get("schedules", []),
+        "entity_name string, entity_type string, payload string",
+    )
+    docs, quarantine = parse_schedule_json(raw)
+    events = shred_schedule_docs(docs)
+    # J7: backfill number_of_students into current group rows
+    counts = backfill_student_counts(docs)
+    groups = (
+        groups.join(
+            F.broadcast(
+                counts.select(
+                    F.col("entity_name").alias("name"),
+                    F.col("number_of_students").alias("__bf"),
+                )
+            ),
+            "name",
+            "left",
+        )
+        .withColumn(
+            "number_of_students",
+            F.when(
+                F.col("valid_to").isNull() & F.col("__bf").isNotNull(),
+                F.col("__bf"),
+            ).otherwise(F.col("number_of_students")),
+        )
+        .drop("__bf")
+    )
+
+    # Phase 3 — derived occupancy index (main.py:55)
+    occupancy = rebuild_occupancy(events, auditories)
+
+    return {
+        "system_state": state,
+        "faculties": faculties,
+        "departments": departments,
+        "specialities": specialities,
+        "student_groups": groups,
+        "employees": employees,
+        "departments_employees": bridge,
+        "auditories": auditories,
+        "schedule_events": events,
+        "schedule_quarantine": quarantine,
+        "occupancy_index": occupancy,
+    }

@@ -254,3 +254,111 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword + CJK-share language heuristic."""
     docs = read_fixture(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary-column plumbing (decode stubbed; see operators/multimodal)
+# ---------------------------------------------------------------------------
+
+_MM_ORACLE = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+@register("multimodal_asset_stats", _MM_ORACLE)
+def q_multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata through the mapInPandas decode kernel
+    (byte counts oracle-checked; histogram features pytest-checked)."""
+    from ..operators.multimodal import documents_as_assets, fake_decode_features
+
+    assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
+    return fake_decode_features(assets).select(
+        "asset_id", "media_type", "n_bytes"
+    )
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque payloads (rows-only: frame bytes are
+    not SQL-expressible; shape asserted in pytest)."""
+    from ..operators.multimodal import documents_as_assets, frame_sample
+
+    assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
+    return frame_sample(assets).select("asset_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# streaming pipelines (batch face — identical plan via the unified API;
+# incremental equivalence is pytest-checked in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+_WINDOWED_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_windowed_counts", _WINDOWED_ORACLE)
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming face: watermark + window)."""
+    from ..streaming.pipeline import windowed_event_counts
+
+    return windowed_event_counts(read_fixture(spark, sf_dir, "events"))
+
+
+_SESSION_ORACLE = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_sessionize", _SESSION_ORACLE)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window; oracle = lag+cumsum)."""
+    from ..streaming.pipeline import sessionized_activity
+
+    return sessionized_activity(read_fixture(spark, sf_dir, "events"))
+
+
+_KV_STREAM_ORACLE = """
+SELECT user_id, ts, event_type, value FROM (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register("stream_kv_latest", _KV_STREAM_ORACLE)
+def q_stream_kv_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 as an update-mode stream: latest value per key via max_by."""
+    from ..streaming.pipeline import streaming_kv_latest
+
+    return streaming_kv_latest(read_fixture(spark, sf_dir, "events"))

@@ -1,0 +1,103 @@
+"""Structured Streaming pipelines (streaming-shaped extension surface —
+the reference itself is a scheduled batch job, SURVEY.md §2.10; these
+operators extend the engine to continuous ingestion of the same shapes).
+
+Patterns covered, all with event-time watermarks for bounded state:
+
+- ``windowed_event_counts`` — tumbling/sliding window aggregation
+- ``sessionized_activity``  — session windows per user (gap-based)
+- ``streaming_dedup``       — watermarked exact dedup on a key
+- ``streaming_kv_latest``   — the M1 KV upsert as a streaming
+  latest-per-key (update-mode aggregation)
+
+Each takes a streaming OR batch DataFrame (same code path — Spark's
+unified API), so the oracle/batch tests exercise identical plans; file
+streams with ``trigger(availableNow=True)`` cover the incremental path.
+
+Scale: state size is bounded by (watermark horizon × key cardinality);
+shuffles partition on the aggregation key exactly as the batch plans do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark, path: str, schema: str | None = None) -> DataFrame:
+    """File-based stream of events-shaped parquet (one file per micro-batch
+    in tests; a real deployment points this at a landing bucket or swaps
+    in Kafka via the same schema)."""
+    schema = schema or (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_activity(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (`session_window` keeps state per open session only)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked exact dedup: keeps the first arrival per key within the
+    watermark horizon (the streaming face of dedup_exact)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates([*key_cols, "ts"] if events.isStreaming else key_cols)
+
+
+def streaming_kv_latest(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """M1 as a stream: latest (ts, value) per user via max_by — in update
+    output mode each micro-batch emits the keys it changed."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").agg(
+        F.max("ts").alias("ts"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("event_type"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("value"),
+    )
