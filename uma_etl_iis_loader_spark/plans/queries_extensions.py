@@ -362,3 +362,50 @@ def q_stream_kv_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import streaming_kv_latest
 
     return streaming_kv_latest(read_fixture(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline: quality gate + language gate + exact dedup
+# (the canonical pre-training data filter, end to end in one plan)
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           md5({_CANON_SQL}) AS fp,
+           round(0.4 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END)
+           + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+           + 0.3 * (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                                    THEN CAST(length(text) AS DOUBLE)
+                                         / len(regexp_split_to_array(trim(text), '\\s+'))
+                                    ELSE 0.0 END) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM documents
+), survivors AS (
+    SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp
+)
+SELECT s.doc_id, s.lang, s.quality
+FROM scored s JOIN survivors k ON s.doc_id = k.doc_id
+WHERE s.quality >= 0.5 AND s.lang = 'en'
+"""
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: exact-dedup survivors ∩ quality ≥ 0.5 ∩ lang = 'en' —
+    one Catalyst plan, filters fused below the dedup aggregation."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    survivors = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "quality")
+    )

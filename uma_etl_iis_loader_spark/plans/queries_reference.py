@@ -716,3 +716,125 @@ def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_fixture(spark, sf_dir, "documents")
     return docs.select("doc_id", tokenize("text", ascii_only=True).alias("tokens"))
+
+
+# ---------------------------------------------------------------------------
+# X6 — fio assembly ("Last First", trimmed, empties dropped)
+# ---------------------------------------------------------------------------
+
+_FIO_ORACLE = """
+WITH docs AS (
+    SELECT l_orderkey AS o_orderkey,
+           array_agg(struct_pack(
+               firstName := CASE WHEN l_linenumber % 4 = 0 THEN NULL
+                                 ELSE concat('F', CAST(l_suppkey AS VARCHAR)) END,
+               lastName := CASE WHEN l_linenumber % 5 = 0 THEN ''
+                                ELSE concat('L', CAST(l_partkey AS VARCHAR)) END
+           ) ORDER BY l_linenumber, l_suppkey, l_partkey) AS emps
+    FROM lineitem GROUP BY 1
+)
+SELECT o_orderkey,
+       list_sort(list_distinct(list_filter(
+           list_transform(emps, e -> trim(concat_ws(' ',
+               coalesce(e.lastName, ''), coalesce(e.firstName, '')))),
+           x -> x <> ''))) AS names
+FROM docs
+"""
+
+
+@register("fio_assembly", _FIO_ORACLE)
+def q_fio_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: '"Last First"' from struct arrays, trimmed, empties dropped
+    (`iis_etl/logic.py:36-50,341`)."""
+    from ..functions.normalize import fio
+
+    li = read_fixture(spark, sf_dir, "lineitem")
+    docs = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.when(
+                    F.col("l_linenumber") % 4 == 0, F.lit(None).cast("string")
+                )
+                .otherwise(F.concat(F.lit("F"), F.col("l_suppkey").cast("string")))
+                .alias("firstName"),
+                F.when(F.col("l_linenumber") % 5 == 0, F.lit(""))
+                .otherwise(F.concat(F.lit("L"), F.col("l_partkey").cast("string")))
+                .alias("lastName"),
+            ).alias("emp"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("emp").alias("emps"))
+    )
+    return docs.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.array_sort(F.array_distinct(fio(F.col("emps")))).alias("names"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine breadth: multi-aggregate summary (TPC-H Q1 shape) — the canonical
+# "does partial aggregation + pushdown work" probe for the 100 TB plan
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY 1, 2
+"""
+
+
+@register("agg_pricing_summary", _PRICING_ORACLE)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregation with a pushed-down scan filter (Q1 shape)."""
+    li = read_fixture(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine breadth: top-k per group (window rank)
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT c_custkey, o_orderkey, rnk FROM (
+    SELECT o_custkey AS c_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+    FROM orders
+) WHERE rnk <= 3
+"""
+
+
+@register("topk_orders_per_customer", _TOPK_GROUP_ORACLE)
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (window rank, deterministic
+    tie-break)."""
+    from pyspark.sql.window import Window
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "rnk")
+    )
