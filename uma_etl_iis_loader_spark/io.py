@@ -19,22 +19,36 @@ from .schemas import FIXTURE_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_SPLIT_MIN_BYTES = 512 * 1024
+
+
+def read_fixture(
+    spark: SparkSession, sf_dir: str, name: str, split: bool | None = None
+) -> DataFrame:
     """Read one driver fixture table (schema comes from parquet footer).
 
     ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
     reads as a nanos long (``spark.sql.legacy.parquet.nanosAsLong``); we
     convert to a micros timestamp here — same truncation DuckDB applies.
+
+    ``split``: the fixture files are single-row-group parquet, so the scan
+    cannot parallelize — every map stage would run on ONE core. When the
+    file is big enough to matter (or the caller forces it for CPU-heavy
+    per-row work), round-robin to the cluster's parallelism. On a real
+    multi-row-group/multi-file dataset (the 100 TB case) the input already
+    splits and this is skipped.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # The fixture files are single-row-group parquet: the scan cannot split,
-    # so without this every map stage runs on ONE core. Round-robin to the
-    # cluster's parallelism when the input has fewer splits — on a real
-    # multi-row-group/multi-file dataset (the 100 TB case) this is a no-op.
+    if split is None:
+        try:
+            split = os.path.getsize(path) >= _SPLIT_MIN_BYTES
+        except OSError:
+            split = False
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(parallelism, 8):
+    if split and df.rdd.getNumPartitions() < min(parallelism, 8):
         df = df.repartition(parallelism)
     return df
 

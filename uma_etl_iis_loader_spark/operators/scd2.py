@@ -76,40 +76,9 @@ def scd2_apply(
     )
 
     matched = F.col("__o").isNotNull() & F.col("__n").isNotNull()
-    is_new = F.col("__o").isNull()
-    is_missing = F.col("__n").isNull()
+    is_new = F.col("__o").isNull()  # the final `otherwise` = missing (C6)
     t2_diff = _any_diff(type2_cols)
     t1_diff = _any_diff(type1_cols)
-
-    def surrogate(key: Column, vfrom: Column) -> Column:
-        return F.xxhash64(key, vfrom)
-
-    def build(
-        cond: Column,
-        key: Column,
-        attrs: dict[str, Column],
-        vfrom: Column,
-        vto: Column,
-        keep_surrogate: Column | None = None,
-    ) -> DataFrame:
-        cols = []
-        for c in dim_cols:
-            if c == natural_key:
-                cols.append(key.alias(c))
-            elif c == "valid_from":
-                cols.append(vfrom.alias(c))
-            elif c == "valid_to":
-                cols.append(vto.alias(c))
-            elif surrogate_col and c == surrogate_col:
-                sur = (
-                    keep_surrogate
-                    if keep_surrogate is not None
-                    else surrogate(key, vfrom)
-                )
-                cols.append(sur.alias(c))
-            else:
-                cols.append(attrs[c].alias(c))
-        return j.filter(cond).select(*cols)
 
     def oc(c: str) -> Column:
         return F.col(f"__o_{c}")
@@ -123,57 +92,83 @@ def scd2_apply(
     keep_sur = (
         oc(surrogate_col) if surrogate_col and surrogate_col in dim_cols else None
     )
+    null_ts = F.lit(None).cast("timestamp")
 
-    branches = [
-        # C3 brand-new key → open first version
-        build(is_new, nc(natural_key), new_attrs, now, F.lit(None).cast("timestamp")),
-        # C4 type-2 change → close old version...
-        build(
+    def row_struct(
+        key: Column,
+        attrs: dict[str, Column],
+        vfrom: Column,
+        vto: Column,
+        keep_surrogate: Column | None = None,
+    ) -> Column:
+        cols = []
+        for c in dim_cols:
+            if c == natural_key:
+                cols.append(key.alias(c))
+            elif c == "valid_from":
+                cols.append(vfrom.alias(c))
+            elif c == "valid_to":
+                cols.append(vto.alias(c))
+            elif surrogate_col and c == surrogate_col:
+                sur = (
+                    keep_surrogate
+                    if keep_surrogate is not None
+                    # deterministic, driver-free surrogate
+                    else F.xxhash64(key, vfrom)
+                )
+                cols.append(sur.alias(c))
+            else:
+                cols.append(attrs[c].alias(c))
+        return F.struct(*cols)
+
+    # Single pass over the join: each row emits 0-2 output-row structs
+    # (a union of per-branch filters would re-evaluate the full-outer join
+    # once per branch — 6x the shuffle for the same result).
+    branch = (
+        F.when(
+            is_new,
+            F.array(row_struct(nc(natural_key), new_attrs, now, null_ts)),
+        )
+        .when(
             matched & t2_diff,
-            oc(natural_key),
-            old_attrs,
-            oc("valid_from"),
-            now,
-            keep_surrogate=keep_sur,
-        ),
-        # ...and open the new one (takes ALL incoming attrs)
-        build(
-            matched & t2_diff,
-            nc(natural_key),
-            new_attrs,
-            now,
-            F.lit(None).cast("timestamp"),
-        ),
-        # C5 type-1-only change → in-place patch, version identity kept
-        build(
+            F.array(
+                # C4: close the old version...
+                row_struct(
+                    oc(natural_key), old_attrs, oc("valid_from"), now, keep_sur
+                ),
+                # ...and open the new one (takes ALL incoming attrs)
+                row_struct(nc(natural_key), new_attrs, now, null_ts),
+            ),
+        )
+        .when(
             matched & ~t2_diff & t1_diff,
-            oc(natural_key),
-            t1_patched,
-            oc("valid_from"),
-            F.lit(None).cast("timestamp"),
-            keep_surrogate=keep_sur,
-        ),
-        # unchanged → pass through
-        build(
+            F.array(
+                # C5: in-place type-1 patch, version identity kept
+                row_struct(
+                    oc(natural_key), t1_patched, oc("valid_from"), null_ts, keep_sur
+                )
+            ),
+        )
+        .when(
             matched & ~t2_diff & ~t1_diff,
-            oc(natural_key),
-            old_attrs,
-            oc("valid_from"),
-            F.lit(None).cast("timestamp"),
-            keep_surrogate=keep_sur,
-        ),
-        # C6 vanished from snapshot → close
-        build(
-            is_missing,
-            oc(natural_key),
-            old_attrs,
-            oc("valid_from"),
-            now,
-            keep_surrogate=keep_sur,
-        ),
-    ]
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+            F.array(
+                row_struct(
+                    oc(natural_key), old_attrs, oc("valid_from"), null_ts, keep_sur
+                )
+            ),
+        )
+        .otherwise(
+            # C6: vanished from snapshot → close
+            F.array(
+                row_struct(
+                    oc(natural_key), old_attrs, oc("valid_from"), now, keep_sur
+                )
+            ),
+        )
+    )
+    out = (
+        j.select(F.explode(branch).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in dim_cols])
+    )
     # C7: untouched history rides along
     return out.unionByName(history.select(*dim_cols))

@@ -409,3 +409,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
         .select("doc_id", "lang", "quality")
     )
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful_user_stats", _STATEFUL_ORACLE)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) — batch face;
+    stream-equals-batch is pytest-checked in tests/test_stateful.py."""
+    from ..streaming.stateful import running_user_stats
+
+    return running_user_stats(read_fixture(spark, sf_dir, "events"))
