@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Breadth-representative headline set: the flagship, the write-pattern core
@@ -46,8 +48,21 @@ def main() -> None:
 
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warm-up so q1 doesn't pay session startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM warm-up so q1 doesn't pay one-time infra costs: codegen compiler,
+    # shuffle machinery, parquet reader, Arrow python workers. Uses the tiny
+    # region table (2 KB) — no query data is cached.
+    from pyspark.sql import functions as _F
+
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    r.alias("a").join(r.alias("b"), "r_regionkey").groupBy(
+        _F.col("a.r_name")
+    ).count().collect()
+
+    @_F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    r.select(_warm(_F.col("r_regionkey").cast("long"))).collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
