@@ -62,3 +62,23 @@ def test_backfill_first_match_deterministic(spark):
     out = backfill_first_match(target, src, "name", "ord", "cnt", "students")
     got = {(r.name, r.students) for r in out.collect()}
     assert got == {("G1", 10), ("G2", None)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from uma_etl_iis_loader_spark.operators.joins import salted_join
+
+    # hot key: 90% of left rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, name string")
+    got = {(r.k, r.v, r.name) for r in salted_join(left, right, "k").collect()}
+    want = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    assert got == want
+    # salt actually spreads the hot key across buckets
+    from pyspark.sql import functions as F
+
+    salted = left.withColumn(
+        "s", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16))
+    )
+    assert salted.filter(F.col("k") == 1).select("s").distinct().count() > 8

@@ -1,0 +1,40 @@
+"""Physical-plan assertions: the scale properties we design for must be
+visible in the plans Catalyst actually produces — broadcasts for dims,
+filter/column pushdown into the parquet scan, no accidental cartesian or
+sort-merge joins on dimension lookups."""
+
+from __future__ import annotations
+
+from uma_etl_iis_loader_spark.plans.registry import QUERIES
+
+
+def _plan(spark, name, sf_dir):
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_uses_broadcast_joins_only(spark, sf_dir):
+    plan = _plan(spark, "flagship_occupancy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(spark, "agg_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column lineitem scan reads only what Q1 needs
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_semi_and_anti_joins_broadcast(spark, sf_dir):
+    for name in ("semi_join_fk_filter", "anti_join_deletion"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # map-side combine: HashAggregate appears below the exchange
+    plan = _plan(spark, "agg_pricing_summary", sf_dir)
+    assert plan.count("HashAggregate") >= 2  # partial + final

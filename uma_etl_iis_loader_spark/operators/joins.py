@@ -107,3 +107,34 @@ def backfill_first_match(
         F.min_by(value_col, order_col).alias(out_col)
     )
     return target.join(firsts, key, "left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side's key into
+    ``salt_buckets`` sub-keys and replicate the right side across every
+    bucket, so one hot key spreads over ``salt_buckets`` tasks instead of
+    stalling a single reducer.
+
+    AQE's skew-join split handles most cases at runtime
+    (`spark.sql.adaptive.skewJoin.enabled`, on in session.py); use this
+    when a key is hot enough that even split partitions exceed executor
+    memory, or when the join is not AQE-eligible (e.g. under a streaming
+    sink). Only the right side is replicated — keep it the smaller input.
+    """
+    salted_l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        .cast("int"),
+    )
+    salted_r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = salted_l.join(salted_r, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -428,3 +428,84 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import running_user_stats
 
     return running_user_stats(read_fixture(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each event picks up the user's latest order state at event
+# time (Spark has no native ASOF — union+window formulation; DuckDB does,
+# which makes the oracle exact)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH state AS (
+    SELECT o_custkey, o_orderdate,
+           max(o_orderkey) AS o_orderkey,
+           arg_max(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       s.o_orderkey AS asof_o_orderkey,
+       s.o_totalprice AS asof_o_totalprice
+FROM events e
+ASOF LEFT JOIN state s
+  ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
+"""
+
+
+@register("asof_join_order_state", _ASOF_ORACLE)
+def q_asof_join_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via union + last_value window (one shuffle on
+    the key; no inequality-join blowup)."""
+    from ..operators.asof import asof_join
+
+    events = read_fixture(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    state = (
+        read_fixture(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("state_ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        events,
+        state,
+        on="user_id",
+        left_ts="ts",
+        right_ts="state_ts",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles (percentile ↔ quantile_cont share the interpolation rule)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       round(quantile_cont(value, 0.95), 4) AS p95_value,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register("quantiles_by_type", _MEDIAN_ORACLE)
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (percentile_approx covers the
+    sketch path at scale; the exact form is oracle-comparable)."""
+    events = read_fixture(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
