@@ -838,3 +838,107 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# engine breadth: rollup / pivot / set ops (beyond the reference surface —
+# completeness of the relational algebra a warehouse engine needs)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(n_name, '<all>') AS nation,
+       round(sum(c_acctbal), 2) AS total_bal,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("rollup_customer_balance", _ROLLUP_ORACLE)
+def q_rollup_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) with NULL
+    grouping markers normalized to '<all>' on both engines."""
+    c = read_fixture(spark, sf_dir, "customer")
+    n = read_fixture(spark, sf_dir, "nation")
+    r = read_fixture(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            "total_bal",
+            "n_customers",
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS click,
+       round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS view,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase,
+       round(coalesce(sum(value) FILTER (event_type = 'signup'), 0), 2) AS signup,
+       round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_event_values", _PIVOT_ORACLE)
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into value columns (explicit value list keeps the
+    plan single-pass — no distinct-scan before the pivot)."""
+    events = read_fixture(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds],
+    )
+
+
+_SETOPS_ORACLE = """
+SELECT c_custkey, 'both' AS bucket FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT c_custkey, 'f_only' FROM (
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
+
+@register("set_ops_order_status", _SETOPS_ORACLE)
+def q_set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer key sets."""
+    orders = read_fixture(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # intersect/subtract are SET-semantics (like SQL INTERSECT/EXCEPT);
+    # exceptAll would be bag-semantics and leave residue for keys with
+    # more F-orders than O-orders
+    both = f.intersect(o).withColumn("bucket", F.lit("both"))
+    f_only = f.subtract(o).withColumn("bucket", F.lit("f_only"))
+    return both.unionByName(f_only)
