@@ -38,6 +38,11 @@ def read_fixture(
     multi-row-group/multi-file dataset (the 100 TB case) the input already
     splits and this is skipped.
     """
+    # Defensive session confs: the driver harness may pass a session built
+    # without our factory — the nanos fallback is required to scan events
+    # at all, and UTC keeps collected timestamps oracle-comparable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
