@@ -1,0 +1,50 @@
+"""CDC stream: two snapshot micro-batches through the SCD2 maintainer
+must produce the same dim as applying scd2_apply twice in batch."""
+
+from __future__ import annotations
+
+import tempfile
+
+from uma_etl_iis_loader_spark.streaming.cdc import Scd2StreamMaintainer
+
+SCHEMA = (
+    "id long, name string, course int, "
+    "valid_from timestamp, valid_to timestamp"
+)
+INC_SCHEMA = "id long, name string, course int"
+
+
+def _run_batch(spark, maintainer, rows):
+    inc = spark.createDataFrame(rows, INC_SCHEMA)
+    d = tempfile.mkdtemp(prefix="cdc_in_")
+    inc.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(INC_SCHEMA).parquet(d)
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    q = maintainer.attach(stream, ckpt).start()
+    q.awaitTermination(120)
+
+
+def test_scd2_stream_maintainer(spark):
+    state = tempfile.mkdtemp(prefix="cdc_state_") + "/dim"
+    m = Scd2StreamMaintainer(
+        spark,
+        state,
+        natural_key="id",
+        type2_cols=["name", "course"],
+        type1_cols=[],
+        dim_schema=SCHEMA,
+    )
+    # batch 0: initial snapshot
+    _run_batch(spark, m, [(1, "G1", 1), (2, "G2", 2)])
+    # batch 0 (second stream): rename G1, drop G2, add G3
+    _run_batch(spark, m, [(1, "G1-renamed", 1), (3, "G3", 3)])
+
+    rows = {
+        (r.id, r.name, r.valid_to is None) for r in m.current().collect()
+    }
+    assert rows == {
+        (1, "G1", False),  # closed old version
+        (1, "G1-renamed", True),  # new current version
+        (2, "G2", False),  # closed (missing from snapshot 2)
+        (3, "G3", True),  # inserted
+    }

@@ -70,3 +70,59 @@ def test_kv_latest_stream_equals_batch_query(spark, sf_dir, events_dir):
         for r in streaming_kv_latest(read_fixture(spark, sf_dir, "events")).collect()
     }
     assert got == batch
+
+
+def test_shred_pipeline_runs_on_a_stream(spark):
+    """The schedule shredder is stateless (explode/filter only), so the
+    same code path serves continuous ingestion: raw-doc stream in, flat
+    event rows out."""
+    import json
+    import tempfile
+
+    from uma_etl_iis_loader_spark.operators.shred import (
+        parse_schedule_json,
+        shred_schedule_docs,
+    )
+
+    doc = json.dumps(
+        {
+            "schedules": {
+                "Вторник": [
+                    {
+                        "subject": "Матан",
+                        "startLessonTime": "8:00",
+                        "endLessonTime": "9:20",
+                        "weekNumber": [1],
+                        "auditories": [{"id": 1, "name": "501-2"}],
+                        "employees": [],
+                        "studentGroups": [],
+                    }
+                ]
+            },
+            "exams": [],
+        },
+        ensure_ascii=False,
+    )
+    raw = spark.createDataFrame(
+        [("g1", "group", doc), ("bad", "group", "{nope")],
+        "entity_name string, entity_type string, payload string",
+    )
+    d = tempfile.mkdtemp(prefix="sched_stream_")
+    raw.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(
+        "entity_name string, entity_type string, payload string"
+    ).parquet(d)
+    docs, _ = parse_schedule_json(stream)
+    events = shred_schedule_docs(docs)
+    q = (
+        events.writeStream.format("memory")
+        .queryName("shredded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM shredded").collect()
+    assert len(rows) == 1
+    assert rows[0].subject == "Матан" and rows[0].day_of_week == 2
