@@ -509,3 +509,53 @@ def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregates (sketches) + embedding analytics
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user sketch per event type (rows-only: sketch
+    estimates are engine-specific; the ≤2% error bound vs exact count is
+    asserted in tests/test_approx.py)."""
+    events = read_fixture(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_CENTROID_ORACLE = """
+WITH un AS (
+    SELECT label, t.i - 1 AS idx, embedding[t.i] AS v
+    FROM embeddings, range(1, 65) AS t(i)
+), dims AS (
+    SELECT label, idx, round(avg(CAST(v AS DOUBLE)), 4) AS m
+    FROM un GROUP BY 1, 2
+)
+SELECT label, array_agg(m ORDER BY idx) AS centroid
+FROM dims GROUP BY label
+"""
+
+
+@register("embedding_label_centroids", _CENTROID_ORACLE)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: posexplode → per-dimension mean → re-assemble
+    ordered. The distributed form of a k-means update step."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("idx", "v"))
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("m"))
+    )
+    return dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("idx", "m"))
+        ).alias("__pairs")
+    ).select(
+        "label",
+        F.transform(F.col("__pairs"), lambda p: p["m"]).alias("centroid"),
+    )
