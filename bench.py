@@ -28,16 +28,22 @@ HEADLINE = [
     "scd2_snapshot",
     "kv_state_latest",
     "backfill_first_match",
+    "agg_pricing_summary",
+    "topk_orders_per_customer",
+    "asof_join_order_state",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_brute_force",
     "knn_ivf_ann",
+    "embedding_label_centroids",
     "text_stats",
     "text_lang_id",
     "text_quality_score",
     "search_tokenize",
+    "curation_pipeline",
+    "stream_windowed_counts",
 ]
 
 

@@ -92,6 +92,16 @@ def write_bucketed(
     join strategy for repeatedly-joined 100 TB fact tables. (Parquet +
     in-memory catalog; a real deployment uses the metastore the same way.)
     """
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session's table directory survives the in-memory catalog;
+    # saveAsTable refuses to reuse the location, so clear it explicitly
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

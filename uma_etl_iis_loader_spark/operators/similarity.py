@@ -86,20 +86,39 @@ def brute_force_topk(
 
 
 def _assign_centroid(
-    df: DataFrame, centroids: DataFrame, key: str, vec: str, n: int
+    df: DataFrame, cent_mat, key: str, vec: str, n: int
 ) -> DataFrame:
-    """Top-n nearest broadcast centroids by cosine per ``key`` row."""
-    scored = df.join(F.broadcast(centroids)).withColumn(
-        "__csim", cosine_arrow(F.col(vec), F.col("cent_vec"))
-    )
-    w = Window.partitionBy(key).orderBy(
-        F.col("__csim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= n)
-        .drop("__csim", "__crank", "cent_vec")
-    )
+    """Top-n nearest centroids per row via a mapInPandas matrix kernel.
+
+    ``cent_mat`` is the L2-normalized (nlist × d) numpy centroid matrix —
+    nlist is driver-sized by construction, so shipping it in the closure
+    replaces a join + per-pair UDF + window with one batch matmul and no
+    shuffle at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = "long"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+            norms = np.linalg.norm(vm, axis=1)
+            vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+            sims = vm @ cent_mat.T  # (batch, nlist)
+            top = min(n, sims.shape[1])
+            # ties broken by centroid id: argsort on (-sim, id) via stable sort
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+            out = pdf.loc[pdf.index.repeat(top)].reset_index(drop=True)
+            out["centroid_id"] = order.ravel().astype(np.int32)
+            yield out
+
+    schema = ", ".join(
+        f"{c} {'array<float>' if c == vec else id_dtype}" for c in df.columns
+    ) + ", centroid_id int"
+    return df.mapInPandas(kernel, schema)
 
 
 def ivf_topk(
@@ -120,21 +139,27 @@ def ivf_topk(
     ``centroid_id``; queries then prune all but nprobe partitions
     (partition pruning on the parquet scan).
     """
+    import numpy as np
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     # deterministic pseudo-random sample: nlist lowest hash-of-id rows.
-    # orderBy+limit executes as a distributed top-k (no global sort); the
-    # row_number window then runs over only nlist rows.
-    sample = c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id").limit(nlist)
-    w_small = Window.orderBy("neighbor_id")
-    centroids = sample.withColumn(
-        "centroid_id", F.row_number().over(w_small) - 1
-    ).select("centroid_id", F.col("cvec").alias("cent_vec"))
+    # orderBy+limit executes as a distributed top-k (no global sort), and
+    # nlist rows are driver-sized — collect and ship as a closure matrix.
+    sample = (
+        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id").limit(nlist).collect()
+    )
+    sample.sort(key=lambda r: r.neighbor_id)
+    cent_mat = np.stack(
+        [np.asarray(r.cvec, dtype=np.float64) for r in sample]
+    )
+    cnorm = np.linalg.norm(cent_mat, axis=1)
+    cent_mat = cent_mat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
 
-    assigned = _assign_centroid(c, centroids, "neighbor_id", "cvec", 1)
+    assigned = _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probed = _assign_centroid(q, centroids, "query_id", "qvec", nprobe)
+    probed = _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe)
 
     scored = probed.join(assigned, "centroid_id").withColumn(
         "sim", cosine_arrow(F.col("qvec"), F.col("cvec"))

@@ -155,16 +155,21 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_fixture(spark, sf_dir, "embeddings")
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
     return emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
 
+# split=False: the kNN kernels are batch matrix products — few LARGE Arrow
+# batches beat 32 tiny ones (per-task python/Arrow overhead dominates at
+# fixture scale; real deployments get ≥128MB splits from the file format).
+
+
 @register("knn_brute_force", _TOPK_ORACLE)
 def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for every 25th vector as query."""
-    emb = read_fixture(spark, sf_dir, "embeddings")
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
     return brute_force_topk(emb, _query_vectors(spark, sf_dir), k=10)
 
 
@@ -172,7 +177,7 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (nlist=16, nprobe=4); recall vs brute force
     asserted in pytest (approximate by design — no SQL oracle)."""
-    emb = read_fixture(spark, sf_dir, "embeddings")
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
     return ivf_topk(emb, _query_vectors(spark, sf_dir), k=10, nlist=16, nprobe=4)
 
 
