@@ -25,9 +25,11 @@ DAY_NAMES: dict[int, str] = {v: k for k, v in DAYS_MAP.items()}
 
 
 def py_or_str(col: Column | str, *fallbacks: Column) -> Column:
-    """Python ``x or y or ...`` over strings: '' and NULL both fall through."""
-    chain = [F.nullif(F.trim(F.col(col) if isinstance(col, str) else col), F.lit(""))]
-    chain.extend(F.nullif(F.trim(f), F.lit("")) for f in fallbacks[:-1])
+    """Python ``x or y or ...`` over strings: '' and NULL both fall
+    through; surviving values pass UNCHANGED (whitespace-only strings are
+    truthy in Python, so no trim — caught by the property test)."""
+    chain = [F.nullif(F.col(col) if isinstance(col, str) else col, F.lit(""))]
+    chain.extend(F.nullif(f, F.lit("")) for f in fallbacks[:-1])
     if fallbacks:
         chain.append(fallbacks[-1])
     return F.coalesce(*chain)
@@ -52,19 +54,27 @@ def truncate(col: Column | str, n: int) -> Column:
 
 
 def day_int_expr(day_name: Column) -> Column:
-    """Russian day name → 1-7, NULL for unknown (iis_etl/logic.py:324-327)."""
-    expr = F.lit(None).cast("int")
-    for name, num in DAYS_MAP.items():
-        expr = F.when(day_name == name, F.lit(num)).otherwise(expr)
-    return expr
+    """Russian day name → 1-7, NULL for unknown (iis_etl/logic.py:324-327).
+
+    Chained ``when`` produces ONE flat CaseWhen node; a loop of
+    ``.otherwise(prev)`` would nest seven CASE expressions and bloat
+    codegen."""
+    items = iter(DAYS_MAP.items())
+    name, num = next(items)
+    expr = F.when(day_name == name, F.lit(num))
+    for name, num in items:
+        expr = expr.when(day_name == name, F.lit(num))
+    return expr.otherwise(F.lit(None).cast("int"))
 
 
 def day_name_expr(day_int: Column) -> Column:
     """int 1-7 → Russian day name (CASE in iis_etl/logic.py:454-457)."""
-    expr = F.lit(None).cast("string")
-    for num, name in DAY_NAMES.items():
-        expr = F.when(day_int == num, F.lit(name)).otherwise(expr)
-    return expr
+    items = iter(DAY_NAMES.items())
+    num, name = next(items)
+    expr = F.when(day_int == num, F.lit(name))
+    for num, name in items:
+        expr = expr.when(day_int == num, F.lit(name))
+    return expr.otherwise(F.lit(None).cast("string"))
 
 
 def default_weeks(weeks: Column) -> Column:

@@ -467,9 +467,9 @@ def q_backfill_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PY_OR_ORACLE = """
 SELECT p_partkey,
-       COALESCE(NULLIF(TRIM(CASE WHEN p_partkey % 5 = 0 THEN ''
+       COALESCE(NULLIF(CASE WHEN p_partkey % 5 = 0 THEN ''
                                  WHEN p_partkey % 7 = 0 THEN NULL
-                                 ELSE p_name END), ''), 'Без названия') AS subject
+                                 ELSE p_name END, ''), 'Без названия') AS subject
 FROM part
 """
 
