@@ -564,3 +564,42 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(F.col("__pairs"), lambda p: p["m"]).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join — bucketized, no equi key
+# ---------------------------------------------------------------------------
+# intervals: one 2-day maintenance window per 300th order; points: events.
+
+_RANGE_JOIN_ORACLE = """
+WITH win AS (
+    SELECT event_id AS window_id, ts AS win_start,
+           ts + INTERVAL '6 hours' AS win_end
+    FROM events WHERE event_id % 500 = 0
+)
+SELECT e.event_id, w.window_id
+FROM events e JOIN win w
+  ON e.ts >= w.win_start AND e.ts < w.win_end
+"""
+
+
+@register("range_join_windows", _RANGE_JOIN_ORACLE)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via time-bucketized equi-join + residual
+    filter (the non-quadratic interval-join strategy)."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    events = read_fixture(spark, sf_dir, "events").select("event_id", "ts")
+    win = (
+        read_fixture(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 500 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
+        )
+    )
+    out = range_join_bucketed(
+        events, win, "ts", "win_start", "win_end", bucket_seconds=6 * 3600
+    )
+    return out.select("event_id", "window_id")
