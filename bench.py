@@ -55,8 +55,11 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM warm-up so q1 doesn't pay one-time infra costs: codegen compiler,
-    # shuffle machinery, parquet reader, Arrow python workers. Uses the tiny
-    # region table (2 KB) — no query data is cached.
+    # shuffle machinery, parquet reader, Arrow python workers, and JIT of
+    # the hot operator loops (hash agg, broadcast join, explode, sort,
+    # window). Synthetic spark.range data + the tiny region table (2 KB) —
+    # no query data is cached.
+    from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
     r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
@@ -69,6 +72,29 @@ def main() -> None:
         return s
 
     r.select(_warm(_F.col("r_regionkey").cast("long"))).collect()
+
+    d = spark.range(0, 200_000).select(
+        "id",
+        (_F.col("id") % 1000).alias("k"),
+        _F.sequence(_F.lit(1), (_F.col("id") % 3 + 1).cast("int")).alias("arr"),
+    )
+    small = spark.range(0, 1000).select(
+        _F.col("id").alias("k"), _F.concat(_F.lit("n"), "id").alias("name")
+    )
+    warm = (
+        d.select("id", "k", _F.explode("arr").alias("e"))
+        .join(_F.broadcast(small), "k")
+        .groupBy("k", "e")
+        .agg(
+            _F.array_sort(_F.collect_set("name")).alias("s"),
+            _F.sum("id").alias("t"),
+        )
+    )
+    warm.select(
+        "k",
+        "e",
+        _F.row_number().over(_W.partitionBy("e").orderBy(_F.desc("t"))).alias("rn"),
+    ).filter("rn <= 5").count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}

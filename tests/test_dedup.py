@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from uma_etl_iis_loader_spark.io import read_fixture
 from uma_etl_iis_loader_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -45,6 +46,28 @@ def test_ngram_jaccard_finds_near_dups(spark):
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert (1, 6) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_prefix_filter_matches_naive_inverted_index(spark, sf_dir):
+    """PPJoin prefix-filtered path must return EXACTLY the naive join's
+    pairs — on the hand-built corpus and on the real documents fixture."""
+    for docs, t in [
+        (_docs(spark), 0.5),
+        (read_fixture(spark, sf_dir, "documents"), 0.35),
+    ]:
+        fast = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        naive = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == naive
 
 
 def test_minhash_lsh_matches_exact_jaccard(spark):

@@ -129,33 +129,95 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     char_level: bool = False,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted index:
-    explode grams → equi-join on gram → count shared → |A∩B|/|A∪B| ≥ t.
+    """Exact n-gram Jaccard near-dup pairs ≥ ``threshold``.
 
-    Shuffle pattern: one shuffle on the gram key (the inverted index), one
-    on the pair key. Hot grams create skew — word-level n≥3 keeps posting
-    lists short; for adversarial corpora cap posting-list length or go
-    through ``minhash_lsh_pairs``.
+    Default path is PPJoin-style prefix filtering (Chaudhuri et al. 2006 /
+    Vernica et al. SIGMOD'10 MapReduce set-similarity): order each doc's
+    grams by ascending document frequency (rarest first, (df, gram) as the
+    global total order), explode only the prefix of length
+    |x| − ⌈t·|x|⌉ + 1 — any pair with Jaccard ≥ t must share a prefix
+    token — join prefixes, apply the size filter min ≥ t·max, then verify
+    candidates with exact intersect/union on the full gram arrays. Output
+    is identical to the naive inverted-index join, but the join
+    intermediate shrinks from Σ(posting list)² pair rows to only
+    rare-token collisions.
+
+    ``prefix_filter=False`` keeps the naive inverted-index count path
+    (useful as an oracle for the filtered path and for tiny inputs).
     """
     g = _gram_table(docs, id_col, text_col, n, char_level)
-    sizes = g.select("id", F.size("grams").alias("sz"))
+    if not prefix_filter:
+        # Single pass: sz rides along through the explode so the gram UDF
+        # evaluates once and no size joins are needed after the pair count
+        # (sz is functionally dependent on id — free as a groupBy key).
+        inv = g.select(
+            "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+        )
+        a, b = inv.alias("a"), inv.alias("b")
+        return (
+            a.join(b, "gram")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sz").alias("sz_a"),
+                F.col("b.sz").alias("sz_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+                >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+
     inv = g.select("id", F.explode("grams").alias("gram"))
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
+    freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # grams per doc re-assembled in (df, gram) ascending order; persisted —
+    # reused by the prefix explode and twice by the verify join.
+    ordered = (
+        inv.join(freq, "gram")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("og"))
+        .select(
+            "id",
+            F.col("og").getField("gram").alias("grams"),
+            F.size("og").alias("sz"),
+        )
+        .persist()
+    )
+    # ⌈t·sz⌉ with an epsilon so float noise can't round 7.0 up to 8 and
+    # shorten the prefix (a too-short prefix loses exactness; one token
+    # extra only costs candidates).
+    prefix_len = (
+        F.col("sz") - F.ceil(threshold * F.col("sz") - 1e-9) + 1
+    ).cast("int")
+    pre = ordered.select(
+        "id", "sz", F.explode(F.slice("grams", F.lit(1), prefix_len)).alias("gram")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    candidates = (
         a.join(b, "gram")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        # size filter: Jaccard ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
         .filter(
-            F.col("shared")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+            F.least("a.sz", "b.sz")
+            >= threshold * F.greatest("a.sz", "b.sz") - 1e-9
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = ordered.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = ordered.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(
+            F.size(F.array_intersect("grams_a", "grams_b"))
+            / F.size(F.array_union("grams_a", "grams_b"))
             >= threshold
         )
         .select("id_a", "id_b")

@@ -75,9 +75,19 @@ WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
 
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs ≥ 0.35."""
+    """Exact word-3-gram Jaccard pairs ≥ 0.35.
+
+    prefix_filter=False here: at t=0.35 the PPJoin prefix is ~65% of each
+    doc's grams, so on this short-posting-list corpus the naive
+    inverted-index count (one gram shuffle + one pair groupBy, no verify
+    join) wins; the prefix path is the high-threshold / hot-gram scale
+    path (see operators/dedup.py and tests' exact-equivalence check).
+    """
     return ngram_jaccard_pairs(
-        read_fixture(spark, sf_dir, "documents"), n=3, threshold=0.35
+        read_fixture(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.35,
+        prefix_filter=False,
     )
 
 
