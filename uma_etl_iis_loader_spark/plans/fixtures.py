@@ -37,7 +37,9 @@ def fixture_schedule_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ supplier → SCHEDULE_EVENTS-shaped rows
     (one per order, rooms = that order's suppliers)."""
     li = read_fixture(spark, sf_dir, "lineitem")
-    orders = read_fixture(spark, sf_dir, "orders")
+    # orders is only ever the build side of a broadcast join here — a
+    # pre-broadcast repartition would be pure wasted shuffle
+    orders = read_fixture(spark, sf_dir, "orders", split=False)
     customer = read_fixture(spark, sf_dir, "customer")
     supplier = read_fixture(spark, sf_dir, "supplier")
 

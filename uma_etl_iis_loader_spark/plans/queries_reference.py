@@ -942,3 +942,94 @@ def q_set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = f.intersect(o).withColumn("bucket", F.lit("both"))
     f_only = f.subtract(o).withColumn("bucket", F.lit("f_only"))
     return both.unionByName(f_only)
+
+
+# ---------------------------------------------------------------------------
+# engine breadth: window frame functions / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+_WINDOW_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_lag_running_total", _WINDOW_LAG_ORACLE)
+def q_window_lag_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + cumulative-sum window frames per customer order history
+    (deterministic (date, key) sort — running float sums are
+    order-sensitive, so the frame order must be total)."""
+    from pyspark.sql.window import Window
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_order_totals", _CUBE_ORACLE)
+def q_cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (Spark expands to an internal grouping-id union, one shuffle)."""
+    orders = read_fixture(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(strftime(o_orderdate, '%Y'), '<all>') AS order_year,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (strftime(o_orderdate, '%Y')))
+"""
+
+
+@register("grouping_sets_status_year", _GROUPING_SETS_ORACLE)
+def q_grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (per-status totals ∪
+    per-year totals, one shuffle — the hand-rolled alternative is two
+    aggregations plus a union that re-scans the input)."""
+    orders = read_fixture(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(order_year, '<all>') AS order_year,
+               count(*) AS n_orders
+        FROM (SELECT o_orderstatus, date_format(o_orderdate, 'yyyy') AS order_year
+              FROM orders_gs)
+        GROUP BY GROUPING SETS ((o_orderstatus), (order_year))
+        """
+    )
