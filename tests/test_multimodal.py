@@ -42,3 +42,17 @@ def test_frame_sample_bounds(spark, sf_dir):
         assert 1 <= len(rows) <= 8
         assert all(len(r.frame) <= 64 for r in rows)
         assert sorted(r.frame_idx for r in rows) == list(range(len(rows)))
+
+
+def test_resize_images_shape_and_determinism(spark, sf_dir):
+    from uma_etl_iis_loader_spark.operators.multimodal import resize_images
+
+    a = resize_images(_assets(spark, sf_dir), target_w=8, target_h=4).collect()
+    b = resize_images(_assets(spark, sf_dir), target_w=8, target_h=4).collect()
+    assert len(a) > 0
+    for r in a:
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.payload) == 32  # stride stub emits exactly w*h bytes
+    assert {(r.asset_id, bytes(r.payload)) for r in a} == {
+        (r.asset_id, bytes(r.payload)) for r in b
+    }

@@ -38,3 +38,24 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     # map-side combine: HashAggregate appears below the exchange
     plan = _plan(spark, "agg_pricing_summary", sf_dir)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_cube_and_grouping_sets_single_shuffle(spark, sf_dir):
+    # Expand + one aggregation exchange — NOT one scan/shuffle per grouping
+    for name in ("cube_order_totals", "grouping_sets_status_year"):
+        plan = _plan(spark, name, sf_dir)
+        assert "Expand" in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
+def test_window_sorts_within_single_partition_exchange(spark, sf_dir):
+    # lag + running sum share one window spec → one shuffle, one sort
+    plan = _plan(spark, "window_lag_running_total", sf_dir)
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

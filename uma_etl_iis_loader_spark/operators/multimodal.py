@@ -139,6 +139,50 @@ def frame_sample(assets: DataFrame, frame_bytes: int = 1024, max_frames: int = 8
     )
 
 
+def resize_images(
+    assets: DataFrame, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Image resize kernel: (asset_id, width, height, payload) with the
+    payload re-encoded at target dimensions.
+
+    With a codec (PIL) present this is a real `Image.resize`; in this
+    container it falls back to a deterministic byte-stride downsample —
+    payload strided to exactly target_w*target_h bytes (cycled when the
+    source is smaller) — so the Spark plumbing (binary in/out through
+    Arrow, metadata column rewrite, per-partition batching) is identical
+    to production and fully testable.
+    """
+    pillow = _try_import_pillow()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                buf = r["payload"] or b""
+                if pillow is not None:
+                    import io as _io
+
+                    img = pillow.open(_io.BytesIO(buf)).resize((target_w, target_h))
+                    sink = _io.BytesIO()
+                    img.save(sink, format="PNG")
+                    resized = sink.getvalue()
+                elif len(buf) == 0:
+                    resized = b"\x00" * n_out
+                else:
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                    idx = (np.arange(n_out) * len(arr) // n_out) % len(arr)
+                    resized = arr[idx].tobytes()
+                out.append((r["asset_id"], target_w, target_h, resized))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "width", "height", "payload"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        resize, "asset_id long, width int, height int, payload binary"
+    )
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adaptor: treat the documents fixture's text bytes as opaque media
     payloads so the multimodal plumbing is testable on driver data."""

@@ -307,6 +307,28 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(assets).select("asset_id", "frame_idx")
 
 
+_RESIZE_ORACLE = """
+SELECT doc_id AS asset_id, 16 AS width, 16 AS height, 256 AS n_bytes
+FROM documents
+"""
+
+
+@register("multimodal_resize", _RESIZE_ORACLE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel metadata surface (payload bytes themselves are
+    codec-stubbed — determinism and byte shape pinned in pytest; the
+    oracle checks coverage: one row per asset at the target dims)."""
+    from ..operators.multimodal import documents_as_assets, resize_images
+
+    assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
+    return resize_images(assets, target_w=16, target_h=16).select(
+        "asset_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming pipelines (batch face — identical plan via the unified API;
 # incremental equivalence is pytest-checked in tests/test_streaming.py)
