@@ -126,3 +126,57 @@ def test_shred_pipeline_runs_on_a_stream(spark):
     rows = spark.sql("SELECT * FROM shredded").collect()
     assert len(rows) == 1
     assert rows[0].subject == "Матан" and rows[0].day_of_week == 2
+
+
+def test_watermark_drops_late_rows(spark):
+    """Append-mode watermark semantics across restarts of a checkpointed
+    file stream: once a window is finalized past the watermark, a late row
+    for it must be DROPPED — never re-emitted, never double-counted."""
+    from datetime import datetime
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    sink = tempfile.mkdtemp(prefix="late_sink_")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        # parquet sink: append-only and checkpoint-recoverable (the memory
+        # sink cannot resume from a checkpoint)
+        agg = windowed_event_counts(
+            read_events_stream(spark, src), window="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    land([(1, t(10, 15), 1, "click", 1.0, None), (2, t(13, 30), 1, "click", 1.0, None)])
+    run()
+    # late row for the finalized 10:00 window + a fresh row advancing time
+    land([(3, t(10, 20), 1, "click", 1.0, None), (4, t(15, 30), 1, "click", 1.0, None)])
+    run()
+    # one more advance so 13:00/15:00 can finalize too
+    land([(5, t(18, 0), 1, "click", 1.0, None)])
+    run()
+
+    by_window = {}
+    for r in spark.read.parquet(sink).collect():
+        by_window.setdefault(r.window_start, []).append(r.n_events)
+    # the 10:00 window was emitted exactly once, WITHOUT the late event 3
+    assert by_window[t(10, 0)] == [1]
+    # sanity: later windows did finalize through the checkpointed restarts
+    assert by_window[t(13, 0)] == [1] and by_window[t(15, 0)] == [1]
