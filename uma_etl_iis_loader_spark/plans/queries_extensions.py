@@ -567,10 +567,12 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CENTROID_ORACLE = """
 WITH un AS (
-    SELECT label, t.i - 1 AS idx, embedding[t.i] AS v
+    SELECT label, t.i - 1 AS idx,
+           CAST(embedding[t.i] AS DECIMAL(12,6)) AS v
     FROM embeddings, range(1, 65) AS t(i)
 ), dims AS (
-    SELECT label, idx, round(avg(CAST(v AS DOUBLE)), 4) AS m
+    SELECT label, idx,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 4) + 0 AS m
     FROM un GROUP BY 1, 2
 )
 SELECT label, array_agg(m ORDER BY idx) AS centroid
@@ -581,12 +583,30 @@ FROM dims GROUP BY label
 @register("embedding_label_centroids", _CENTROID_ORACLE)
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid: posexplode → per-dimension mean → re-assemble
-    ordered. The distributed form of a k-means update step."""
+    ordered. The distributed form of a k-means update step.
+
+    Mean is computed as exact-decimal sum ÷ count (one double division at
+    the end): plain double `avg` is summation-order-sensitive, and with
+    few rows per label the last-bit noise can flip `round(.., 4)` across
+    engines. Quantizing each element to decimal(12,6) first makes the sum
+    a single exact rational on both sides. The `+ 0` normalizes IEEE
+    signed zero (DuckDB rounds -0.00001 to -0.0, Spark to +0.0 — equal
+    numerically but not byte-wise for a hash comparator).
+    """
     emb = read_fixture(spark, sf_dir, "embeddings")
     dims = (
         emb.select("label", F.posexplode("embedding").alias("idx", "v"))
         .groupBy("label", "idx")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("m"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("v").cast("decimal(12,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("m")
+        )
     )
     return dims.groupBy("label").agg(
         F.array_sort(

@@ -848,7 +848,7 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_ORACLE = """
 SELECT coalesce(r_name, '<all>') AS region,
        coalesce(n_name, '<all>') AS nation,
-       round(sum(c_acctbal), 2) AS total_bal,
+       round(sum(c_acctbal), 2) + 0 AS total_bal,
        count(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -870,7 +870,9 @@ def q_rollup_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            # + 0 normalizes IEEE -0.0 (a negative-balance group summing to
+            # ~0 rounds to -0.0 in one engine and +0.0 in the other)
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .select(
