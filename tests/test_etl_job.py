@@ -53,7 +53,7 @@ API = {
                 "subject": "ООП",
                 "startLessonTime": "9:00", "endLessonTime": "10:20",
                 "weekNumber": [1, 3], "numSubgroup": 0,
-                "auditories": [{"id": 501, "name": "311-4"}],
+                "auditories": [{"id": 501, "name": "311-4 к."}],
                 "employees": [{"firstName": "Иван", "lastName": "Петров",
                                "middleName": None, "urlId": "ip"}],
                 "studentGroups": [{"name": "253501", "numberOfStudents": 27}],
@@ -92,10 +92,12 @@ def test_run_etl_end_to_end(spark):
     depts = {d.id for d in out["departments"].collect()}
     assert depts == {10, 20}
     auds = {a.id: a for a in out["auditories"].collect()}
-    assert auds[501].name == "311-4"
+    assert auds[501].name == "311-4 к."
     assert auds[501].department_id == 20
     assert auds[502].department_id is None
-    assert auds[502].name == "100-5"  # building already embedded → no suffix
+    # reference semantics: containment checks the FULL "5 к." string, so
+    # the bare "-5" tail does NOT suppress the suffix (logic.py:233-236)
+    assert auds[502].name == "100-5-5 к."
 
     # shred + quarantine
     assert [r.entity_name for r in out["schedule_quarantine"].collect()] == ["broken"]
@@ -109,3 +111,32 @@ def test_run_etl_end_to_end(spark):
     assert {o.week_number for o in occ} == {1, 3}
     assert all(o.auditory_id == 501 for o in occ)
     assert all(o.day_of_week == "Понедельник" for o in occ)
+
+
+def test_employee_links_delete_then_reinsert(spark):
+    """iis_etl/logic.py:197: an employee appearing in the batch gets their
+    OLD bridge links dropped before the fresh set is inserted; employees
+    outside the batch keep theirs."""
+    from uma_etl_iis_loader_spark.plans.etl_job import sync_employees
+    from uma_etl_iis_loader_spark.schemas import (
+        DEPARTMENTS,
+        DEPARTMENTS_EMPLOYEES,
+        EMPLOYEES,
+    )
+
+    dim = spark.createDataFrame([], EMPLOYEES)
+    departments = spark.createDataFrame(
+        [(10, "Информатика", "inf", "10"), (11, "Физика", "phy", "11")],
+        DEPARTMENTS,
+    )
+    bridge = spark.createDataFrame(
+        [(11, 7), (10, 99)], DEPARTMENTS_EMPLOYEES  # 7: stale; 99: untouched
+    )
+    payload = [
+        {"id": 7, "firstName": "Иван", "lastName": "Петров", "urlId": "ip",
+         # dict-shaped entry resolves via name-else-abbrev (logic.py:202-206)
+         "academicDepartment": [{"name": None, "abbrev": "inf"}]},
+    ]
+    _, bridge_next = sync_employees(spark, dim, bridge, departments, payload)
+    got = {(b.department_id, b.employee_id) for b in bridge_next.collect()}
+    assert got == {(10, 7), (10, 99)}  # (11,7) deleted, (10,99) kept

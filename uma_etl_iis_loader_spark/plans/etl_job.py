@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.normalize import py_or_str, truncate
+from ..functions.normalize import py_or_str
 from ..operators.joins import (
     fk_repair_placeholders,
     normalized_lookup,
@@ -71,15 +71,15 @@ def sync_faculties(spark: SparkSession, dim: DataFrame, payload: list[dict]) -> 
 
 
 def sync_departments(spark: SparkSession, dim: DataFrame, payload: list[dict]) -> DataFrame:
-    """M3 (`iis_etl/logic.py:85-96`): url_id set on insert, NOT updated;
-    abbr truncated to 50 chars (`iis_etl/logic.py:91`)."""
-    rows = [
-        (int(p["id"]), p.get("name"), p.get("abbrev"), p.get("urlId"))
-        for p in payload
-    ]
-    incoming = spark.createDataFrame(rows, DEPARTMENTS).withColumn(
-        "abbr", truncate(F.col("abbr"), 50)
-    )
+    """M3 (`iis_etl/logic.py:85-96`): name falls back to nameAbbrev; abbr
+    falls back to name[:50] (a PROVIDED abbrev is kept untruncated,
+    logic.py:91); url_id = str(id) on insert, NOT updated."""
+    rows = []
+    for p in payload:
+        name = p.get("name") or p.get("nameAbbrev")
+        abbr = p.get("abbrev") or (name[:50] if name else None)
+        rows.append((int(p["id"]), name, abbr, str(p.get("id"))))
+    incoming = spark.createDataFrame(rows, DEPARTMENTS)
     return merge_upsert(dim, incoming, ["id"], update_cols=["name", "abbr"])
 
 
@@ -176,7 +176,18 @@ def sync_employees(
     """M5 + J3 + M8 (`iis_etl/logic.py:174-214`): employees with NULL
     urlId skipped; update set is only rank/degree/url_id; the
     departments_employees bridge resolves the employee's academicDepartment
-    strings against dept name OR abbr (lower+trim)."""
+    entries (strings, or dicts via name-else-abbrev, logic.py:202-206)
+    against dept name OR abbr (lower+trim). Links are delete+reinsert per
+    batch employee (logic.py:197): an employee's stale links are dropped,
+    employees outside the batch keep theirs."""
+
+    def _dept_ref(d):
+        if isinstance(d, str):
+            return d
+        if isinstance(d, dict):
+            return d.get("name") or d.get("abbrev")
+        return None
+
     rows = [
         (
             int(p["id"]),
@@ -188,7 +199,7 @@ def sync_employees(
             p.get("photoLink"),
             p.get("calendarId"),
             p.get("urlId"),
-            p.get("academicDepartment") or [],
+            [r for r in map(_dept_ref, p.get("academicDepartment") or []) if r],
         )
         for p in payload
     ]
@@ -219,7 +230,12 @@ def sync_employees(
         .select("department_id", "employee_id")
         .dropDuplicates()  # A4, iis_etl/logic.py:199-210
     )
-    bridge_next = insert_if_absent(bridge, links, ["department_id", "employee_id"])
+    # delete+reinsert per batch employee (iis_etl/logic.py:197): anti-join
+    # out every batch employee's old links, then add the fresh set
+    batch_ids = incoming_all.select(F.col("id").alias("employee_id"))
+    bridge_next = bridge.join(
+        F.broadcast(batch_ids), "employee_id", "left_anti"
+    ).unionByName(links.select(*bridge.columns))
     return merged, bridge_next
 
 
@@ -239,10 +255,13 @@ def sync_auditories(
         build = (p.get("buildingNumber") or {}).get("name") or (
             f"{p['buildingNumberId']} к." if p.get("buildingNumberId") else ""
         )
-        # iis_etl/logic.py:230-236: suffix building unless already embedded
+        # iis_etl/logic.py:230-236: append the building suffix (incl. its
+        # " к." marker) unless the raw name already embeds it verbatim —
+        # the reference compares the FULL build string, so "100-5" with
+        # building 5 still gets "-5 к." appended
         name = (
-            f"{raw_name}-{build.replace(' к.', '')}"
-            if build and build.replace(" к.", "") not in raw_name
+            f"{raw_name}-{build}"
+            if build and build not in raw_name
             else raw_name
         )
         dept = p.get("department") or {}
