@@ -99,7 +99,11 @@ def test_shred_semantics(spark):
     assert ok.week_numbers == [1, 3]
     assert ok.auditories == ["311-4", "202"]  # dict-name, fallback str(id)
     assert ok.subgroup == 1
-    assert "Петров Иван" in ok.search_text  # fio: "Last First"
+    # search matches the PERSISTED reference vector (subject/full/entity/
+    # rooms only — logic.py:394-404; its people-bearing search_parts list
+    # is dead code and never stored)
+    assert "Петров" not in ok.search_text
+    assert "253501" in ok.search_text
     assert "311" in ok.search_tokens and "ооп" in ok.search_tokens
 
     empt = events[("Без названия", 3)]
@@ -108,8 +112,9 @@ def test_shred_semantics(spark):
     assert empt.subgroup == 0
 
     exam = events[("Экзамен", None)]
-    assert exam.start_time == 0  # invalid exam time → 00:00, kept
-    assert exam.end_time == 10 * 3600
+    # pairwise reset (logic.py:366-370): ONE bad time zeroes BOTH, row kept
+    assert exam.start_time == 0
+    assert exam.end_time == 0
     assert exam.exact_date == dt.date(2024, 6, 15)
     assert exam.week_numbers == []
 

@@ -92,10 +92,12 @@ def default_weeks(weeks: Column) -> Column:
 
 def auditory_names(auds: Column) -> Column:
     """Heterogeneous auditory entries → clean name strings (X5,
-    iis_etl/logic.py:23-34): prefer ``name``, fall back to ``str(id)``,
-    drop null/empty results."""
+    iis_etl/logic.py:23-34): prefer ``name``, fall back to ``str(id)``
+    with Python-`or` semantics (an EMPTY name also falls through,
+    `a.get('name') or str(a.get('id',''))`), drop null/empty results."""
     named = F.transform(
-        auds, lambda a: F.coalesce(a["name"], a["id"].cast("string"))
+        auds,
+        lambda a: F.coalesce(F.nullif(a["name"], F.lit("")), a["id"].cast("string")),
     )
     return F.filter(named, lambda x: x.isNotNull() & (x != ""))
 

@@ -37,7 +37,6 @@ from ..functions.normalize import (
     auditory_names,
     day_int_expr,
     default_weeks,
-    fio,
     py_or_str,
 )
 from ..functions.text import search_text, tokenize
@@ -90,30 +89,34 @@ def _common_columns(df: DataFrame, default_subject: str) -> DataFrame:
             "subject_full", py_or_str(F.col("lesson.subjectFullName"), F.col("subject"))
         )
         .withColumn("auditories", auditory_names(F.col("lesson.auditories")))
-        .withColumn("related_groups", F.col("lesson.studentGroups"))
-        .withColumn("related_employees", F.col("lesson.employees"))
+        # reference stores [] when the key is missing (`.get(x, [])`,
+        # iis_etl/logic.py:357-358); from_json gives NULL → normalize
+        .withColumn(
+            "related_groups",
+            F.coalesce(F.col("lesson.studentGroups"), F.array()),
+        )
+        .withColumn(
+            "related_employees",
+            F.coalesce(F.col("lesson.employees"), F.array()),
+        )
+        # `.get('numSubgroup', 0)`: missing → 0. (An EXPLICIT null stays
+        # NULL in the reference; from_json can't distinguish the two, so
+        # both map to 0 here — documented deviation.)
         .withColumn("subgroup", F.coalesce(F.col("lesson.numSubgroup"), F.lit(0)))
     )
 
 
 def _with_search(df: DataFrame) -> DataFrame:
-    """X10: search_text = subject + full name + entity + rooms + people
-    (employee names for group docs, group names for employee docs,
-    `iis_etl/logic.py:344-348,394-404`)."""
-    people = F.when(
-        F.col("entity_type") == "group",
-        F.array_join(fio(F.col("related_employees")), " "),
-    ).otherwise(
-        F.array_join(
-            F.transform(F.col("related_groups"), lambda g: g["name"]), " "
-        )
-    )
+    """X10: search_text = subject + full name + entity + rooms — exactly
+    the columns the reference's stored search_vector uses
+    (`iis_etl/logic.py:394-404`). NB the reference also builds a
+    `search_parts` list with employee/group names (logic.py:344-348) but
+    never stores it — dead code; we match the PERSISTED behavior."""
     txt = search_text(
         F.col("subject"),
         F.col("subject_full"),
         F.col("entity_name"),
         F.array_join(F.col("auditories"), " "),
-        people,
     )
     return df.withColumn("search_text", txt).withColumn(
         "search_tokens", tokenize(F.col("search_text"))
@@ -154,15 +157,22 @@ def shred_schedule_docs(docs: DataFrame) -> DataFrame:
         .withColumn("exact_date", parse_ddmmyyyy(F.col("lesson.dateLesson")))
         # X8: unparseable exam date → exam skipped
         .filter(F.col("exact_date").isNotNull())
-        # X7 exam asymmetry: invalid time → 00:00
+        # X7 exam asymmetry: invalid time → 00:00, PAIRWISE — the
+        # reference's except block resets BOTH times when either fails
+        # (`iis_etl/logic.py:366-370`), so a valid start with a bad end
+        # still becomes 00:00/00:00
+        .withColumn("__s", hhmm_to_seconds(F.col("lesson.startLessonTime")))
+        .withColumn("__e", hhmm_to_seconds(F.col("lesson.endLessonTime")))
         .withColumn(
-            "start_time",
-            F.coalesce(hhmm_to_seconds(F.col("lesson.startLessonTime")), F.lit(0)),
+            "__ok", F.col("__s").isNotNull() & F.col("__e").isNotNull()
         )
         .withColumn(
-            "end_time",
-            F.coalesce(hhmm_to_seconds(F.col("lesson.endLessonTime")), F.lit(0)),
+            "start_time", F.when(F.col("__ok"), F.col("__s")).otherwise(F.lit(0))
         )
+        .withColumn(
+            "end_time", F.when(F.col("__ok"), F.col("__e")).otherwise(F.lit(0))
+        )
+        .drop("__s", "__e", "__ok")
         .withColumn("day_of_week", F.lit(None).cast("int"))
         .withColumn("week_numbers", F.array().cast("array<int>"))
     )

@@ -614,7 +614,7 @@ WITH docs AS (
 )
 SELECT l_orderkey,
        list_sort(list_distinct(list_filter(
-           list_transform(auds, a -> COALESCE(a.name, CAST(a.id AS VARCHAR))),
+           list_transform(auds, a -> COALESCE(nullif(a.name, ''), CAST(a.id AS VARCHAR))),
            x -> x IS NOT NULL AND x <> ''))) AS aud_names
 FROM docs
 """
