@@ -145,8 +145,8 @@ def sync_student_groups(
             p.get("course"),
             p.get("specialityDepartmentEducationFormId"),
             p.get("calendarId"),
-            p.get("educationDegree", 1),
-            p.get("numberOfStudents", 0),
+            p.get("educationDegree", 1),  # default 1, iis_etl/logic.py:144
+            p.get("numberOfStudents"),  # NO default — missing stays NULL
         )
         for p in payload
     ]
