@@ -401,6 +401,25 @@ def q_stream_kv_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_kv_latest(read_fixture(spark, sf_dir, "events"))
 
 
+_STREAM_DEDUP_ORACLE = """
+SELECT user_id, event_type, min(event_id) AS first_event_id
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_dedup_events", _STREAM_DEDUP_ORACLE)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup's batch face, made deterministic for
+    the oracle: first arrival per (user_id, event_type) — plain
+    dropDuplicates keeps an arbitrary row, so pick min(event_id) as the
+    canonical survivor (streaming/pipeline.streaming_dedup keeps
+    first-seen within the watermark horizon)."""
+    ev = read_fixture(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # composed curation pipeline: quality gate + language gate + exact dedup
 # (the canonical pre-training data filter, end to end in one plan)
