@@ -20,3 +20,35 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
     assert len(got) > 0
     for r in got:
         assert abs(r.approx - r.exact) / r.exact <= 0.06  # 3x rsd margin
+
+
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    """GK sketch at accuracy=10000 → rank error ≤ 1/10000; on 10k-ish rows
+    the approx quantile must sit within a few exact order statistics."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.plans.registry import QUERIES
+
+    got = {
+        r.event_type: list(r.value_quantiles)
+        for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()
+    }
+    # rank-based criterion (the GK guarantee IS a rank bound; a value band
+    # misbehaves at tail quantiles of small groups): the fraction of group
+    # values ≤ approx must sit within rank_error + one order statistic of
+    # the target quantile
+    vals = {
+        r.event_type: sorted(v for v in r.vs)
+        for r in read_fixture(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for et, approx in got.items():
+        xs = vals[et]
+        n = len(xs)
+        for q, a in zip([0.5, 0.95, 0.99], approx):
+            rank = sum(1 for x in xs if x <= a) / n
+            tol = 1 / 10000 + 1.5 / n
+            assert q - tol <= rank <= q + tol, (et, q, a, rank, n)

@@ -584,6 +584,22 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_quantiles_value")
+def q_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles of event value per type
+    (rows-only: the sketch is engine-specific; tests/test_approx.py pins
+    the rank-error bound vs the exact percentiles). The single-pass
+    mergeable-sketch shape is the 100 TB path — exact percentiles need a
+    full sort per group."""
+    events = read_fixture(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+        ).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 _CENTROID_ORACLE = """
 WITH un AS (
     SELECT label, t.i - 1 AS idx,
