@@ -52,3 +52,21 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
             rank = sum(1 for x in xs if x <= a) / n
             tol = 1 / 10000 + 1.5 / n
             assert q - tol <= rank <= q + tol, (et, q, a, rank, n)
+
+
+def test_freq_items_no_false_negatives(spark, sf_dir):
+    """KPS sketch guarantee: every item with frequency ≥ support MUST be
+    in the result (false positives allowed, false negatives not)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.plans.registry import QUERIES
+
+    got = set(QUERIES["freq_items_users"](spark, sf_dir).collect()[0].frequent_users)
+    events = read_fixture(spark, sf_dir, "events")
+    n = events.count()
+    truly = {
+        r.user_id
+        for r in events.groupBy("user_id").count().filter(F.col("count") >= 0.05 * n).collect()
+    }
+    assert truly <= got

@@ -600,6 +600,20 @@ def q_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("freq_items_users")
+def q_freq_items_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Papadimitriou-Shenker frequent-items sketch over user_id
+    (rows-only: the sketch may include false positives by design; the
+    no-false-NEGATIVES guarantee — every user with ≥5% of events appears —
+    is asserted in tests/test_approx.py). Single-pass, mergeable, no
+    shuffle of the raw stream: the heavy-hitters shape for 100 TB logs."""
+    events = read_fixture(spark, sf_dir, "events")
+    out = events.select("user_id").stat.freqItems(["user_id"], support=0.05)
+    return out.select(
+        F.array_sort(F.col("user_id_freqItems")).alias("frequent_users")
+    )
+
+
 _CENTROID_ORACLE = """
 WITH un AS (
     SELECT label, t.i - 1 AS idx,
