@@ -1,0 +1,51 @@
+"""Sampling operators: rate bounds, determinism, split stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uma_etl_iis_loader_spark.io import read_fixture
+from uma_etl_iis_loader_spark.operators.sampling import (
+    deterministic_split,
+    stratified_sample,
+)
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    a = stratified_sample(docs, "lang", fractions, seed=7).collect()
+    b = stratified_sample(docs, "lang", fractions, seed=7).collect()
+    # same seed + same partitioning → identical sample
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {}
+    for r in a:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got.get("de") == totals["de"]  # fraction 1.0 keeps everything
+    assert "zh" not in got  # fraction 0.0 drops everything
+    assert "fr" not in got  # stratum absent from dict → dropped
+    # Bernoulli(0.5): 4-sigma binomial band
+    n, p = totals["en"], 0.5
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(got.get("en", 0) - n * p) <= 4 * sigma
+
+
+def test_deterministic_split_stability(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_split(docs, "doc_id")
+    frac = {
+        r.split: r["count"] for r in out.groupBy("split").count().collect()
+    }
+    n = sum(frac.values())
+    assert 0.85 <= frac["train"] / n <= 0.95
+    # repartition-stable: assignment is a pure function of the id
+    shuffled = deterministic_split(docs.repartition(7), "doc_id")
+    assert {
+        (r.doc_id, r.split) for r in shuffled.collect()
+    } == {(r.doc_id, r.split) for r in out.collect()}
+    # append-stable: a subset's rows keep their split in the full corpus
+    subset = deterministic_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
+    full_map = {r.doc_id: r.split for r in out.collect()}
+    assert all(full_map[r.doc_id] == r.split for r in subset.collect())

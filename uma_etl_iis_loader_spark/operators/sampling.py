@@ -1,0 +1,71 @@
+"""Sampling operators for training-data pipelines.
+
+Two tiers:
+
+- ``stratified_sample`` — seeded per-stratum Bernoulli sampling
+  (``sampleBy``): the map-side, shuffle-free way to downsample a corpus
+  while controlling per-class rates. Sampling decisions are per-row PRNG
+  draws — deterministic for a fixed seed AND fixed partitioning, but not
+  reproducible across engines (rows-only driver check; rate/determinism
+  bounds pinned in tests/test_sampling.py).
+
+- ``deterministic_split`` — train/val/test assignment by Knuth
+  multiplicative hashing of a stable id: bucket = ((id * 2654435761)
+  mod 2^32) mod ``buckets``, then cumulative-weight thresholds. Pure
+  integer arithmetic → identical in any engine (exact DuckDB oracle),
+  stable under repartitioning and incremental appends — the property
+  that matters at 100 TB: a document's split NEVER changes when the
+  corpus grows, so train/test contamination can't creep in across
+  pipeline runs. Zero shuffles: one narrow projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (2^32 / phi)
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: keep ~fractions[v] of rows whose
+    ``strata_col`` equals v (strata absent from the dict are dropped,
+    matching ``sampleBy`` semantics)."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def split_bucket(id_col, buckets: int = 10000):
+    """Deterministic hash bucket 0..buckets-1 from an integer id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c * F.lit(_KNUTH), F.lit(_M32)), F.lit(buckets))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Append a ``split`` column ('train'/'val'/... per ``weights``,
+    default 90/5/5) assigned by hash bucket — engine-independent,
+    repartition-stable, append-stable."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    b = split_bucket(id_col, buckets)
+    acc = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

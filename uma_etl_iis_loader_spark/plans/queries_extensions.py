@@ -600,6 +600,41 @@ def q_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+             ((doc_id * 2654435761) % 4294967296) % 10000 AS b
+      FROM documents)
+"""
+
+
+@register("train_test_split", _SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split by Knuth multiplicative hashing
+    of doc_id — engine-independent integer arithmetic (exact oracle),
+    stable under repartitioning and corpus appends (no PRNG state, no
+    train/test contamination across pipeline runs)."""
+    from ..operators.sampling import deterministic_split
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_split(docs, "doc_id")
+
+
+@register("stratified_sample_docs")
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-language Bernoulli sample (rows-only: per-row PRNG draws
+    are engine-specific; rate and determinism bounds pinned in
+    tests/test_sampling.py)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.25}
+    return stratified_sample(docs, "lang", fractions, seed=42)
+
+
 @register("freq_items_users")
 def q_freq_items_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Karp-Papadimitriou-Shenker frequent-items sketch over user_id
