@@ -45,3 +45,23 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # nprobe/nlist = 0.5 of the corpus scanned → decent recall floor
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_srp_lsh_recall_vs_brute_force(spark, sf_dir):
+    from uma_etl_iis_loader_spark.operators.similarity import srp_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_lsh_topk(emb, q, k=10, n_bits=16, bands=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 2-bit bands × 8: p(≥1 band) ≈ 1-(1-(1-θ/π)²)⁸ — measured 0.965 here
+    assert recall >= 0.85, f"SRP-LSH recall too low: {recall:.2f}"
+    # a query always collides with itself (identical signature)
+    assert all((qq, qq) in approx for qq in {r.query_id for r in q.collect()})

@@ -172,3 +172,95 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _srp_bands(df: DataFrame, planes, key_out: str, id_col: str, vec_col: str, bands: int):
+    """(id, band, chunk) signature rows via one mapInPandas matrix kernel.
+
+    ``planes`` is the seeded (n_bits × d) hyperplane matrix shipped in the
+    closure; chunk packs each band's sign bits into an int. One narrow
+    map — no shuffle, no training pass (the hash family is
+    data-independent, unlike IVF centroids).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_bits = planes.shape[0]
+    width = n_bits // bands
+    weights = (1 << np.arange(width, dtype=np.int64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (vm @ planes.T) >= 0  # (batch, n_bits)
+            out_id = np.repeat(ids, bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int32), len(ids))
+            chunks = np.stack(
+                [bits[:, b * width : (b + 1) * width] @ weights for b in range(bands)]
+            ).T.ravel()
+            yield pd.DataFrame(
+                {key_out: out_id, "band": out_band, "chunk": chunks}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{key_out} long, band int, chunk long"
+    )
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via signed-random-projection LSH (Charikar'02):
+    signature = sign bits of ``n_bits`` seeded random hyperplanes, banded;
+    a corpus row is a candidate iff it shares ≥1 band chunk with the
+    query; exact cosine scores the candidates.
+
+    vs ``ivf_topk``: no centroid build pass and no data-dependent state —
+    ingest-side signatures are a pure map, so the index survives arbitrary
+    appends unchanged; the trade is weaker pruning on low-similarity
+    neighborhoods (collision probability (1-θ/π)^width per band).
+    """
+    import numpy as np
+
+    # seeded, data-independent hyperplanes; d inferred from one row
+    d = len(corpus.select(vec_col).first()[0])
+    planes = np.random.default_rng(seed).standard_normal((n_bits, d))
+
+    c_sig = _srp_bands(corpus, planes, "neighbor_id", id_col, vec_col, bands)
+    q_sig = _srp_bands(queries, planes, "query_id", query_id_col, vec_col, bands)
+    candidates = (
+        q_sig.join(c_sig, ["band", "chunk"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine_arrow(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

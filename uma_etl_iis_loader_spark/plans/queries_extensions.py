@@ -191,6 +191,21 @@ def q_knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vectors(spark, sf_dir), k=10, nlist=16, nprobe=4)
 
 
+@register("knn_srp_lsh")
+def q_knn_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH approximate top-10 (16 bits, 8 bands
+    — band width tunes pruning vs recall; this corpus's modest
+    neighbor cosines need narrow bands for recall ≥0.9). Data-independent
+    hash family: no centroid build, append-stable index. Recall pinned in
+    pytest (no SQL oracle — approximate by design)."""
+    from ..operators.similarity import srp_lsh_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    return srp_lsh_topk(
+        emb, _query_vectors(spark, sf_dir), k=10, n_bits=16, bands=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis: token counting / quality / language / fingerprint
 # ---------------------------------------------------------------------------
