@@ -50,6 +50,20 @@ def token_count(col: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer, minus lookahead (RE2/DuckDB-compatible so the
+# oracle can run the SAME pattern): contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches — the budget
+    estimate that tracks real tokenizer counts far better than whitespace
+    splitting on punctuation-heavy or CJK-adjacent text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PATTERN))
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased string — the shingle
     set for MinHash / Jaccard dedup. Pure built-ins: substring over a

@@ -210,10 +210,17 @@ def q_knn_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis: token counting / quality / language / fingerprint
 # ---------------------------------------------------------------------------
 
+#  in a SQL literal; RE2 (DuckDB) and Java (Spark) agree on this
+# lookahead-free pattern
+_BPE_SQL_PAT = (
+    "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+)
+
 _TEXT_STATS_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
        md5({_CANON_SQL}) AS fingerprint
 FROM documents
@@ -222,11 +229,16 @@ FROM documents
 
 @register("text_stats", _TEXT_STATS_ORACLE)
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char count + canonical fingerprint."""
+    """Whitespace + BPE-ish token counts, char count, canonical
+    fingerprint — the per-document budget/dedup stats (the BPE-ish regex
+    pattern is RE2-compatible, so the oracle runs the SAME pattern)."""
+    from ..functions.text import bpe_token_count
+
     docs = read_fixture(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_computed"),
         fingerprint("text").alias("fingerprint"),
     )
