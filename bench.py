@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "knn_brute_force",
     "knn_ivf_ann",
+    "knn_srp_lsh",
     "embedding_label_centroids",
     "text_stats",
     "text_lang_id",
@@ -44,6 +45,9 @@ HEADLINE = [
     "search_tokenize",
     "curation_pipeline",
     "stream_windowed_counts",
+    "window_lag_running_total",
+    "cube_order_totals",
+    "train_test_split",
 ]
 
 
