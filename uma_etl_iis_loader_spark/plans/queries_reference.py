@@ -1020,18 +1020,23 @@ GROUP BY GROUPING SETS ((o_orderstatus), (strftime(o_orderdate, '%Y')))
 
 @register("grouping_sets_status_year", _GROUPING_SETS_ORACLE)
 def q_grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via the SQL surface (per-status totals ∪
-    per-year totals, one shuffle — the hand-rolled alternative is two
-    aggregations plus a union that re-scans the input)."""
+    """Explicit GROUPING SETS (per-status totals ∪ per-year totals in ONE
+    shuffle — the hand-rolled alternative is two aggregations plus a
+    union that re-scans the input). Native DataFrame groupingSets
+    (Spark 4), no temp-view state."""
     orders = read_fixture(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
-        SELECT coalesce(o_orderstatus, '<all>') AS status,
-               coalesce(order_year, '<all>') AS order_year,
-               count(*) AS n_orders
-        FROM (SELECT o_orderstatus, date_format(o_orderdate, 'yyyy') AS order_year
-              FROM orders_gs)
-        GROUP BY GROUPING SETS ((o_orderstatus), (order_year))
-        """
+    src = orders.select(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy").alias("order_year"),
+    )
+    return (
+        src.groupingSets(
+            [["o_orderstatus"], ["order_year"]], "o_orderstatus", "order_year"
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("order_year"), F.lit("<all>")).alias("order_year"),
+            "n_orders",
+        )
     )
