@@ -140,3 +140,42 @@ def test_employee_links_delete_then_reinsert(spark):
     _, bridge_next = sync_employees(spark, dim, bridge, departments, payload)
     got = {(b.department_id, b.employee_id) for b in bridge_next.collect()}
     assert got == {(10, 7), (10, 99)}  # (11,7) deleted, (10,99) kept
+
+
+def test_resync_same_payload_is_idempotent(spark):
+    """Running the job twice on the SAME API snapshot must be a no-op:
+    merges update to identical values, SCD2 opens no new versions and
+    closes nothing, the bridge is rebuilt identically."""
+    out1 = run_etl(spark, API, now_ts="2026-02-13 00:00:00")
+    seed = {
+        k: out1[k]
+        for k in (
+            "system_state", "faculties", "departments", "specialities",
+            "student_groups", "employees", "departments_employees",
+            "auditories",
+        )
+    }
+    out2 = run_etl(
+        spark, API, now_ts="2026-02-14 00:00:00", initial=seed
+    )
+
+    def rows(df, drop=()):
+        return sorted(
+            (
+                tuple(v for c, v in sorted(r.asDict().items()) if c not in drop)
+                for r in df.collect()
+            ),
+            key=repr,  # rows may contain NULLs — not orderable vs str
+        )
+
+    for table in ("faculties", "departments", "specialities", "employees",
+                  "departments_employees", "auditories"):
+        assert rows(out1[table]) == rows(out2[table]), table
+    # KV state: same value, refreshed timestamp only
+    assert rows(out1["system_state"], drop=("updated_at",)) == rows(
+        out2["system_state"], drop=("updated_at",)
+    )
+    # SCD2: still exactly one current version per natural id, SAME valid_from
+    g1 = rows(out1["student_groups"])
+    g2 = rows(out2["student_groups"])
+    assert g1 == g2

@@ -308,18 +308,26 @@ def run_etl(
     spark: SparkSession,
     api: dict,
     now_ts: str = "2026-02-13 00:00:00",
+    initial: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Full job DAG (`main.py:32-64`). ``api`` maps endpoint name →
     payload (lists of dicts; ``schedules`` → list of (entity_name,
-    entity_type, raw_json))."""
-    state = _empty(spark, SYSTEM_STATE)
-    faculties = _empty(spark, FACULTIES)
-    departments = _empty(spark, DEPARTMENTS)
-    specialities = _empty(spark, SPECIALITIES)
-    groups = _empty(spark, STUDENT_GROUPS)
-    employees = _empty(spark, EMPLOYEES)
-    bridge = _empty(spark, DEPARTMENTS_EMPLOYEES)
-    auditories = _empty(spark, AUDITORIES)
+    entity_type, raw_json)). ``initial`` seeds the dimension state from a
+    previous run's outputs (the incremental re-sync path — the reference
+    always starts from the live database the same way)."""
+    initial = initial or {}
+
+    def _seed(key: str, schema) -> DataFrame:
+        return initial.get(key, _empty(spark, schema))
+
+    state = _seed("system_state", SYSTEM_STATE)
+    faculties = _seed("faculties", FACULTIES)
+    departments = _seed("departments", DEPARTMENTS)
+    specialities = _seed("specialities", SPECIALITIES)
+    groups = _seed("student_groups", STUDENT_GROUPS)
+    employees = _seed("employees", EMPLOYEES)
+    bridge = _seed("departments_employees", DEPARTMENTS_EMPLOYEES)
+    auditories = _seed("auditories", AUDITORIES)
 
     # Phase 1 — dimensions, strictly ordered (main.py:40-47)
     state = sync_system_state(
