@@ -179,3 +179,39 @@ def test_resync_same_payload_is_idempotent(spark):
     g1 = rows(out1["student_groups"])
     g2 = rows(out2["student_groups"])
     assert g1 == g2
+
+
+def test_resync_with_changes_transitions_scd2(spark):
+    """Second sync with a changed snapshot: a type-2 attribute change
+    closes the old group version and opens a new one; a dimension rename
+    merges in place (no versioning)."""
+    import copy
+
+    t1, t2 = "2026-02-13 00:00:00", "2026-02-20 00:00:00"
+    out1 = run_etl(spark, API, now_ts=t1)
+    seed = {
+        k: out1[k]
+        for k in (
+            "system_state", "faculties", "departments", "specialities",
+            "student_groups", "employees", "departments_employees",
+            "auditories",
+        )
+    }
+    api2 = copy.deepcopy(API)
+    api2["student_groups"][0]["course"] = 3  # type-2 change
+    api2["faculties"][0]["name"] = "ФКСиС (переименован)"  # type-1 merge
+    out2 = run_etl(spark, api2, now_ts=t2, initial=seed)
+
+    versions = sorted(
+        out2["student_groups"].filter("id = 1000").collect(),
+        key=lambda r: (r.valid_to is None, str(r.valid_from)),
+    )
+    assert len(versions) == 2
+    closed, current = versions
+    assert str(closed.valid_to).startswith("2026-02-20") and closed.course == 2
+    assert current.valid_to is None and current.course == 3
+    assert str(current.valid_from).startswith("2026-02-20")
+
+    fac = {r.id: r.name for r in out2["faculties"].collect()}
+    assert fac[1] == "ФКСиС (переименован)"  # updated in place
+    assert len(out2["faculties"].filter("id = 1").collect()) == 1
