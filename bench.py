@@ -33,18 +33,18 @@ HEADLINE = [
     "asof_join_order_state",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_lsh_pairs",
+    "dedup_embedding_cosine",
     "knn_brute_force",
-    "knn_ivf_ann",
-    "knn_srp_lsh",
+    "knn_ann",
     "embedding_label_centroids",
-    "text_stats",
-    "text_lang_id",
-    "text_quality_score",
+    "text_analysis",
     "search_tokenize",
+    "search_tokenize_ru",
+    "freq_items_users",
     "curation_pipeline",
     "stream_windowed_counts",
+    "stream_sessionize",
     "window_lag_running_total",
     "cube_order_totals",
     "train_test_split",
@@ -66,6 +66,16 @@ def main() -> None:
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
+    # pre-touch every fixture file into the OS page cache (footer + data
+    # pages): per-query cold cost at this scale is dominated by parquet
+    # first-touch I/O, which a real deployment amortizes across a long-
+    # lived cluster — the bench measures plan+execute, not disk spin-up.
+    for fname in sorted(os.listdir(sf_dir)):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
     r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     r.alias("a").join(r.alias("b"), "r_regionkey").groupBy(
         _F.col("a.r_name")
@@ -76,6 +86,12 @@ def main() -> None:
         return s
 
     r.select(_warm(_F.col("r_regionkey").cast("long"))).collect()
+
+    # applyInPandas path (grouped-map Arrow workers) — used by the tiled
+    # cosine join and the stateful operators
+    r.groupBy("r_regionkey").applyInPandas(
+        lambda pdf: pdf[["r_regionkey"]], "r_regionkey long"
+    ).count()
 
     d = spark.range(0, 200_000).select(
         "id",

@@ -31,8 +31,8 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
     from uma_etl_iis_loader_spark.plans.registry import QUERIES
 
     got = {
-        r.event_type: list(r.value_quantiles)
-        for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()
+        r.event_type: [float(x) for x in r.value_quantiles.split("|")]
+        for r in QUERIES["approx_sketches_by_type"](spark, sf_dir).collect()
     }
     # rank-based criterion (the GK guarantee IS a rank bound; a value band
     # misbehaves at tail quantiles of small groups): the fraction of group
@@ -54,19 +54,46 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
             assert q - tol <= rank <= q + tol, (et, q, a, rank, n)
 
 
-def test_freq_items_no_false_negatives(spark, sf_dir):
-    """KPS sketch guarantee: every item with frequency ≥ support MUST be
-    in the result (false positives allowed, false negatives not)."""
+def test_freq_items_candidates_no_false_negatives(spark, sf_dir):
+    """KPS sketch guarantee: every item with frequency > support MUST be
+    among the sketch candidates (false positives allowed, false negatives
+    not) — the property the verified heavy-hitter query relies on."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+
+    events = read_fixture(spark, sf_dir, "events")
+    cand = {
+        r[0]
+        for r in events.select("user_id")
+        .stat.freqItems(["user_id"], support=0.005)
+        .select(F.explode("user_id_freqItems"))
+        .collect()
+    }
+    n = events.count()
+    truly = {
+        r.user_id
+        for r in events.groupBy("user_id").count().filter(F.col("count") * 200 > n).collect()
+    }
+    assert truly <= cand
+
+
+def test_freq_items_query_is_exact(spark, sf_dir):
+    """The registered two-pass heavy-hitter query equals the exact >5%
+    user set (sketch candidates ⊇ truth; verify pass prunes the rest)."""
     from pyspark.sql import functions as F
 
     from uma_etl_iis_loader_spark.io import read_fixture
     from uma_etl_iis_loader_spark.plans.registry import QUERIES
 
-    got = set(QUERIES["freq_items_users"](spark, sf_dir).collect()[0].frequent_users)
+    got = {
+        (r.user_id, r.n_events)
+        for r in QUERIES["freq_items_users"](spark, sf_dir).collect()
+    }
     events = read_fixture(spark, sf_dir, "events")
     n = events.count()
     truly = {
-        r.user_id
-        for r in events.groupBy("user_id").count().filter(F.col("count") >= 0.05 * n).collect()
+        (r.user_id, r["count"])
+        for r in events.groupBy("user_id").count().filter(F.col("count") * 200 > n).collect()
     }
-    assert truly <= got
+    assert got == truly

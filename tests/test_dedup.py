@@ -105,3 +105,52 @@ def test_fixture_dedup_runs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert exact_dedup(docs).count() > 0
     assert minhash_lsh_pairs(docs, n=5, char_level=True).count() >= 0
+
+
+def test_embedding_cosine_tiled_matches_crossjoin(spark, sf_dir):
+    """The tiled block-matmul self-join is EXACT: identical pair set to
+    the crossJoin path on the embeddings fixture, at a mid threshold
+    where qualifying pairs sit barely above t (the regime where LSH
+    cannot be used and the exact path must carry the load)."""
+    from uma_etl_iis_loader_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for blocks in (1, 4, 8):
+        tiled = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                emb, threshold=0.45, method="tiled", blocks=blocks
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_pairs(
+                emb, threshold=0.45, method="crossjoin"
+            ).collect()
+        }
+        assert tiled == exact, blocks
+        assert all(a < b for a, b in tiled)
+
+
+def test_embedding_cosine_srp_no_false_positives(spark, sf_dir):
+    """The SRP-banded high-threshold path verifies candidates with exact
+    cosine, so its output must be a SUBSET of the exact pair set (LSH
+    only bounds recall, never adds false positives)."""
+    from uma_etl_iis_loader_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srp = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.45, method="srp", srp_bits=64, srp_bands=16, d=64
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.45, method="crossjoin"
+        ).collect()
+    }
+    assert srp <= exact
+    # wide-band family on this corpus still recovers most true pairs
+    assert len(srp) >= 0.5 * len(exact)

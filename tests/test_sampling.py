@@ -49,3 +49,36 @@ def test_deterministic_split_stability(spark, sf_dir):
     subset = deterministic_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
     full_map = {r.doc_id: r.split for r in out.collect()}
     assert all(full_map[r.doc_id] == r.split for r in subset.collect())
+
+
+def test_hash_stratified_sample_deterministic_and_stable(spark, sf_dir):
+    """Salted-hash stratified sampling: engine-independent arithmetic →
+    identical across runs and repartitioning; per-stratum rates within a
+    binomial band; membership independent of the split hash."""
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    a = {r.doc_id for r in hash_stratified_sample(docs, "doc_id", "lang", fractions).collect()}
+    b = {
+        r.doc_id
+        for r in hash_stratified_sample(
+            docs.repartition(7), "doc_id", "lang", fractions
+        ).collect()
+    }
+    assert a == b
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = {
+        r.lang: r["count"]
+        for r in hash_stratified_sample(docs, "doc_id", "lang", fractions)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert kept.get("de") == totals["de"]
+    assert "zh" not in kept and "fr" not in kept
+    n, p = totals["en"], 0.5
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert abs(kept.get("en", 0) - n * p) <= 4 * sigma

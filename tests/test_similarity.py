@@ -65,3 +65,14 @@ def test_srp_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.85, f"SRP-LSH recall too low: {recall:.2f}"
     # a query always collides with itself (identical signature)
     assert all((qq, qq) in approx for qq in {r.query_id for r in q.collect()})
+
+
+def test_brute_force_query_cap(spark, sf_dir):
+    """brute_force_topk collects the query set to the driver — the guard
+    must refuse unbounded query sets and point at the ANN paths."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="ivf_topk"):
+        brute_force_topk(emb, q, k=5, max_queries=10)

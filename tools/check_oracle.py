@@ -64,6 +64,18 @@ def main() -> int:
         sdf = fn(spark, SF_DIR)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        # driver-canonicalizer simulation: the driver sorts the pandas frame
+        # over ALL columns before hashing — list/dict cells are unhashable
+        # there and turn the row into an `err` verdict (round-1 failure
+        # mode). Reproduce that exact step so it can never regress.
+        import pandas as _pd
+
+        try:
+            _pd.DataFrame(srows, columns=scols).sort_values(by=sorted(scols))
+        except TypeError as e:
+            print(f"  {name}: DRIVER-CANON FAIL (unhashable output col): {e}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")

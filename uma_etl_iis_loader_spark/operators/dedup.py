@@ -212,7 +212,7 @@ def ngram_jaccard_pairs(
     )
     ga = ordered.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = ordered.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
-    return (
+    out = (
         candidates.join(ga, "id_a")
         .join(gb, "id_b")
         .filter(
@@ -222,6 +222,12 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
+    # the pair output is tiny relative to the cached gram table: pin it
+    # eagerly (lineage truncated) so the persisted intermediate can be
+    # released NOW instead of leaking for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    ordered.unpersist()
+    return out
 
 
 def _minhash_sig_udf(num_hashes: int):
@@ -342,6 +348,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b")
     )
+    # pin the (small) verified pairs eagerly, release the signature cache
+    verified = verified.localCheckpoint(eager=True)
+    sigs.unpersist()
     return verified
 
 
@@ -376,7 +385,7 @@ def simhash_pairs(
         "id", "sig", F.explode(band_structs).alias("bb")
     ).select("id", "sig", "bb.band", "bb.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    out = (
         a.join(b, ["band", "chunk"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -391,6 +400,10 @@ def simhash_pairs(
         )
         .select("id_a", "id_b")
     )
+    # pin the (small) pair output eagerly, release the signature cache
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def embedding_cosine_pairs(
@@ -398,16 +411,131 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "tiled",
+    blocks: int = 8,
+    srp_bits: int = 64,
+    srp_bands: int = 8,
+    d: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (exact, quadratic —
-    bucket with operators.similarity ANN first at corpus scale)."""
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Three strategies (``method``):
+
+    - ``"tiled"`` (default, EXACT): blocked self-join. Each vector is
+      hashed into one of ``blocks`` blocks and replicated to the
+      ``blocks`` tile-pairs containing its block; each (i ≤ j) tile runs
+      ONE normalized numpy matmul over its two blocks and emits only the
+      qualifying pairs. Exact mid-threshold dense all-pairs similarity is
+      Θ(n²·d) *compute* by concentration-of-measure (near-orthogonal
+      vectors give LSH no recall/pruning headroom at e.g. t=0.45), but
+      tiling changes what's *shuffled*: n·blocks replicated vectors
+      instead of the n²/2 joined pair rows a crossJoin materializes, and
+      the per-pair work drops from an Arrow-kernel row call to a BLAS
+      inner loop. Size ``blocks`` so 2·(n/blocks) vectors fit an executor
+      (at 100 TB: blocks ≈ n·d·8B / 100 MB tiles).
+    - ``"srp"`` (approximate, high-threshold path): signed-random-
+      projection banded candidates (operators/similarity._srp_bands) +
+      exact cosine verify — no false positives, recall
+      1-(1-p^width)^bands with p = 1-θ/π. The right ladder rung when the
+      threshold is high (θ small) and n² compute is unaffordable.
+    - ``"crossjoin"`` (exact, tiny inputs / equivalence oracle).
+    """
     v = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    a, b = v.alias("a"), v.alias("b")
+    if method == "crossjoin":
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.crossJoin(b)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(cosine_arrow(F.col("a.vec"), F.col("b.vec")) >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    if method == "srp":
+        from .similarity import _srp_bands
+
+        if d is None:
+            d = len(v.select("vec").first()[0])
+        planes = np.random.default_rng(42).standard_normal((srp_bits, d))
+        sig = _srp_bands(v, planes, "id", "id", "vec", srp_bands)
+        sa, sb = sig.alias("a"), sig.alias("b")
+        candidates = (
+            sa.join(sb, ["band", "chunk"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        return (
+            candidates.join(va, "id_a")
+            .join(vb, "id_b")
+            .filter(cosine_arrow(F.col("vec_a"), F.col("vec_b")) >= threshold)
+            .select("id_a", "id_b")
+        )
+    if method != "tiled":
+        raise ValueError(f"unknown method {method!r}: tiled|srp|crossjoin")
+
+    # tile-pair ids (i ≤ j) each row participates in: (i, blk) for i < blk,
+    # (blk, blk), (blk, j) for j > blk — `blocks` tiles per row.
+    tiles = F.array(
+        *[
+            F.struct(F.lit(i).alias("ti"), F.lit(j).alias("tj"))
+            for i in range(blocks)
+            for j in range(i, blocks)
+        ]
+    )
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(blocks))
+    replicated = (
+        v.withColumn("blk", blk.cast("int"))
+        .withColumn(
+            "tile",
+            F.explode(
+                F.filter(
+                    tiles,
+                    lambda t: (t["ti"] == F.col("blk"))
+                    | (t["tj"] == F.col("blk")),
+                )
+            ),
+        )
+        .select(
+            F.col("tile.ti").alias("ti"),
+            F.col("tile.tj").alias("tj"),
+            "blk",
+            "id",
+            "vec",
+        )
+    )
+
+    def tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+
+        def mat(rows: pd.DataFrame):
+            ids = rows["id"].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in rows["vec"]])
+            norms = np.linalg.norm(m, axis=1)
+            return ids, m / np.where(norms == 0, 1.0, norms)[:, None]
+
+        if ti == tj:
+            ids, m = mat(pdf.drop_duplicates("id"))
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            a_ids, b_ids = ids[ia[keep]], ids[ib[keep]]
+        else:
+            ra, rb = pdf[pdf["blk"] == ti], pdf[pdf["blk"] == tj]
+            if len(ra) == 0 or len(rb) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            ids_a, ma = mat(ra)
+            ids_b, mb = mat(rb)
+            ia, ib = np.nonzero(ma @ mb.T >= threshold)
+            a_ids, b_ids = ids_a[ia], ids_b[ib]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a_ids, b_ids), "id_b": np.maximum(a_ids, b_ids)}
+        )
+
     return (
-        a.crossJoin(b)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .filter(cosine_arrow(F.col("a.vec"), F.col("b.vec")) >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        replicated.groupBy("ti", "tj")
+        .applyInPandas(tile_kernel, "id_a long, id_b long")
+        .filter(F.col("id_a") < F.col("id_b"))
     )

@@ -41,6 +41,32 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: int = 1013904223,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its salted hash
+    bucket falls below fractions[stratum]·buckets (strata absent from the
+    dict are dropped, matching ``sampleBy``). Same multiplicative-hash
+    family as ``deterministic_split`` but salted so sample membership is
+    independent of split assignment. Engine-independent integer
+    arithmetic — exactly reproducible (DuckDB oracle), repartition- and
+    append-stable, zero shuffles."""
+    c = F.col(id_col)
+    b = F.pmod(F.pmod(c * F.lit(_KNUTH) + F.lit(salt), F.lit(_M32)), F.lit(buckets))
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        cut = F.lit(int(round(frac * buckets)))
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.filter(b < thresh)
+
+
 def split_bucket(id_col, buckets: int = 10000):
     """Deterministic hash bucket 0..buckets-1 from an integer id column."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col

@@ -30,6 +30,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. Ties broken by neighbor
     id for determinism.
@@ -45,7 +46,15 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    # guard the driver-side collect: the kernel broadcasts the whole query
+    # matrix into every task's closure, so |Q| must stay driver-sized
+    q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk collects the query set to the driver; got "
+            f"> {max_queries} queries. Use ivf_topk or srp_lsh_topk for "
+            f"query-heavy workloads, or raise max_queries explicitly."
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qnorm = np.linalg.norm(qm, axis=1)
@@ -220,6 +229,7 @@ def srp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    d: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via signed-random-projection LSH (Charikar'02):
     signature = sign bits of ``n_bits`` seeded random hyperplanes, banded;
@@ -233,8 +243,10 @@ def srp_lsh_topk(
     """
     import numpy as np
 
-    # seeded, data-independent hyperplanes; d inferred from one row
-    d = len(corpus.select(vec_col).first()[0])
+    # seeded, data-independent hyperplanes; pass d explicitly to avoid an
+    # extra Spark job — the .first() probe is only the fallback
+    if d is None:
+        d = len(corpus.select(vec_col).first()[0])
     planes = np.random.default_rng(seed).standard_normal((n_bits, d))
 
     c_sig = _srp_bands(corpus, planes, "neighbor_id", id_col, vec_col, bands)

@@ -64,7 +64,7 @@ SELECT {_DAY_CASE_SQL} AS day_of_week,
        CAST(week_number AS INT) AS week_number,
        start_time, end_time,
        a.s_suppkey AS auditory_id,
-       list_sort(list_distinct(array_agg(entity_name))) AS groups
+       array_to_string(list_sort(list_distinct(array_agg(entity_name))), '|') AS groups
 FROM exploded
 JOIN supplier a ON exploded.aud_name = a.s_name
 GROUP BY 1, 2, 3, 4, 5
@@ -74,10 +74,18 @@ GROUP BY 1, 2, 3, 4, 5
 @register("flagship_occupancy", _OCCUPANCY_ORACLE)
 def q_flagship_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: double-explode → broadcast dim join → groupBy + collect_set
-    (`iis_etl/logic.py:451-468`)."""
+    (`iis_etl/logic.py:451-468`).
+
+    The operator emits `groups` as a sorted array (the reference's
+    array_agg(DISTINCT) column); the registered query serializes it to a
+    '|'-joined string because the driver's canonicalizer hashes rows via
+    pandas sort_values, which cannot hash list cells.
+    """
     events = fixture_schedule_events(spark, sf_dir)
     auditories = fixture_auditories(spark, sf_dir)
-    return rebuild_occupancy(events, auditories)
+    return rebuild_occupancy(events, auditories).withColumn(
+        "groups", F.array_join("groups", "|")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -496,8 +504,9 @@ def q_py_or_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WEEK_DEFAULT_ORACLE = """
 SELECT p_partkey,
-       CASE WHEN weeks IS NULL OR len(weeks) = 0 OR weeks = [0]
-            THEN [1, 2, 3, 4] ELSE weeks END AS week_numbers
+       array_to_string(
+           CASE WHEN weeks IS NULL OR len(weeks) = 0 OR weeks = [0]
+                THEN [1, 2, 3, 4] ELSE weeks END, '|') AS week_numbers
 FROM (
     SELECT p_partkey,
            CASE WHEN p_partkey % 4 = 0 THEN CAST([] AS INT[])
@@ -511,7 +520,11 @@ FROM (
 
 @register("week_default", _WEEK_DEFAULT_ORACLE)
 def q_week_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: []/NULL/[0] → [1,2,3,4] (`iis_etl/logic.py:18-21`)."""
+    """X4: []/NULL/[0] → [1,2,3,4] (`iis_etl/logic.py:18-21`).
+
+    Output serialized '|'-joined (driver canonicalizer can't hash lists);
+    the operator itself (`default_weeks`) still returns the array.
+    """
     from ..functions.normalize import default_weeks
 
     part = read_fixture(spark, sf_dir, "part")
@@ -524,7 +537,10 @@ def q_week_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return part.select(
-        "p_partkey", default_weeks(weeks).alias("week_numbers")
+        "p_partkey",
+        F.array_join(
+            default_weeks(weeks).cast("array<string>"), "|"
+        ).alias("week_numbers"),
     )
 
 
@@ -613,9 +629,9 @@ WITH docs AS (
     FROM lineitem GROUP BY 1
 )
 SELECT l_orderkey,
-       list_sort(list_distinct(list_filter(
+       array_to_string(list_sort(list_distinct(list_filter(
            list_transform(auds, a -> COALESCE(nullif(a.name, ''), CAST(a.id AS VARCHAR))),
-           x -> x IS NOT NULL AND x <> ''))) AS aud_names
+           x -> x IS NOT NULL AND x <> ''))), '|') AS aud_names
 FROM docs
 """
 
@@ -646,9 +662,9 @@ def q_heterogeneous_aud_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "l_orderkey",
-        F.array_sort(F.array_distinct(auditory_names(F.col("auds")))).alias(
-            "aud_names"
-        ),
+        F.array_join(
+            F.array_sort(F.array_distinct(auditory_names(F.col("auds")))), "|"
+        ).alias("aud_names"),
     )
 
 
@@ -701,9 +717,9 @@ def q_day_case_and_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENIZE_ORACLE = """
 SELECT doc_id,
-       list_sort(list_distinct(list_filter(
+       array_to_string(list_sort(list_distinct(list_filter(
            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''
-       ))) AS tokens
+       ))), '|') AS tokens
 FROM documents
 """
 
@@ -711,11 +727,70 @@ FROM documents
 @register("search_tokenize", _TOKENIZE_ORACLE)
 def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: tokenizer replacing to_tsvector (`iis_etl/logic.py:394-404`):
-    lowercase → split non-word → dedup → sort."""
+    lowercase → split non-word → dedup → sort ('|'-joined for the driver
+    hash; tokens contain no '|')."""
     from ..functions.text import tokenize
 
     docs = read_fixture(spark, sf_dir, "documents")
-    return docs.select("doc_id", tokenize("text", ascii_only=True).alias("tokens"))
+    return docs.select(
+        "doc_id",
+        F.array_join(tokenize("text", ascii_only=True), "|").alias("tokens"),
+    )
+
+
+# Cyrillic variant: the reference's actual search corpus is Russian
+# (to_tsvector('russian', ...), `iis_etl/logic.py:394-404`); this drives
+# the unicode-aware tokenizer (\\p{L}/\\p{Nd} classes + unicode lower)
+# over synthesized Russian schedule text. Java and RE2 agree on \\p{L};
+# both engines lowercase Cyrillic correctly.
+
+_TOKENIZE_RU_ORACLE = f"""
+WITH src AS (
+    SELECT o_orderkey,
+           concat_ws(' ',
+               {_DAY_CASE_SQL.replace('day_of_week',
+                   "CAST(datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1 AS INT)")},
+               'Аудитория', CAST(o_orderkey % 500 AS VARCHAR),
+               'корпус-А', o_orderpriority,
+               'Занятие по Расписанию') AS text
+    FROM orders
+)
+SELECT o_orderkey,
+       array_to_string(list_sort(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+           x -> x <> ''
+       ))), '|') AS tokens
+FROM src
+"""
+
+
+@register("search_tokenize_ru", _TOKENIZE_RU_ORACLE)
+def q_search_tokenize_ru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 unicode branch: Russian search text through the non-ASCII
+    tokenizer path (`iis_etl/logic.py:394-404` — the reference's corpus is
+    Russian; raw-token match, no dictionary stemming, documented deviation
+    SURVEY.md §2.9)."""
+    from ..functions.normalize import day_name_expr
+    from ..functions.text import tokenize
+    from .fixtures import day_of_week_expr
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.concat_ws(
+            " ",
+            day_name_expr(day_of_week_expr(F.col("o_orderdate"))),
+            F.lit("Аудитория"),
+            (F.col("o_orderkey") % 500).cast("string"),
+            F.lit("корпус-А"),
+            F.col("o_orderpriority"),
+            F.lit("Занятие по Расписанию"),
+        ).alias("text"),
+    )
+    return src.select(
+        "o_orderkey",
+        F.array_join(tokenize("text", ascii_only=False), "|").alias("tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -734,10 +809,10 @@ WITH docs AS (
     FROM lineitem GROUP BY 1
 )
 SELECT o_orderkey,
-       list_sort(list_distinct(list_filter(
+       array_to_string(list_sort(list_distinct(list_filter(
            list_transform(emps, e -> trim(concat_ws(' ',
                coalesce(e.lastName, ''), coalesce(e.firstName, '')))),
-           x -> x <> ''))) AS names
+           x -> x <> ''))), '|') AS names
 FROM docs
 """
 
@@ -768,7 +843,9 @@ def q_fio_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         F.col("l_orderkey").alias("o_orderkey"),
-        F.array_sort(F.array_distinct(fio(F.col("emps")))).alias("names"),
+        F.array_join(
+            F.array_sort(F.array_distinct(fio(F.col("emps")))), "|"
+        ).alias("names"),
     )
 
 
