@@ -41,11 +41,19 @@ API = {
     ],
     "auditories": [
         {"id": 501, "name": "311", "buildingNumber": {"name": "4 к."},
+         "note": "длинное примечание без обрезки",  # note is NOT truncated
          "capacity": 30, "auditoryType": {"name": "Лекционная"},
          "department": {"idDepartment": 20, "name": "Новая кафедра",
                         "abbrev": "NK"}},
         {"id": 502, "name": "100-5", "buildingNumberId": 5, "capacity": 60,
          "departmentId": 999},  # unknown dept → FK nulled (J4)
+        # discovered dept with NO name/abbrev → 'Dept 21'/'D-21' fallbacks
+        {"id": 503, "name": "201", "department": {"idDepartment": 21}},
+        # embedded dept 10 already exists → departmentId (20, discovered
+        # by auditory 501 earlier in the batch) wins over idDepartment
+        {"id": 504, "name": "202",
+         "department": {"idDepartment": 10, "name": "ignored"},
+         "departmentId": 20},
     ],
     "schedules": [
         ("253501", "group", json.dumps({
@@ -88,9 +96,13 @@ def test_run_etl_end_to_end(spark):
     bridge = {(b.department_id, b.employee_id) for b in out["departments_employees"].collect()}
     assert bridge == {(10, 7)}
 
-    # M7: discovered department 20 inserted; J4: unknown dept 999 nulled
-    depts = {d.id for d in out["departments"].collect()}
-    assert depts == {10, 20}
+    # M7: discovered departments inserted with reference fallbacks
+    # (logic.py:243-246): name 'Dept {id}', abbr 'D-{id}', url_id str(id)
+    depts = {d.id: d for d in out["departments"].collect()}
+    assert set(depts) == {10, 20, 21}
+    assert depts[20].name == "Новая кафедра" and depts[20].url_id == "20"
+    assert depts[21].name == "Dept 21" and depts[21].abbr == "D-21"
+    assert depts[21].url_id == "21"
     auds = {a.id: a for a in out["auditories"].collect()}
     assert auds[501].name == "311-4 к."
     assert auds[501].department_id == 20
@@ -98,6 +110,15 @@ def test_run_etl_end_to_end(spark):
     # reference semantics: containment checks the FULL "5 к." string, so
     # the bare "-5" tail does NOT suppress the suffix (logic.py:233-236)
     assert auds[502].name == "100-5-5 к."
+    # building_number is the truncated column (String(10)); note is NOT
+    # truncated (String(255)) — logic.py:259-260
+    assert auds[501].building_number == "4 к."
+    assert auds[502].building_number == "5 к."
+    assert auds[501].note == "длинное примечание без обрезки"
+    # embedded dept that already exists does NOT override departmentId
+    # (logic.py:252 only sets dept_id in the newly-discovered branch)
+    assert auds[504].department_id == 20
+    assert auds[503].department_id == 21
 
     # shred + quarantine
     assert [r.entity_name for r in out["schedule_quarantine"].collect()] == ["broken"]
@@ -215,3 +236,32 @@ def test_resync_with_changes_transitions_scd2(spark):
     fac = {r.id: r.name for r in out2["faculties"].collect()}
     assert fac[1] == "ФКСиС (переименован)"  # updated in place
     assert len(out2["faculties"].filter("id = 1").collect()) == 1
+
+
+def test_empty_groups_payload_leaves_dim_untouched(spark):
+    """logic.py:127-128: an empty/missing student_groups payload returns
+    early — it must NOT read as 'all groups deleted' and close every
+    current SCD2 row (a failed API fetch would otherwise wipe the dim)."""
+    import copy
+
+    out1 = run_etl(spark, API, now_ts="2026-02-13 00:00:00")
+    seed = {
+        k: out1[k]
+        for k in (
+            "system_state", "faculties", "departments", "specialities",
+            "student_groups", "employees", "departments_employees",
+            "auditories",
+        )
+    }
+    api2 = copy.deepcopy(API)
+    api2["student_groups"] = []
+    out2 = run_etl(spark, api2, now_ts="2026-03-01 00:00:00", initial=seed)
+    g1 = sorted(
+        (r.id, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in out1["student_groups"].collect()
+    )
+    g2 = sorted(
+        (r.id, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in out2["student_groups"].collect()
+    )
+    assert g1 == g2  # nothing closed, nothing opened

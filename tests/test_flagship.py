@@ -16,9 +16,11 @@ def test_entry_smoke(spark):
         "auditory_id",
         "groups",
     }
-    # groups arrays are sorted + distinct
+    # groups is the '|'-serialized sorted-distinct array (the driver's
+    # canonicalizer can't hash list cells); elements stay sorted + distinct
     for r in rows[:50]:
-        assert r.groups == sorted(set(r.groups))
+        parts = r.groups.split("|")
+        assert parts == sorted(set(parts))
 
 
 def test_registry_contract():

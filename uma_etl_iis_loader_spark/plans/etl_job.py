@@ -117,7 +117,9 @@ def sync_specialities(
         "id",
         {
             "name": F.concat(F.lit("Unknown Faculty "), F.col("id").cast("string")),
-            "abbr": F.lit(None).cast("string"),
+            # NOT NULL/unique column in the reference → f'UNK-{id}'
+            # (iis_etl/logic.py:108)
+            "abbr": F.concat(F.lit("UNK-"), F.col("id").cast("string")),
         },
     )
     merged = merge_upsert(
@@ -137,7 +139,12 @@ def sync_student_groups(
     now_ts,
 ) -> DataFrame:
     """C1-C7 (`iis_etl/logic.py:125-171`): semi-join FK validity filter,
-    then the SCD2 transition."""
+    then the SCD2 transition. An EMPTY payload short-circuits to the
+    unchanged dim (logic.py:127-128 returns early) — without the guard a
+    failed upstream fetch would read as "every group deleted" and close
+    the whole dimension (C6)."""
+    if not payload:
+        return dim
     rows = [
         (
             int(p["id"]),
@@ -208,7 +215,11 @@ def sync_employees(
         "id long, first_name string, last_name string, middle_name string, "
         "degree string, rank string, photo_link string, calendar_id string, "
         "url_id string, academic_department array<string>",
-    ).filter(F.col("url_id").isNotNull())  # F2, iis_etl/logic.py:184
+    ).filter(
+        # F2, iis_etl/logic.py:184 — `if not item.get('urlId')` is Python
+        # truthiness: '' is skipped exactly like None
+        F.col("url_id").isNotNull() & (F.col("url_id") != "")
+    )
 
     incoming = incoming_all.drop("academic_department")
     merged = merge_upsert(
@@ -247,10 +258,22 @@ def sync_auditories(
 ) -> tuple[DataFrame, DataFrame]:
     """M6 + M7 + J4 (`iis_etl/logic.py:217-268`): building suffix appended
     when absent, departments discovered from the embedded payload are
-    insert-if-absent'ed FIRST, unknown department FKs nulled, update set
-    is only name/capacity. Returns (auditories, departments)."""
-    aud_rows, dept_rows = [], []
-    for p in payload:
+    insert-if-absent'ed FIRST (name/abbr fall back to 'Dept {id}'/'D-{id}',
+    url_id = str(id), logic.py:243-246), unknown department FKs nulled,
+    update set is only name/capacity. Returns (auditories, departments).
+
+    FK resolution is row-order-sensitive in the reference (its
+    existing_dept_ids set mutates through the loop, logic.py:221-252):
+    the embedded idDepartment overrides departmentId ONLY on the row that
+    first discovers it; later rows fall back to their own departmentId,
+    and a departmentId is nulled unless the department existed before the
+    batch or was discovered by a row at or before this one. Reproduced
+    with a payload-index window instead of driver-side mutable state.
+    """
+    from pyspark.sql.window import Window
+
+    aud_rows = []
+    for idx, p in enumerate(payload):
         raw_name = p.get("name") or ""
         build = (p.get("buildingNumber") or {}).get("name") or (
             f"{p['buildingNumberId']} к." if p.get("buildingNumberId") else ""
@@ -265,39 +288,86 @@ def sync_auditories(
             else raw_name
         )
         dept = p.get("department") or {}
-        dept_id = dept.get("idDepartment")
-        if dept_id is not None:
-            dept_rows.append(
-                (int(dept_id), dept.get("name"), dept.get("abbrev"), None)
-            )
-        note = p.get("note")
+        d_id = dept.get("idDepartment") if isinstance(dept, dict) else None
         aud_rows.append(
             (
+                idx,
                 int(p["id"]),
                 name,
-                str(note)[:10] if note is not None else None,  # iis_etl/logic.py:259
+                str(build)[:10] if build else None,  # iis_etl/logic.py:259
+                p.get("note"),  # untruncated (String(255), models.py:80)
                 p.get("capacity"),
                 (p.get("auditoryType") or {}).get("name"),
-                dept_id if dept_id is not None else p.get("departmentId"),
+                int(d_id) if d_id else None,
+                dept.get("name") if d_id else None,
+                dept.get("abbrev") if d_id else None,
+                p.get("departmentId"),
             )
         )
-    discovered = spark.createDataFrame(dept_rows, DEPARTMENTS)
+    raw = spark.createDataFrame(
+        aud_rows,
+        "idx long, id long, name string, building_number string, "
+        "note string, capacity int, auditory_type string, "
+        "emb_dept_id long, emb_dept_name string, emb_dept_abbr string, "
+        "payload_dept_id long",
+    )
+    pre_known = departments.select(
+        F.col("id").alias("emb_dept_id"), F.lit(True).alias("__pre")
+    )
+    w = Window.partitionBy("emb_dept_id").orderBy("idx")
+    flagged = raw.join(F.broadcast(pre_known), "emb_dept_id", "left").withColumn(
+        "__discovers",
+        F.col("emb_dept_id").isNotNull()
+        & F.col("__pre").isNull()
+        & (F.row_number().over(w) == 1),
+    )
+    discovered = flagged.filter(F.col("__discovers")).select(
+        F.col("emb_dept_id").alias("id"),
+        py_or_str(
+            F.col("emb_dept_name"),
+            F.concat(F.lit("Dept "), F.col("emb_dept_id").cast("string")),
+        ).alias("name"),
+        py_or_str(
+            F.col("emb_dept_abbr"),
+            F.concat(F.lit("D-"), F.col("emb_dept_id").cast("string")),
+        ).alias("abbr"),
+        F.col("emb_dept_id").cast("string").alias("url_id"),
+    )
     departments_next = insert_if_absent(departments, discovered, ["id"])  # M7
 
-    incoming = spark.createDataFrame(aud_rows, AUDITORIES)
-    # J4: null the FK when the department is (still) unknown
-    known = departments_next.select(F.col("id").alias("department_id")).distinct()
+    # dept_id = embedded id only on the discovering row (logic.py:252),
+    # else the payload's own departmentId
+    resolved = flagged.withColumn(
+        "department_id",
+        F.when(F.col("__discovers"), F.col("emb_dept_id")).otherwise(
+            F.col("payload_dept_id")
+        ),
+    )
+    # J4: null the FK unless known pre-batch or discovered at idx' <= idx
+    first_discovery = flagged.filter(F.col("__discovers")).select(
+        F.col("emb_dept_id").alias("department_id"),
+        F.col("idx").alias("__disc_idx"),
+    )
     incoming = (
-        incoming.join(
-            F.broadcast(known.withColumn("__known", F.lit(True))),
+        resolved.join(
+            F.broadcast(
+                departments.select(
+                    F.col("id").alias("department_id"),
+                    F.lit(True).alias("__known_pre"),
+                )
+            ),
             "department_id",
             "left",
         )
+        .join(F.broadcast(first_discovery), "department_id", "left")
         .withColumn(
             "department_id",
-            F.when(F.col("__known").isNotNull(), F.col("department_id")),
+            F.when(
+                F.col("__known_pre").isNotNull()
+                | (F.col("__disc_idx") <= F.col("idx")),
+                F.col("department_id"),
+            ),
         )
-        .drop("__known")
         .select(*[f.name for f in AUDITORIES.fields])
     )
     merged = merge_upsert(dim, incoming, ["id"], update_cols=["name", "capacity"])
@@ -330,9 +400,11 @@ def run_etl(
     auditories = _seed("auditories", AUDITORIES)
 
     # Phase 1 — dimensions, strictly ordered (main.py:40-47)
-    state = sync_system_state(
-        spark, state, "current_week", str(api.get("current_week", 1)), now_ts
-    )
+    # iis_etl/logic.py:62-63: the KV upsert happens only when the fetched
+    # week is truthy — a failed/empty fetch leaves system_state untouched
+    week = api.get("current_week")
+    if week:
+        state = sync_system_state(spark, state, "current_week", str(week), now_ts)
     faculties = sync_faculties(spark, faculties, api.get("faculties", []))
     departments = sync_departments(spark, departments, api.get("departments", []))
     specialities, faculties = sync_specialities(

@@ -99,6 +99,9 @@ AUDITORIES = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
         T.StructField("name", T.StringType(), True),
+        # String(10) in the reference (`iis_etl/models.py:79`) — the
+        # truncation applies HERE, not to note (String(255), untruncated)
+        T.StructField("building_number", T.StringType(), True),
         T.StructField("note", T.StringType(), True),
         T.StructField("capacity", T.IntegerType(), True),
         T.StructField("auditory_type", T.StringType(), True),

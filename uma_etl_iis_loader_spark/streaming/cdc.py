@@ -51,8 +51,14 @@ class Scd2StreamMaintainer:
 
         The batch timestamp derives from batch_id so replays are
         deterministic (a wall-clock now would break exactly-once on
-        recovery)."""
-        now = f"2026-01-01 00:00:{batch_id % 60:02d}"
+        recovery). Monotonic in the FULL batch_id — a modulo here would
+        recycle timestamps after one wrap, inverting valid_from/valid_to
+        ordering and colliding xxhash64(key, valid_from) surrogates."""
+        from datetime import datetime, timedelta
+
+        now = (
+            datetime(2026, 1, 1) + timedelta(seconds=int(batch_id))
+        ).strftime("%Y-%m-%d %H:%M:%S")
         nxt = scd2_apply(
             self.current(),
             incoming,
