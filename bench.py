@@ -116,6 +116,33 @@ def main() -> None:
         _F.row_number().over(_W.partitionBy("e").orderBy(_F.desc("t"))).alias("rn"),
     ).filter("rn <= 5").count()
 
+    # fixture-shaped warm: the flagship path compiles codegen classes for
+    # collect_list(struct), array-of-struct explode, string-keyed broadcast
+    # join and array_join — pre-compile them on synthetic data so the first
+    # HEADLINE query doesn't absorb the JIT (measured ~0.8-1.5 s)
+    s2 = spark.range(0, 50_000).select(
+        "id",
+        (_F.col("id") % 500).alias("g"),
+        _F.concat(_F.lit("s"), (_F.col("id") % 97).cast("string")).alias("nm"),
+    )
+    agg2 = s2.groupBy("g").agg(
+        _F.array_sort(_F.collect_set("nm")).alias("names"),
+        _F.collect_list(_F.struct("id", "nm")).alias("structs"),
+    )
+    ex = agg2.select(
+        "g", _F.explode(_F.sequence(_F.lit(1), _F.lit(3))).alias("w"), "names"
+    ).select("g", "w", _F.explode("names").alias("nm"))
+    dim2 = s2.select(
+        _F.col("nm").alias("name"), (_F.col("id") % 777).alias("aid")
+    ).dropDuplicates(["name"])
+    (
+        ex.join(_F.broadcast(dim2), ex["nm"] == dim2["name"])
+        .groupBy("w", "aid")
+        .agg(_F.array_sort(_F.collect_set(_F.col("g").cast("string"))).alias("gs"))
+        .select(_F.array_join("gs", "|"))
+        .count()
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     total = 0.0

@@ -39,6 +39,10 @@ def rebuild_occupancy(
     groups-only, weekday non-null, day int → localized name, DISTINCT
     group aggregation per (day, week, start, end, room).
     """
+    # explode auditories FIRST and join the dim before the week explode:
+    # the broadcast join then processes |auditories|-fanout rows instead of
+    # |auditories|×|weeks| — the two explodes are independent inner
+    # explodes, so the reorder is plan-equivalent (same output)
     exploded = (
         schedule_events
         .filter(
@@ -49,15 +53,7 @@ def rebuild_occupancy(
             "day_of_week",
             "start_time",
             "end_time",
-            F.explode("week_numbers").alias("week_number"),
-            "auditories",
-        )
-        .select(
-            "entity_name",
-            "day_of_week",
-            "start_time",
-            "end_time",
-            "week_number",
+            "week_numbers",
             F.explode("auditories").alias("aud_name"),
         )
     )
@@ -71,6 +67,14 @@ def rebuild_occupancy(
             F.broadcast(auditories.select(F.col("id").alias("auditory_id"), "name")),
             exploded["aud_name"] == F.col("name"),
             "inner",
+        )
+        .select(
+            "entity_name",
+            "day_of_week",
+            "start_time",
+            "end_time",
+            "auditory_id",
+            F.explode("week_numbers").alias("week_number"),
         )
         .groupBy(
             day_col.alias("day_of_week"),
