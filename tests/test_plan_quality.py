@@ -59,3 +59,22 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tiled_cosine_single_shuffle_no_cartesian(spark, sf_dir):
+    """The tiled exact cosine pair join must shuffle ONCE (replicated
+    vectors grouped by tile pair) and never fall back to a cartesian —
+    the whole point of replacing the crossJoin."""
+    plan = _plan(spark, "dedup_embedding_cosine", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_text_analysis_zero_shuffles(spark, sf_dir):
+    """All seven per-document text features fuse into one narrow
+    projection over a single scan — zero exchanges."""
+    plan = _plan(spark, "text_analysis", sf_dir)
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1

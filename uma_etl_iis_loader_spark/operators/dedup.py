@@ -149,12 +149,17 @@ def ngram_jaccard_pairs(
     """
     g = _gram_table(docs, id_col, text_col, n, char_level)
     if not prefix_filter:
-        # Single pass: sz rides along through the explode so the gram UDF
-        # evaluates once and no size joins are needed after the pair count
-        # (sz is functionally dependent on id — free as a groupBy key).
-        inv = g.select(
-            "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
-        )
+        # Pin the gram table eagerly: the self-join references it twice and
+        # both size() and explode() reference the UDF column, so without a
+        # materialization barrier Catalyst's project-collapse evaluates the
+        # gram UDF FOUR times (visible as 4 ArrowEvalPython nodes). One
+        # materialized shingle table is also what a real pipeline persists
+        # at corpus scale. sz rides along so no size joins are needed after
+        # the pair count (functionally dependent on id — free groupBy key).
+        g = g.select(
+            "id", F.size("grams").alias("sz"), "grams"
+        ).localCheckpoint(eager=True)
+        inv = g.select("id", "sz", F.explode("grams").alias("gram"))
         a, b = inv.alias("a"), inv.alias("b")
         return (
             a.join(b, "gram")

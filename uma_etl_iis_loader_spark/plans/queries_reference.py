@@ -555,11 +555,14 @@ _TIME_STR_SQL = """CASE WHEN event_id % 7 = 0 THEN 'xx:yy'
          ELSE concat(CAST(event_id % 24 AS VARCHAR), ':',
                      lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')) END"""
 
+# TRY_CAST, not CAST: DuckDB evaluates vectorized expressions across a
+# whole chunk before the regexp guard can short-circuit, so a plain CAST
+# still sees the non-numeric strings (surfaced only at sf0.1 chunk sizes)
 _PARSE_SQL = """CASE WHEN regexp_matches(t, '^\\s*\\d{1,2}:\\d{2}\\s*$')
-          AND CAST(split_part(trim(t), ':', 1) AS INT) < 24
-          AND CAST(split_part(trim(t), ':', 2) AS INT) < 60
-     THEN CAST(split_part(trim(t), ':', 1) AS INT) * 3600
-          + CAST(split_part(trim(t), ':', 2) AS INT) * 60 END"""
+          AND TRY_CAST(split_part(trim(t), ':', 1) AS INT) < 24
+          AND TRY_CAST(split_part(trim(t), ':', 2) AS INT) < 60
+     THEN TRY_CAST(split_part(trim(t), ':', 1) AS INT) * 3600
+          + TRY_CAST(split_part(trim(t), ':', 2) AS INT) * 60 END"""
 
 _LESSON_TIME_ORACLE = f"""
 WITH src AS (SELECT event_id, {_TIME_STR_SQL} AS t FROM events)
