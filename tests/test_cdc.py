@@ -48,3 +48,29 @@ def test_scd2_stream_maintainer(spark):
         (2, "G2", False),  # closed (missing from snapshot 2)
         (3, "G3", True),  # inserted
     }
+
+
+def test_batch_timestamp_monotonic_past_sixty(spark):
+    """Batch timestamps derive from the FULL batch_id: batch 61 must get a
+    later valid_from than batch 1 (a modulo-60 clock recycled timestamps
+    after one wrap, inverting valid_from/valid_to ordering and colliding
+    hash surrogates keyed on (id, valid_from))."""
+    state = tempfile.mkdtemp(prefix="cdc_state_") + "/dim"
+    m = Scd2StreamMaintainer(
+        spark,
+        state,
+        natural_key="id",
+        type2_cols=["name", "course"],
+        type1_cols=[],
+        dim_schema=SCHEMA,
+    )
+    inc1 = spark.createDataFrame([(1, "G1", 1)], INC_SCHEMA)
+    m.apply_batch(inc1, batch_id=1)
+    inc2 = spark.createDataFrame([(1, "G1-renamed", 1)], INC_SCHEMA)
+    m.apply_batch(inc2, batch_id=61)
+
+    rows = sorted(m.current().collect(), key=lambda r: str(r.valid_from))
+    assert len(rows) == 2
+    closed, current = rows
+    assert closed.valid_to == current.valid_from  # ordering intact
+    assert closed.valid_from < current.valid_from  # strictly monotonic
