@@ -76,3 +76,33 @@ def test_brute_force_query_cap(spark, sf_dir):
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="ivf_topk"):
         brute_force_topk(emb, q, k=5, max_queries=10)
+
+
+def test_persisted_ivf_index_matches_inline_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_index_topk must return EXACTLY what the
+    inline ivf_topk computes (same deterministic centroids), and the
+    vectors scan must carry a centroid_id PartitionFilter — the probed
+    cells are the only partitions read."""
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=16)
+
+    idx = ivf_index_topk(spark, path, q, k=10, nprobe=4)
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, q, k=10, nprobe=4).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in idx.collect()}
+    assert got == inline
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan.replace(
+        "PartitionFilters: [isnotnull(centroid_id", "PartitionFilters: [centroid_id"
+    ) or "centroid_id#" in plan.split("PartitionFilters")[1][:200]
