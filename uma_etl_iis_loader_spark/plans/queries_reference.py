@@ -571,9 +571,55 @@ SELECT event_id, secs AS start_time FROM (
 ) WHERE secs IS NOT NULL
 """
 
-_EXAM_TIME_ORACLE = f"""
-WITH src AS (SELECT event_id, {_TIME_STR_SQL} AS t FROM events)
-SELECT event_id, COALESCE({_PARSE_SQL}, 0) AS start_time FROM src
+# the end-to-end shred oracle computes the EXPECTED output relation
+# directly from the same fixture arithmetic (no JSON in DuckDB — the
+# JSON round-trip is the Spark side under test; the oracle independently
+# derives what the shredder must produce)
+_SHRED_E2E_ORACLE = """
+WITH base AS (
+    SELECT event_id, concat('G', CAST(user_id AS VARCHAR)) AS entity_name,
+           CAST(event_id % 24 AS INT) * 3600 + CAST(event_id % 60 AS INT) * 60 AS s_secs,
+           CAST((event_id + 1) % 24 AS INT) * 3600 + CAST(event_id % 60 AS INT) * 60 AS e_secs,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE concat('Subj', CAST(event_id % 7 AS VARCHAR)) END AS subj,
+           CAST(event_id % 50 AS VARCHAR) AS aud_id_str
+    FROM events
+), lessons AS (
+    SELECT entity_name,
+           coalesce(subj, 'Без названия') AS subject,
+           CAST(event_id % 4 + 1 AS INT) AS day_of_week,
+           CAST(s_secs AS INT) AS start_time,
+           CAST(e_secs AS INT) AS end_time,
+           CASE WHEN event_id % 4 IN (0, 1) THEN '1|2|3|4' ELSE '1|1' END AS week_numbers,
+           aud_id_str AS auditories,
+           CAST(NULL AS DATE) AS exact_date,
+           concat(coalesce(subj, 'Без названия'), ' ',
+                  coalesce(subj, 'Без названия'), ' ',
+                  entity_name, ' ', aud_id_str) AS search_text
+    FROM base
+    WHERE event_id % 3 = 0        -- lesson-shaped docs
+      AND event_id % 4 <> 3       -- X1: unknown day name dropped
+      AND event_id % 7 <> 0       -- X7 lesson: invalid start drops the row
+      AND event_id % 11 <> 0      -- X7 lesson: invalid END drops it too
+), exams AS (
+    SELECT entity_name,
+           coalesce(subj, 'Экзамен') AS subject,
+           CAST(NULL AS INT) AS day_of_week,
+           CAST(CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0
+                     THEN 0 ELSE s_secs END AS INT) AS start_time,
+           CAST(CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0
+                     THEN 0 ELSE e_secs END AS INT) AS end_time,
+           '' AS week_numbers,
+           concat('Room-', aud_id_str) AS auditories,
+           make_date(2026, CAST(event_id % 12 + 1 AS INT),
+                     CAST(event_id % 28 + 1 AS INT)) AS exact_date,
+           concat(coalesce(subj, 'Экзамен'), ' ', coalesce(subj, 'Экзамен'),
+                  ' ', entity_name, ' ', concat('Room-', aud_id_str)) AS search_text
+    FROM base
+    WHERE event_id % 3 <> 0       -- exam-shaped docs
+      AND event_id % 13 <> 0      -- X8: unparseable exam date dropped
+)
+SELECT * FROM lessons UNION ALL SELECT * FROM exams
 """
 
 
@@ -605,15 +651,111 @@ def q_time_parse_lesson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("time_parse_exam_default", _EXAM_TIME_ORACLE)
-def q_time_parse_exam_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 exam branch: invalid time → 00:00, row kept (`iis_etl/logic.py:366-370`)."""
-    from ..functions.timeparse import hhmm_to_seconds
+@register("shred_end_to_end", _SHRED_E2E_ORACLE)
+def q_shred_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-to-end: JSON documents → parse → shred → flat events, the
+    reference's transform core (`iis_etl/logic.py:271-404`) driven as ONE
+    driver-adjudicated plan. Synthesizes real schedule-JSON payloads from
+    the events fixture (to_json), round-trips them through
+    ``parse_schedule_json`` + ``shred_schedule_docs``, and emits scalar
+    columns. Covers in one query: X1 (unknown day key dropped), X2/X3
+    lesson+exam explode ∪ union (U3), X4 week defaults, X5 auditory id
+    fallback, X7 BOTH asymmetric time branches (lesson drops; exam
+    pairwise-zeroes — a bad END time zeroes the valid start too), X8
+    bad exam date dropped, X9 ''-as-missing subject defaults
+    ('Без названия' / 'Экзамен'), X10 persisted search text."""
+    from ..operators.shred import parse_schedule_json, shred_schedule_docs
 
-    src = _time_strings(spark, sf_dir)
-    return src.select(
-        "event_id",
-        F.coalesce(hhmm_to_seconds(F.col("t")), F.lit(0)).alias("start_time"),
+    ev = read_fixture(spark, sf_dir, "events").select("event_id", "user_id")
+    day_name = F.element_at(
+        F.array(
+            F.lit("Понедельник"), F.lit("Вторник"), F.lit("Среда"), F.lit("НеДень")
+        ),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    t_start = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("xx:yy"))
+        .otherwise(
+            F.concat(
+                (F.col("event_id") % 24).cast("string"),
+                F.lit(":"),
+                F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+            )
+        )
+    )
+    t_end = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("99:99"))
+        .otherwise(
+            F.concat(
+                ((F.col("event_id") + 1) % 24).cast("string"),
+                F.lit(":"),
+                F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+            )
+        )
+    )
+    subject = F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("Subj"), (F.col("event_id") % 7).cast("string"))
+    )
+    weeks = (
+        F.when(F.col("event_id") % 4 == 0, F.array().cast("array<int>"))
+        .when(F.col("event_id") % 4 == 1, F.array(F.lit(0)))
+        .otherwise(F.array(F.lit(1), (F.col("event_id") % 3 + 1).cast("int")))
+    )
+    auds = F.array(
+        F.struct(
+            (F.col("event_id") % 50).cast("long").alias("id"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.concat(F.lit("Room-"), (F.col("event_id") % 50).cast("string"))
+            )
+            .alias("name"),
+        )
+    )
+    date_str = F.when(F.col("event_id") % 13 == 0, F.lit("not-a-date")).otherwise(
+        F.concat(
+            F.lpad((F.col("event_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad((F.col("event_id") % 12 + 1).cast("string"), 2, "0"),
+            F.lit(".2026"),
+        )
+    )
+    lesson_struct = F.struct(
+        subject.alias("subject"),
+        t_start.alias("startLessonTime"),
+        t_end.alias("endLessonTime"),
+        weeks.alias("weekNumber"),
+        auds.alias("auditories"),
+        date_str.alias("dateLesson"),
+    )
+    # lesson docs for event_id % 3 == 0, exam docs otherwise — the raw
+    # payload is REAL JSON text, exercising the permissive parse path
+    payload = F.when(
+        F.col("event_id") % 3 == 0,
+        F.to_json(
+            F.struct(
+                F.create_map(day_name, F.array(lesson_struct)).alias("schedules")
+            )
+        ),
+    ).otherwise(F.to_json(F.struct(F.array(lesson_struct).alias("exams"))))
+    raw = ev.select(
+        F.concat(F.lit("G"), F.col("user_id").cast("string")).alias("entity_name"),
+        F.lit("group").alias("entity_type"),
+        payload.alias("payload"),
+    )
+    docs, _quarantine = parse_schedule_json(raw)
+    out = shred_schedule_docs(docs)
+    return out.select(
+        "entity_name",
+        "subject",
+        "day_of_week",
+        "start_time",
+        "end_time",
+        F.array_join(F.col("week_numbers").cast("array<string>"), "|").alias(
+            "week_numbers"
+        ),
+        F.array_join("auditories", "|").alias("auditories"),
+        "exact_date",
+        "search_text",
     )
 
 
