@@ -502,45 +502,149 @@ def q_py_or_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4 — week-number default
 # ---------------------------------------------------------------------------
 
-_WEEK_DEFAULT_ORACLE = """
-SELECT p_partkey,
-       array_to_string(
-           CASE WHEN weeks IS NULL OR len(weeks) = 0 OR weeks = [0]
-                THEN [1, 2, 3, 4] ELSE weeks END, '|') AS week_numbers
-FROM (
-    SELECT p_partkey,
-           CASE WHEN p_partkey % 4 = 0 THEN CAST([] AS INT[])
-                WHEN p_partkey % 4 = 1 THEN [0]
-                WHEN p_partkey % 4 = 2 THEN CAST(NULL AS INT[])
-                ELSE [CAST(p_partkey % 5 + 1 AS INT), 2] END AS weeks
-    FROM part
+# E1 end-to-end: the oracle derives the FINAL student_groups SCD2 state
+# after an initial sync (t1) and a changed re-sync (t2) directly from the
+# customer/supplier tables — the Spark side actually runs the full job
+# DAG twice (merges, FK repair, semi-join filter, SCD2 transition).
+_ETL_JOB_ORACLE = """
+WITH src AS (
+    SELECT c_custkey AS id, c_name AS name,
+           CAST(c_custkey % 5 + 1 AS INT) AS course1,
+           CAST(c_custkey % 120 AS BIGINT) AS speciality_id,
+           CAST(c_custkey % 40 AS INT) AS students1
+    FROM customer
+    -- C2: FK-valid groups only (specialities dim = the supplier table)
+    WHERE (c_custkey % 120) IN (SELECT s_suppkey FROM supplier)
+), marked AS (
+    SELECT *,
+           (id % 13 = 0) AS gone2,              -- absent from snapshot 2
+           (id % 10 = 4) AS t2_change,          -- type-2: course changed
+           (id % 10 = 5) AS t1_change           -- type-1: student count
+    FROM src
 )
+-- closed rows: dropped keys and pre-change versions
+SELECT id, name, course1 AS course, speciality_id,
+       students1 AS number_of_students,
+       TIMESTAMP '2026-03-01' AS valid_from,
+       TIMESTAMP '2026-03-08' AS valid_to
+FROM marked WHERE gone2 OR t2_change
+UNION ALL
+-- reopened current versions after the type-2 change
+SELECT id, name, course1 + 1, speciality_id, students1,
+       TIMESTAMP '2026-03-08', NULL
+FROM marked WHERE t2_change AND NOT gone2
+UNION ALL
+-- type-1 patched in place (version identity kept) and unchanged rows
+SELECT id, name, course1, speciality_id,
+       CASE WHEN t1_change THEN students1 + 5 ELSE students1 END,
+       TIMESTAMP '2026-03-01', NULL
+FROM marked WHERE NOT gone2 AND NOT t2_change
 """
 
 
-@register("week_default", _WEEK_DEFAULT_ORACLE)
-def q_week_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: []/NULL/[0] → [1,2,3,4] (`iis_etl/logic.py:18-21`).
+@register("etl_job_sync", _ETL_JOB_ORACLE)
+def q_etl_job_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the WHOLE job DAG (`main.py:32-64` → `plans/etl_job.run_etl`)
+    driver-adjudicated. Builds API payloads from the fixture tables
+    (driver-side, like the reference's REST client), runs the full sync at
+    t1, then a changed re-sync at t2 seeded from the first run's outputs:
+    a type-2 course change (close+reopen), a type-1 student-count patch
+    (in place), and dropped keys (deletion-close). Returns the final
+    student_groups SCD2 history. Exercises M2-M4 merges, J1 FK repair, C2
+    semi-join filter, and every SCD2 transition (C1-C7) through the real
+    orchestration path rather than isolated operators."""
+    import pyarrow.parquet as pq
 
-    Output serialized '|'-joined (driver canonicalizer can't hash lists);
-    the operator itself (`default_weeks`) still returns the array.
-    """
-    from ..functions.normalize import default_weeks
+    from .etl_job import run_etl
 
-    part = read_fixture(spark, sf_dir, "part")
-    weeks = (
-        F.when(F.col("p_partkey") % 4 == 0, F.array().cast("array<int>"))
-        .when(F.col("p_partkey") % 4 == 1, F.array(F.lit(0)))
-        .when(F.col("p_partkey") % 4 == 2, F.lit(None).cast("array<int>"))
-        .otherwise(
-            F.array((F.col("p_partkey") % 5 + 1).cast("int"), F.lit(2))
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet").to_pylist()
+    customer = pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+
+    faculties = [
+        {"id": r["r_regionkey"], "name": r["r_name"], "abbrev": f"R{r['r_regionkey']}"}
+        for r in region
+    ]
+    departments = [
+        {
+            "id": n["n_nationkey"],
+            "name": n["n_name"],
+            "abbrev": None if n["n_nationkey"] % 3 == 0 else f"N{n['n_nationkey']}",
+        }
+        for n in nation
+    ]
+    specialities = [
+        {
+            "id": s["s_suppkey"],
+            "name": s["s_name"],
+            "abbrev": f"SP{s['s_suppkey']}",
+            "code": str(s["s_suppkey"]),
+            "educationForm": None
+            if s["s_suppkey"] % 4 == 0
+            else {"id": s["s_suppkey"] % 3 + 1, "name": f"Form{s['s_suppkey'] % 2}"},
+            # s_nationkey % 7 ∈ 0..6 but faculties are 0..4 → 5,6 dangle
+            # and get 'Unknown Faculty {id}'/'UNK-{id}' placeholders (J1)
+            "facultyId": s["s_nationkey"] % 7,
+        }
+        for s in supplier
+    ]
+
+    def groups_payload(resync: bool) -> list[dict]:
+        out = []
+        for c in customer:
+            k = c["c_custkey"]
+            if resync and k % 13 == 0:
+                continue  # C6: deletion-close on re-sync
+            course = k % 5 + 1
+            students = k % 40
+            if resync and k % 10 == 4:
+                course += 1  # C4: type-2 change
+            if resync and k % 10 == 5:
+                students += 5  # C5: type-1 patch
+            out.append(
+                {
+                    "id": k,
+                    "name": c["c_name"],
+                    "course": course,
+                    # invalid ids (0, >100) dropped by the C2 semi-join
+                    "specialityDepartmentEducationFormId": k % 120,
+                    "numberOfStudents": students,
+                }
+            )
+        return out
+
+    api1 = {
+        "current_week": 1,
+        "faculties": faculties,
+        "departments": departments,
+        "specialities": specialities,
+        "student_groups": groups_payload(resync=False),
+    }
+    out1 = run_etl(spark, api1, now_ts="2026-03-01 00:00:00")
+    seed = {
+        k: out1[k]
+        for k in (
+            "system_state",
+            "faculties",
+            "departments",
+            "specialities",
+            "student_groups",
+            "employees",
+            "departments_employees",
+            "auditories",
         )
-    )
-    return part.select(
-        "p_partkey",
-        F.array_join(
-            default_weeks(weeks).cast("array<string>"), "|"
-        ).alias("week_numbers"),
+    }
+    api2 = dict(api1, student_groups=groups_payload(resync=True))
+    out2 = run_etl(spark, api2, now_ts="2026-03-08 00:00:00", initial=seed)
+    return out2["student_groups"].select(
+        "id",
+        "name",
+        "course",
+        "speciality_id",
+        "number_of_students",
+        "valid_from",
+        "valid_to",
     )
 
 
