@@ -12,6 +12,7 @@ matching is `arrays_overlap(search_tokens, tokenize(query))`.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -184,3 +185,57 @@ def simhash64(col: Column | str, gram_n: int = 2) -> Column:
     return F.aggregate(
         votes, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
     )
+
+
+def winnow_fingerprints(k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): Rabin-Karp ROLLING hash over k-grams of the canonicalized
+    text, then the minimum hash per sliding window of ``window`` hashes
+    (rightmost-min tie-break) — the classic local fingerprinting scheme
+    whose selected hashes are position-robust: any match of length ≥
+    k+window-1 between two documents shares at least one fingerprint.
+
+    Returns an Arrow-batched pandas UDF: text → array<bigint> of sorted
+    distinct selected hashes. Vectorized numpy (the rolling hash is a
+    single cumulative multiply-add per document, the window minima one
+    sliding-window argmin) — per-row interpreted hashing would be the
+    slow path at corpus scale.
+    """
+    import numpy as np
+
+    base = np.uint64(1000003)  # polynomial base; arithmetic wraps mod 2^64
+
+    @F.pandas_udf("array<bigint>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = " ".join((t or "").lower().split())
+            if len(s) < k:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            # decode width varies with utf-8; hash over BYTES of the
+            # canonical form — deterministic and alphabet-agnostic
+            n = len(b) - k + 1
+            if n <= 0:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+            # windowed dot product ≡ the rolling recurrence mod 2^64
+            # (k multiply-adds per position, one vectorized matmul per
+            # doc — no per-byte Python loop)
+            hashes = (
+                np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+                @ powers
+            )
+            if n <= window:
+                sel = np.array([hashes.min()], dtype=np.uint64)
+            else:
+                m = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                # rightmost minimum per window (the paper's tie rule)
+                sel = m[np.arange(len(m)),
+                        window - 1 - np.argmin(m[:, ::-1], axis=1)]
+            out.append(np.unique(sel).astype(np.int64))
+        return pd.Series(out)
+
+    return winnow
