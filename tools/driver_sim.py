@@ -1,6 +1,7 @@
 """Driver-environment simulation: run every registry query the way the
-DRIVER does — a bare SparkSession (no build_session tuning: default ANSI,
-default shuffle partitions, default timezone handling comes from
+DRIVER does — a bare SparkSession with only the driver contract's own
+settings (local[*], spark.sql.shuffle.partitions=32; none of
+build_session's tuning — timezone/nanos handling must come from
 io.read_fixture's dynamic settings) — then push each result through the
 driver's pandas canonicalizer. Catches session-dependent breakage that
 tools/check_oracle.py (which uses build_session) cannot.

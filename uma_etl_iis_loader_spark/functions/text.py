@@ -16,7 +16,10 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf type annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_NONWORD = r"[^\p{L}\p{Nd}]+"
+# \p{N} (all Unicode numbers), NOT \p{Nd}: the DuckDB oracle's RE2 class
+# is \p{N}, and a No/Nl character ('²', 'Ⅻ') must tokenize identically
+# in both engines
+_NONWORD = r"[^\p{L}\p{N}]+"
 # ASCII-only variant used when the oracle must reproduce it (DuckDB's \w is
 # not unicode-aware in the same way)
 _NONWORD_ASCII = "[^a-z0-9]+"

@@ -130,6 +130,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     char_level: bool = False,
     prefix_filter: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ ``threshold``.
 
@@ -146,6 +147,12 @@ def ngram_jaccard_pairs(
 
     ``prefix_filter=False`` keeps the naive inverted-index count path
     (useful as an oracle for the filtered path and for tiny inputs).
+
+    ``pin=True`` (default) eagerly materializes the small pair output and
+    releases the cached/shingle intermediates immediately (no persist
+    leak across a long session); pass ``pin=False`` to keep the plan lazy
+    for composition or plan inspection — the caller then owns the cost of
+    re-evaluating the gram UDF per downstream reference.
     """
     g = _gram_table(docs, id_col, text_col, n, char_level)
     if not prefix_filter:
@@ -156,9 +163,9 @@ def ngram_jaccard_pairs(
         # materialized shingle table is also what a real pipeline persists
         # at corpus scale. sz rides along so no size joins are needed after
         # the pair count (functionally dependent on id — free groupBy key).
-        g = g.select(
-            "id", F.size("grams").alias("sz"), "grams"
-        ).localCheckpoint(eager=True)
+        g = g.select("id", F.size("grams").alias("sz"), "grams")
+        if pin:
+            g = g.localCheckpoint(eager=True)
         inv = g.select("id", "sz", F.explode("grams").alias("gram"))
         a, b = inv.alias("a"), inv.alias("b")
         return (
@@ -230,8 +237,9 @@ def ngram_jaccard_pairs(
     # the pair output is tiny relative to the cached gram table: pin it
     # eagerly (lineage truncated) so the persisted intermediate can be
     # released NOW instead of leaking for the session's lifetime
-    out = out.localCheckpoint(eager=True)
-    ordered.unpersist()
+    if pin:
+        out = out.localCheckpoint(eager=True)
+        ordered.unpersist()
     return out
 
 
@@ -301,8 +309,10 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     char_level: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified
+    (``pin`` as in ngram_jaccard_pairs: eager output + released caches).
 
     bands×rows = num_hashes; a pair collides if any band's row-slice
     matches exactly. Candidates are verified with exact gram Jaccard, so
@@ -354,8 +364,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
     )
     # pin the (small) verified pairs eagerly, release the signature cache
-    verified = verified.localCheckpoint(eager=True)
-    sigs.unpersist()
+    if pin:
+        verified = verified.localCheckpoint(eager=True)
+        sigs.unpersist()
     return verified
 
 
@@ -366,6 +377,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     gram_n: int = 2,
+    pin: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, banded into ``bands``
     16-bit chunks (pigeonhole: hamming ≤ bands-1 guarantees a band match),
@@ -406,8 +418,9 @@ def simhash_pairs(
         .select("id_a", "id_b")
     )
     # pin the (small) pair output eagerly, release the signature cache
-    out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
+    if pin:
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
     return out
 
 
@@ -480,6 +493,14 @@ def embedding_cosine_pairs(
         )
     if method != "tiled":
         raise ValueError(f"unknown method {method!r}: tiled|srp|crossjoin")
+
+    id_type = dict(v.dtypes)["id"]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"tiled cosine pair join requires an integral id column "
+            f"(got {id_type}); hash non-integral ids to int64 first, or "
+            f"use method='crossjoin' for type-agnostic exact pairs"
+        )
 
     # tile-pair ids (i ≤ j) each row participates in: (i, blk) for i < blk,
     # (blk, blk), (blk, j) for j > blk — `blocks` tiles per row.

@@ -333,7 +333,12 @@ def ivf_index_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probed = _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe)
+    # pin the probed assignment: it feeds both the probe-id collect and
+    # the scored join — without the pin the mapInPandas assignment job
+    # would execute twice per query batch
+    probed = _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe).localCheckpoint(
+        eager=True
+    )
     # the probed cell set is ≤ nlist — driver-sized by construction
     probe_ids = [
         r.centroid_id for r in probed.select("centroid_id").distinct().collect()

@@ -177,8 +177,8 @@ def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text analysis: token counting / quality / language / fingerprint — one
 # per-document projection (all four §2-extension text features share the
-# documents grain, so one registered query adjudicates them all; each
-# feature also has its own pytest in tests/test_text.py)
+# documents grain, so one registered query adjudicates them all against
+# the DuckDB oracle, every feature column value-hash-compared per row)
 # ---------------------------------------------------------------------------
 
 #  in a SQL literal; RE2 (DuckDB) and Java (Spark) agree on this
@@ -674,9 +674,10 @@ FROM un GROUP BY 1, 2
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid: posexplode → per-dimension mean — the
     distributed form of a k-means update step, emitted one row per
-    (label, dimension) so every value is a scalar the driver can hash
-    (re-assembly into an ordered array is a final F.transform over
-    collect_list(struct(idx, m)); exercised in tests/test_queries.py).
+    (label, dimension) so every value is a scalar the driver can hash.
+    (When an array container is needed downstream, re-assemble with
+    array_sort(collect_list(struct(idx, m))) + transform — the IVF
+    centroid build in operators/similarity.py covers the consuming path.)
 
     Mean is computed as exact-decimal sum ÷ count (one double division at
     the end): plain double `avg` is summation-order-sensitive, and with
