@@ -27,6 +27,7 @@ from ..operators.joins import (
     normalized_lookup,
     semi_fk_filter,
 )
+from ..operators.json_storage import schedule_blob_incoming, version_blobs
 from ..operators.merge import insert_if_absent, merge_upsert
 from ..operators.occupancy import rebuild_occupancy
 from ..operators.scd2 import scd2_apply
@@ -41,6 +42,7 @@ from ..schemas import (
     DEPARTMENTS_EMPLOYEES,
     EMPLOYEES,
     FACULTIES,
+    SCHEDULE_JSON_STORAGE,
     SPECIALITIES,
     STUDENT_GROUPS,
     SYSTEM_STATE,
@@ -398,6 +400,7 @@ def run_etl(
     employees = _seed("employees", EMPLOYEES)
     bridge = _seed("departments_employees", DEPARTMENTS_EMPLOYEES)
     auditories = _seed("auditories", AUDITORIES)
+    storage = _seed("schedule_json_storage", SCHEDULE_JSON_STORAGE)
 
     # Phase 1 — dimensions, strictly ordered (main.py:40-47)
     # iis_etl/logic.py:62-63: the KV upsert happens only when the fetched
@@ -426,6 +429,13 @@ def run_etl(
         "entity_name string, entity_type string, payload string",
     )
     docs, quarantine = parse_schedule_json(raw)
+    # raw-blob versioning happens on the UNFILTERED raw rows: the group
+    # path stores docs the shredder quarantines (no schedules/exams) —
+    # guard asymmetry lives in schedule_blob_incoming
+    # (`iis_etl/logic.py:282-297,413,432`)
+    storage = version_blobs(
+        storage, schedule_blob_incoming(raw, employees), now_ts
+    )
     events = shred_schedule_docs(docs)
     # J7: backfill number_of_students into current group rows
     counts = backfill_student_counts(docs)
@@ -462,6 +472,7 @@ def run_etl(
         "employees": employees,
         "departments_employees": bridge,
         "auditories": auditories,
+        "schedule_json_storage": storage,
         "schedule_events": events,
         "schedule_quarantine": quarantine,
         "occupancy_index": occupancy,

@@ -653,6 +653,118 @@ def q_etl_job_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# schedule_json_storage — raw-blob SCD2 versioning across a re-sync
+# ---------------------------------------------------------------------------
+# The oracle derives the expected blob history from the entity-selection
+# arithmetic: groups = customers with k%17=0 (payload '{}' → skipped when
+# k%51=0, a strict subset), t2 keeps k%34≠0 and adds k%23=0∧k%17≠0;
+# employees = suppliers with k%7=0 (no-content skip k%21=0 ⊂ k%7=0,
+# unresolved-url_id skip k%9=0), t2 keeps k%14≠0. Close-then-insert means
+# keys present both syncs get (t1→t2 closed) + (t2 open); keys fetched only
+# at t1 keep their OPEN row (absence never closes — unlike the dims' C6).
+# blob_wk proves the right payload version rides each validity row.
+
+_JSON_STORAGE_ORACLE = """
+WITH g AS (
+    SELECT c_custkey AS k, c_name AS name FROM customer
+    WHERE c_custkey % 17 = 0 AND c_custkey % 51 <> 0
+), e AS (
+    SELECT s_suppkey AS k FROM supplier
+    WHERE s_suppkey % 7 = 0 AND s_suppkey % 9 <> 0 AND s_suppkey % 21 <> 0
+)
+SELECT 'group' AS entity_type, name AS group_name,
+       CAST(NULL AS BIGINT) AS employee_id, 1 AS blob_wk,
+       TIMESTAMP '2026-03-01 00:00:00' AS valid_from,
+       CASE WHEN k % 34 <> 0 THEN TIMESTAMP '2026-03-08 00:00:00' END AS valid_to
+FROM g
+UNION ALL
+SELECT 'group', name, NULL, 2, TIMESTAMP '2026-03-08 00:00:00', NULL
+FROM g WHERE k % 34 <> 0
+UNION ALL
+SELECT 'group', c_name, NULL, 2, TIMESTAMP '2026-03-08 00:00:00', NULL
+FROM customer WHERE c_custkey % 23 = 0 AND c_custkey % 17 <> 0
+UNION ALL
+SELECT 'employee', NULL, k, 1, TIMESTAMP '2026-03-01 00:00:00',
+       CASE WHEN k % 14 <> 0 THEN TIMESTAMP '2026-03-08 00:00:00' END
+FROM e
+UNION ALL
+SELECT 'employee', NULL, k, 2, TIMESTAMP '2026-03-08 00:00:00', NULL
+FROM e WHERE k % 14 <> 0
+"""
+
+
+@register("json_storage_history", _JSON_STORAGE_ORACLE)
+def q_json_storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schedule_json_storage versioning (`iis_etl/logic.py:271-297`)
+    through the REAL job wiring: run_etl twice (t1 then a changed t2
+    seeded from t1's outputs) with group+employee schedule payloads, then
+    return the final blob history. Pins every guard: group `not data`
+    skip on '{}', group storage WITHOUT schedules/exams (asymmetric vs
+    the shredder's quarantine), employee no-content skip, employee
+    unresolved-url_id skip, close-then-insert across the re-sync, and
+    absence-does-NOT-close."""
+    import pyarrow.parquet as pq
+
+    from .etl_job import run_etl
+
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pylist()
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).to_pylist()
+
+    employees = [
+        {
+            "id": s["s_suppkey"],
+            "firstName": f"F{s['s_suppkey']}",
+            "lastName": f"L{s['s_suppkey']}",
+            # k%9=0 employees are skipped from the dim (F2) → their
+            # schedule entities can't resolve → blob skipped
+            "urlId": None if s["s_suppkey"] % 9 == 0 else f"emp-{s['s_suppkey']}",
+        }
+        for s in supplier
+    ]
+
+    def schedules_payload(sync: int) -> list[tuple[str, str, str]]:
+        out = []
+        for c in customer:
+            k = c["c_custkey"]
+            if k % 17 == 0 and (sync == 1 or k % 34 != 0):
+                body = "{}" if k % 51 == 0 else f'{{"wk": {sync}}}'
+                out.append((c["c_name"], "group", body))
+            if sync == 2 and k % 23 == 0 and k % 17 != 0:
+                out.append((c["c_name"], "group", '{"wk": 2}'))
+        for s in supplier:
+            k = s["s_suppkey"]
+            if k % 7 == 0 and (sync == 1 or k % 14 != 0):
+                body = (
+                    f'{{"wk": {sync}}}'  # no schedules/exams → employee skip
+                    if k % 21 == 0
+                    else f'{{"wk": {sync}, "schedules": {{"Понедельник": []}}}}'
+                )
+                out.append((f"emp-{k}", "employee", body))
+        return out
+
+    api1 = {"employees": employees, "schedules": schedules_payload(1)}
+    out1 = run_etl(spark, api1, now_ts="2026-03-01 00:00:00")
+    seed = {
+        k: out1[k]
+        for k in ("employees", "departments_employees", "schedule_json_storage")
+    }
+    api2 = {"employees": employees, "schedules": schedules_payload(2)}
+    out2 = run_etl(spark, api2, now_ts="2026-03-08 00:00:00", initial=seed)
+    return out2["schedule_json_storage"].select(
+        "entity_type",
+        "group_name",
+        "employee_id",
+        F.get_json_object("data", "$.wk").cast("int").alias("blob_wk"),
+        "valid_from",
+        "valid_to",
+    )
+
+
+# ---------------------------------------------------------------------------
 # X7 — asymmetric time parsing (lesson drops, exam defaults)
 # ---------------------------------------------------------------------------
 # time strings synthesized from events: valid 'H:MM' for most rows, garbage
