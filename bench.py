@@ -22,11 +22,15 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Breadth-representative headline set: the flagship, the write-pattern core
-# (merge/SCD2), window/backfill, and every training-data-pipeline family
-# (dedup x4, ANN x2, text x3). Quadratic all-pairs ops (embedding_cosine,
-# brute-force pair scan) are exercised via their bucketed/LSH variants.
+# (merge/SCD2), the two end-to-end adjudication heavyweights (full job DAG
+# re-sync, schedule shredder), window/backfill, and every training-data-
+# pipeline family (dedup x4, ANN x2, text x3). Quadratic all-pairs ops
+# (embedding_cosine, brute-force pair scan) are exercised via their
+# bucketed/LSH variants.
 HEADLINE = [
     "flagship_occupancy",
+    "etl_job_sync",
+    "shred_end_to_end",
     "merge_upsert_dim",
     "scd2_snapshot",
     "kv_state_latest",
@@ -43,7 +47,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "text_analysis",
     "search_tokenize",
-    "search_tokenize_ru",
+    "search_tokenize_ru_stem",
     "freq_items_users",
     "curation_pipeline",
     "stream_windowed_counts",
@@ -146,25 +150,53 @@ def main() -> None:
         .count()
     )
 
+    # Synthesized-fixture materialization, timed ONCE as setup: a real
+    # deployment reads schedule_events as a table — per-query numbers
+    # should measure the query plan, not re-deriving its input.
+    from uma_etl_iis_loader_spark.plans.fixtures import (
+        materialize_schedule_fixture,
+    )
+
+    t0 = time.time()
+    materialize_schedule_fixture(spark, sf_dir)
+    fixture_setup_s = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # per query: setup_s = plan construction + driver-side payload
+    # synthesis (the fn() call); query_s = execution (the count action).
     times: dict[str, float] = {}
+    setups: dict[str, float] = {}
     total = 0.0
+    setup_total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
+        t1 = time.time()
         df.count()
-        dt = round(time.time() - t0, 3)
+        dt = round(time.time() - t1, 3)
         times[name] = dt
+        setups[name] = round(t1 - t0, 3)
         total += dt
+        setup_total += t1 - t0
 
+    # "value" stays all-inclusive (comparable with earlier rounds, where
+    # fn()+count were timed together); the setup/query split is itemized
+    # alongside. NB queries that pin intermediates eagerly inside fn()
+    # (the LSH/ngram dedups) execute that work during "setup" — the split
+    # separates driver-side/plan-build/pin cost from the final action,
+    # the sum is always the whole query.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
+                "value": round(total + setup_total + fixture_setup_s, 3),
                 "unit": "sec",
                 "queries": times,
+                "setup": setups,
+                "setup_total_s": round(setup_total, 3),
+                "query_total_s": round(total, 3),
+                "fixture_setup_s": fixture_setup_s,
                 "sf": float(sf),
             }
         )

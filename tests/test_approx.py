@@ -24,15 +24,26 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
 
 def test_percentile_approx_within_rank_error(spark, sf_dir):
     """GK sketch at accuracy=10000 → rank error ≤ 1/10000; on 10k-ish rows
-    the approx quantile must sit within a few exact order statistics."""
+    the approx quantile must sit within a few exact order statistics.
+    (The registered approx_sketches_by_type query now performs this same
+    rank check IN-PLAN and emits it as a driver-hashed boolean; this test
+    pins the underlying sketch guarantee independently.)"""
     from pyspark.sql import functions as F
 
     from uma_etl_iis_loader_spark.io import read_fixture
-    from uma_etl_iis_loader_spark.plans.registry import QUERIES
 
     got = {
-        r.event_type: [float(x) for x in r.value_quantiles.split("|")]
-        for r in QUERIES["approx_sketches_by_type"](spark, sf_dir).collect()
+        r.event_type: [float(x) for x in r.qa]
+        for r in read_fixture(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value",
+                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                F.lit(10000),
+            ).alias("qa")
+        )
+        .collect()
     }
     # rank-based criterion (the GK guarantee IS a rank bound; a value band
     # misbehaves at tail quantiles of small groups): the fraction of group

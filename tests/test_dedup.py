@@ -154,3 +154,32 @@ def test_embedding_cosine_srp_no_false_positives(spark, sf_dir):
     assert srp <= exact
     # wide-band family on this corpus still recovers most true pairs
     assert len(srp) >= 0.5 * len(exact)
+
+
+def test_adaptive_path_selection(spark, sf_dir):
+    """prefix_filter=None picks the naive inverted-index join below the
+    threshold cutoff and PPJoin prefix filtering at/above it — pinned by
+    plan shape: the prefix path carries the df-ordering aggregate (a
+    collect_list over the (df, gram) order), the naive path does not."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        PREFIX_FILTER_MIN_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    lo = ngram_jaccard_pairs(docs, n=3, threshold=0.35, pin=False)
+    hi = ngram_jaccard_pairs(docs, n=3, threshold=0.7, pin=False)
+    assert 0.35 < PREFIX_FILTER_MIN_THRESHOLD <= 0.7
+    lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
+    hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
+    # the prefix path's signature operator: df-ordered gram reassembly
+    assert "collect_list" not in lo_plan  # naive: no ordering aggregate
+    assert "collect_list" in hi_plan  # prefix: (df, gram) reassembly
+    # and both paths stay exact: adaptive output == forced-naive output
+    hi_naive = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.7, prefix_filter=False, pin=False
+    )
+    assert sorted(map(tuple, hi.collect())) == sorted(
+        map(tuple, hi_naive.collect())
+    )

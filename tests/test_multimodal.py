@@ -18,8 +18,64 @@ def _assets(spark, sf_dir):
 
 
 def test_decode_stub_raises_without_codec():
+    from uma_etl_iis_loader_spark.operators.multimodal import _try_import_pillow
+
+    if _try_import_pillow() is not None:
+        pytest.skip("codec present — real path covered by the PIL-gated tests")
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"\x89PNG...")
+
+
+# --- PIL-gated real-decode path (skips in this codec-less container; a
+# codec-equipped host runs the genuine decode/resize instead of the
+# stride stub) ---
+
+
+def _png_bytes(w: int, h: int, seed: int) -> bytes:
+    import io as _io
+
+    from PIL import Image
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    sink = _io.BytesIO()
+    img.save(sink, format="PNG")
+    return sink.getvalue()
+
+
+def test_real_decode_image_roundtrip():
+    pytest.importorskip("PIL")
+    img = decode_image(_png_bytes(12, 7, seed=1))
+    assert img.size == (12, 7)
+
+
+def test_real_resize_through_spark(spark):
+    pytest.importorskip("PIL")
+    import io as _io
+
+    from PIL import Image
+
+    from uma_etl_iis_loader_spark.operators.multimodal import resize_images
+
+    rows = [(i, _png_bytes(20 + i, 10 + i, seed=i)) for i in range(4)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = resize_images(assets, target_w=8, target_h=8).collect()
+    assert len(out) == 4
+    for r in out:
+        decoded = Image.open(_io.BytesIO(bytes(r.payload)))
+        assert decoded.size == (8, 8)  # real PIL resize, PNG re-encoded
+
+
+def test_real_resize_falls_back_on_non_image_payload(spark):
+    pytest.importorskip("PIL")
+    from uma_etl_iis_loader_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [(1, b"definitely not an image")], "asset_id long, payload binary"
+    )
+    (r,) = resize_images(assets, target_w=4, target_h=4).collect()
+    assert len(r.payload) == 16  # per-row stride fallback, not a crash
 
 
 def test_fake_decode_features(spark, sf_dir):

@@ -28,3 +28,51 @@ def test_winnow_fingerprints_guarantee_and_robustness(spark):
         for r in df.select("doc_id", fp("text").alias("fps")).collect()
     }
     assert got == got2
+
+
+def test_ru_light_stem_golden_pairs(spark):
+    """Inflection pairs collapse to one lexeme (the tsvector-like
+    behavior the raw-token path lacks); non-Cyrillic tokens and short
+    stems pass through unchanged."""
+    from uma_etl_iis_loader_spark.functions.text import ru_light_stem
+
+    from pyspark.sql import functions as F
+
+    pairs = [
+        ("лекции", "лекция"),
+        ("студентов", "студенты"),
+        ("кафедрой", "кафедра"),
+        ("расписанию", "расписание"),
+        ("занятие", "занятия"),
+        ("аудитория", "аудитории"),
+        ("математика", "математики"),
+        ("информатике", "информатика"),
+        ("корпуса", "корпус"),
+        ("тёмный", "темный"),  # ё→е normalization
+    ]
+    rows = [(a, b) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a string, b string").select(
+        ru_light_stem("a").alias("sa"), ru_light_stem("b").alias("sb")
+    )
+    for r in df.collect():
+        assert r.sa == r.sb, f"{r.sa} != {r.sb}"
+
+    passthrough = ["дом", "мир", "и", "по", "emp-7", "123", "prio", "gpu"]
+    df2 = spark.createDataFrame([(w,) for w in passthrough], "w string")
+    got = [r[0] for r in df2.select(ru_light_stem("w")).collect()]
+    assert got == passthrough
+
+
+def test_tokenize_stemmed_dedups_lexemes(spark):
+    """Distinct inflections of one lemma yield ONE token after stemming."""
+    from uma_etl_iis_loader_spark.functions.text import tokenize_stemmed
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Лекции по лекция: аудитория аудитории!",)], "text string"
+    )
+    toks = df.select(tokenize_stemmed("text").alias("t")).collect()[0].t
+    assert toks.count("лекц") == 1
+    assert toks.count("аудитор") == 1
+    assert "по" in toks  # short word untouched

@@ -45,6 +45,45 @@ def tokenize(col: Column | str, ascii_only: bool = False) -> Column:
     return F.array_sort(F.array_distinct(toks))
 
 
+# Russian light stemmer: one longest-match suffix strip from an ordered
+# alternation (longest alternatives first), with a ≥3-char stem guard and
+# ё→е pre-normalization — the light-stemmer approach of Savoy & Dolamic
+# (CLEF Russian ad-hoc work; also the shape of Lucene's
+# RussianLightStemmer), covering the noun/adjective case system that
+# dominates schedule text. A documented simplification of
+# to_tsvector('russian')'s full Snowball dictionary
+# (`iis_etl/logic.py:394-404`): no perfective-gerund or superlative
+# passes. The pattern is engine-portable (Java regex AND RE2): lazy-prefix
+# `.{3,}?` fixes the split position (both engines try shortest prefix =
+# longest suffix first), no lookarounds, no backreferences in the match.
+RU_STEM_PATTERN = (
+    r"^(.{3,}?)(?:"
+    r"иями|ьями|иях|ьях|иям|ьям|ями|ами|его|ого|ему|ому|ыми|ими|"
+    r"ах|ях|ам|ям|ов|ев|ой|ей|ый|ий|ая|яя|ую|юю|ое|ее|ие|ые|"
+    r"ом|ем|им|ым|их|ых|ою|ею|ия|ья|ью|ии|ию|"
+    r"а|я|о|е|и|й|ы|у|ю|ь"
+    r")$"
+)
+
+
+def ru_light_stem(col: Column | str) -> Column:
+    """Stem one lowercase Russian token (JVM-side regexp, no UDF).
+    Non-Cyrillic tokens pass through unchanged (the suffix alternatives
+    are all Cyrillic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, "ё", "е"), RU_STEM_PATTERN, "$1"
+    )
+
+
+def tokenize_stemmed(col: Column | str) -> Column:
+    """`tokenize` + per-token Russian light stem, re-deduped and
+    re-sorted (distinct inflections collapse to one lexeme — the
+    tsvector-like behavior the raw-token path lacks)."""
+    toks = tokenize(col, ascii_only=False)
+    return F.array_sort(F.array_distinct(F.transform(toks, ru_light_stem)))
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (fast path for budget/quality filters)."""
     c = F.col(col) if isinstance(col, str) else col

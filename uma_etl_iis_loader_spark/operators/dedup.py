@@ -122,6 +122,15 @@ def _gram_table(
     )
 
 
+# Threshold cutoff for automatic path selection: at t ≥ 0.6 the PPJoin
+# prefix is ≤ ~40% of each doc's grams and candidate pruning beats the
+# naive join's hot-gram quadratic blowup; below it the prefix covers most
+# of the doc (at t=0.35 it is ~65%), so the extra df-ordering shuffle +
+# verify join cost more than they prune. Measured on the fixture corpus
+# (see tests/test_dedup.py::test_adaptive_path_selection and bench notes).
+PREFIX_FILTER_MIN_THRESHOLD = 0.6
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,7 +138,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     char_level: bool = False,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
     pin: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ ``threshold``.
@@ -145,8 +154,13 @@ def ngram_jaccard_pairs(
     intermediate shrinks from Σ(posting list)² pair rows to only
     rare-token collisions.
 
-    ``prefix_filter=False`` keeps the naive inverted-index count path
-    (useful as an oracle for the filtered path and for tiny inputs).
+    ``prefix_filter=None`` (default) selects the path from the threshold:
+    prefix filtering at t ≥ PREFIX_FILTER_MIN_THRESHOLD (where the prefix
+    is short and posting-list pruning wins — the 100 TB path for
+    dedup-grade thresholds), the naive inverted-index join below it
+    (where the prefix covers most grams and pruning can't pay for its
+    df-ordering shuffle). Both paths produce identical output
+    (equivalence pytest-pinned); pass an explicit bool to force one.
 
     ``pin=True`` (default) eagerly materializes the small pair output and
     releases the cached/shingle intermediates immediately (no persist
@@ -154,6 +168,8 @@ def ngram_jaccard_pairs(
     for composition or plan inspection — the caller then owns the cost of
     re-evaluating the gram UDF per downstream reference.
     """
+    if prefix_filter is None:
+        prefix_filter = threshold >= PREFIX_FILTER_MIN_THRESHOLD
     g = _gram_table(docs, id_col, text_col, n, char_level)
     if not prefix_filter:
         # Pin the gram table eagerly: the self-join references it twice and

@@ -145,12 +145,14 @@ def resize_images(
     """Image resize kernel: (asset_id, width, height, payload) with the
     payload re-encoded at target dimensions.
 
-    With a codec (PIL) present this is a real `Image.resize`; in this
-    container it falls back to a deterministic byte-stride downsample —
-    payload strided to exactly target_w*target_h bytes (cycled when the
-    source is smaller) — so the Spark plumbing (binary in/out through
-    Arrow, metadata column rewrite, per-partition batching) is identical
-    to production and fully testable.
+    With a codec (PIL) present, payloads that decode as images go through
+    a real `Image.resize` (PNG re-encode); payloads that don't (and every
+    payload in this codec-less container) fall back per-row to a
+    deterministic byte-stride downsample — payload strided to exactly
+    target_w*target_h bytes (cycled when the source is smaller) — so the
+    Spark plumbing (binary in/out through Arrow, metadata column rewrite,
+    per-partition batching) is identical to production and fully testable
+    on any host.
     """
     pillow = _try_import_pillow()
 
@@ -160,13 +162,21 @@ def resize_images(
             out = []
             for _, r in pdf.iterrows():
                 buf = r["payload"] or b""
-                if pillow is not None:
+                resized = None
+                if pillow is not None and len(buf) > 0:
                     import io as _io
 
-                    img = pillow.open(_io.BytesIO(buf)).resize((target_w, target_h))
-                    sink = _io.BytesIO()
-                    img.save(sink, format="PNG")
-                    resized = sink.getvalue()
+                    try:
+                        img = pillow.open(_io.BytesIO(buf)).resize(
+                            (target_w, target_h)
+                        )
+                        sink = _io.BytesIO()
+                        img.save(sink, format="PNG")
+                        resized = sink.getvalue()
+                    except Exception:
+                        resized = None  # not an image — stride fallback
+                if resized is not None:
+                    pass
                 elif len(buf) == 0:
                     resized = b"\x00" * n_out
                 else:

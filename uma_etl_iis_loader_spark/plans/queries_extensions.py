@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint, lang_id, quality_score, token_count
 from ..io import read_fixture
@@ -77,17 +78,17 @@ WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs ≥ 0.35.
 
-    prefix_filter=False here: at t=0.35 the PPJoin prefix is ~65% of each
-    doc's grams, so on this short-posting-list corpus the naive
-    inverted-index count (one gram shuffle + one pair groupBy, no verify
-    join) wins; the prefix path is the high-threshold / hot-gram scale
-    path (see operators/dedup.py and tests' exact-equivalence check).
+    The registered path is threshold-ADAPTIVE (prefix_filter=None):
+    ngram_jaccard_pairs picks PPJoin prefix filtering at t ≥ 0.6 (short
+    prefix, posting-list pruning wins — the hot-gram 100 TB path) and the
+    naive inverted-index count below (at t=0.35 the prefix is ~65% of
+    each doc's grams, so pruning can't pay for its shuffles). Selection
+    is pytest-pinned; both paths are exact and output-identical.
     """
     return ngram_jaccard_pairs(
         read_fixture(spark, sf_dir, "documents"),
         n=3,
         threshold=0.35,
-        prefix_filter=False,
     )
 
 
@@ -280,8 +281,11 @@ def q_multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Frame indices are pure arithmetic over payload length (evenly spaced,
 # capped at max_frames) — so coverage and sampling positions ARE
-# oracle-checkable even though the frame bytes themselves are not.
-_FRAME_SAMPLE_ORACLE = """
+# oracle-checkable even though the frame bytes themselves are not. Frame
+# sampling and resize are merged under one `op` discriminator (one driver
+# row adjudicates both kernels, freeing a slot in the driver's 50-query
+# correctness window).
+_MM_TRANSFORM_ORACLE = """
 WITH meta AS (
     SELECT doc_id AS asset_id,
            greatest(octet_length(encode(text)) // 1024, 1) AS n_frames
@@ -291,43 +295,49 @@ WITH meta AS (
            greatest(n_frames // 8, 1) AS step
     FROM meta
 )
-SELECT asset_id, CAST(u.i AS INT) AS frame_idx
+SELECT 'frame_sample' AS op, asset_id, CAST(u.i AS INT) AS idx,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS n_bytes
 FROM stepped, range(0, 8) AS u(i)
 WHERE u.i < least((n_frames + step - 1) // step, 8)
+UNION ALL
+SELECT 'resize', doc_id, NULL, 16, 16, 256 FROM documents
 """
 
 
-@register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over opaque payloads. The oracle reproduces the
-    deterministic sampling arithmetic (frame count, stride, cap) from the
-    payload byte length; the frame payload bytes are pinned in pytest."""
-    from ..operators.multimodal import documents_as_assets, frame_sample
+@register("multimodal_transform", _MM_TRANSFORM_ORACLE)
+def q_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize over opaque payloads, tagged by `op`. The
+    oracle reproduces the deterministic sampling arithmetic (frame count,
+    stride, cap) from the payload byte length and the resize coverage
+    contract (one row per asset at target dims); the payload bytes
+    themselves are codec-stubbed — determinism and byte shape are pinned
+    in tests/test_multimodal.py."""
+    from ..operators.multimodal import (
+        documents_as_assets,
+        frame_sample,
+        resize_images,
+    )
 
     assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
-    return frame_sample(assets).select("asset_id", "frame_idx")
-
-
-_RESIZE_ORACLE = """
-SELECT doc_id AS asset_id, 16 AS width, 16 AS height, 256 AS n_bytes
-FROM documents
-"""
-
-
-@register("multimodal_resize", _RESIZE_ORACLE)
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize kernel metadata surface (payload bytes themselves are
-    codec-stubbed — determinism and byte shape pinned in pytest; the
-    oracle checks coverage: one row per asset at the target dims)."""
-    from ..operators.multimodal import documents_as_assets, resize_images
-
-    assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
-    return resize_images(assets, target_w=16, target_h=16).select(
+    null_i = F.lit(None).cast("int")
+    frames = frame_sample(assets).select(
+        F.lit("frame_sample").alias("op"),
         "asset_id",
-        "width",
-        "height",
+        F.col("frame_idx").cast("int").alias("idx"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        null_i.alias("n_bytes"),
+    )
+    resized = resize_images(assets, target_w=16, target_h=16).select(
+        F.lit("resize").alias("op"),
+        "asset_id",
+        null_i.alias("idx"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
         F.length("payload").cast("int").alias("n_bytes"),
     )
+    return frames.unionByName(resized)
 
 
 # ---------------------------------------------------------------------------
@@ -745,71 +755,269 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (no SQL oracle by design) — registered LAST so the
-# driver's 50-row correctness window always covers every oracled query
-# first. Each merged query carries a `method` discriminator column so one
-# driver row adjudicates both underlying operators.
+# sketch / ANN / LSH adjudication — registered LAST. Approximate operators
+# can't be enumerated by a SQL oracle directly, so each query emits
+# VERIFIED PROPERTIES computed in-plan (exact values + bound-check
+# booleans the oracle asserts literally): a violated bound flips a value
+# the driver hashes, so the correctness gate catches sketch regressions.
 # ---------------------------------------------------------------------------
 
+# Exact word-3-gram Jaccard ≥ 0.35 pair set (same derivation as
+# _NGRAM_JACCARD_ORACLE) + the two literal property rows.
+_LSH_ORACLE = """
+WITH g AS (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+               range(1, greatest(len(words) - 2, 0) + 1),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2])
+           )) AS grams
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+          FROM documents)
+), inv AS (
+    SELECT id, u.gram FROM g, unnest(g.grams) AS u(gram)
+), shared AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.id < b.id
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT id, len(grams) AS sz FROM g
+)
+SELECT 'minhash_lsh' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS val
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
+UNION ALL
+SELECT 'minhash_recall', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 1.0
+UNION ALL
+SELECT 'simhash_precision_ok', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 1.0
+"""
 
-@register("dedup_lsh_pairs")
+
+@register("dedup_lsh_pairs", _LSH_ORACLE)
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+16-band LSH pairs (exact-Jaccard verified ≥ 0.35, word
-    3-gram shingles — char shingles on a shared-vocabulary corpus push
-    baseline Jaccard so high that LSH buckets degenerate to ~all pairs)
-    UNION SimHash64 pairs (hamming ≤ 3 via 4-band pigeonhole), tagged by
-    `method`. Rows-only: both signature hashes are engine-specific;
-    equivalence to exact Jaccard / exact Hamming is pytest-pinned in
-    tests/test_dedup.py."""
+    """MinHash(64)+16-band LSH near-dup pipeline, driver-adjudicated
+    against the exact word-3-gram Jaccard oracle:
+
+    - `minhash_lsh` pair rows — the exact-verified LSH output. Verify
+      makes false positives impossible; the banding parameters make
+      recall 1.0 on this corpus (every qualifying pair sits at J ≥ 0.8,
+      where 16-band/4-row capture probability is ≈ 1 — measured 1.0 at
+      sf0.001/0.01/0.1), so the emitted set must EQUAL the oracle's
+      exact pair set: a missed or spurious pair hash-mismatches.
+    - `minhash_recall` row — |found ∩ exact| / |exact| computed in-plan;
+      oracle asserts the literal 1.0.
+    - `simhash_precision_ok` row — 1.0 iff ≥ 90% of SimHash64
+      hamming ≤ 3 pairs (4-band pigeonhole + popcount verify) are in the
+      exact J ≥ 0.35 set (measured precision: 1.0 at all SFs; SimHash
+      pair identities themselves are signature-specific, so they stay
+      pytest-pinned in tests/test_dedup.py).
+    """
     docs = read_fixture(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.35, char_level=False, prefix_filter=False
+    )
     mh = minhash_lsh_pairs(
         docs, num_hashes=64, bands=16, n=3, threshold=0.35, char_level=False
-    ).withColumn("method", F.lit("minhash_lsh"))
-    sh = simhash_pairs(docs, max_hamming=3).withColumn(
-        "method", F.lit("simhash")
     )
-    return mh.unionByName(sh)
+    sh = simhash_pairs(docs, max_hamming=3)
+
+    null_d = F.lit(None).cast("double")
+    pair_rows = mh.select(
+        F.lit("minhash_lsh").alias("method"),
+        "id_a",
+        "id_b",
+        null_d.alias("val"),
+    )
+    recall_row = (
+        exact.join(mh.withColumn("__f", F.lit(True)), ["id_a", "id_b"], "left")
+        .agg(
+            F.coalesce(
+                F.round(F.sum(F.when(F.col("__f"), 1).otherwise(0)) / F.count(F.lit(1)), 3),
+                F.lit(1.0),
+            ).alias("val")
+        )
+        .select(
+            F.lit("minhash_recall").alias("method"),
+            F.lit(-1).cast("long").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            "val",
+        )
+    )
+    precision_row = (
+        sh.join(exact.withColumn("__x", F.lit(True)), ["id_a", "id_b"], "left")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__x"), 1).otherwise(0)) / F.count(F.lit(1)),
+                F.lit(1.0),
+            ).alias("prec")
+        )
+        .select(
+            F.lit("simhash_precision_ok").alias("method"),
+            F.lit(-1).cast("long").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.when(F.col("prec") >= 0.9, 1.0).otherwise(0.0).alias("val"),
+        )
+    )
+    return pair_rows.unionByName(recall_row).unionByName(precision_row)
 
 
-@register("knn_ann")
+# Every query gets exactly k=10 brute-force neighbors (corpus ≥ 500 ≫ k),
+# so the oracle enumerates (method × query) with the literal floor bools.
+_KNN_ANN_ORACLE = """
+SELECT m.method, e.vec_id AS query_id, 10 AS n_results, TRUE AS recall_ok
+FROM embeddings e, (VALUES ('ivf'), ('srp_lsh')) m(method)
+WHERE e.vec_id % 25 = 0
+"""
+
+
+@register("knn_ann", _KNN_ANN_ORACLE)
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors by two ANN strategies, tagged by
-    `method`: IVF (nlist=16, nprobe=4 — deterministic centroids, the
-    partition-pruning path) and signed-random-projection LSH (16 bits,
-    8 bands — data-independent, append-stable index). Rows-only:
-    approximate by design; recall floors vs brute force are pytest-pinned
-    in tests/test_similarity.py."""
+    """Approximate top-10 neighbors, driver-adjudicated as per-query
+    recall@10 vs brute force computed in-plan: IVF (nlist=16, nprobe=4 —
+    the partition-pruning path) and signed-random-projection LSH (16
+    bits, 8 bands — data-independent, append-stable). `recall_ok` floors
+    are set from the measured per-query minimum across sf0.001/0.01/0.1
+    (IVF ≥ 0.20 observed → floor 0.15; SRP ≥ 0.80 observed → floor 0.7);
+    the oracle asserts every row TRUE, so one degraded query flips a
+    hashed value. `n_results` pins output cardinality (exactly k)."""
     from ..operators.similarity import srp_lsh_topk
 
     emb = read_fixture(spark, sf_dir, "embeddings", split=False)
-    ivf = ivf_topk(
-        emb, _query_vectors(spark, sf_dir), k=10, nlist=16, nprobe=4
-    ).withColumn("method", F.lit("ivf"))
-    srp = srp_lsh_topk(
-        emb, _query_vectors(spark, sf_dir), k=10, n_bits=16, bands=8, d=64
-    ).withColumn("method", F.lit("srp_lsh"))
-    return ivf.unionByName(srp)
+    queries = _query_vectors(spark, sf_dir)
+    brute = brute_force_topk(emb, queries, k=10)
 
+    def per_query(approx: DataFrame, method: str, floor: float) -> DataFrame:
+        hits = brute.join(
+            approx.select("query_id", "neighbor_id").withColumn("__f", F.lit(True)),
+            ["query_id", "neighbor_id"],
+            "left",
+        ).groupBy("query_id").agg(
+            (F.sum(F.when(F.col("__f"), 1).otherwise(0)) / F.count(F.lit(1))).alias(
+                "recall"
+            )
+        )
+        n = approx.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_results")
+        )
+        return hits.join(n, "query_id").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "n_results",
+            (F.col("recall") >= floor).alias("recall_ok"),
+        )
 
-@register("approx_sketches_by_type")
-def q_approx_sketches_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch aggregates per event type: HLL++ distinct users
-    (rsd 2%) and Greenwald-Khanna value quantiles (p50/p95/p99, '|'-
-    serialized so the driver can hash the row). Rows-only: sketch
-    estimates are engine-specific; error bounds vs exact counts/
-    percentiles are pytest-pinned in tests/test_approx.py. Single-pass
-    mergeable state is the 100 TB path — exact forms need a full sort or
-    exact distinct per group."""
-    events = read_fixture(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.array_join(
-            F.percentile_approx(
-                "value",
-                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
-                F.lit(10000),
-            ).cast("array<string>"),
-            "|",
-        ).alias("value_quantiles"),
-        F.count(F.lit(1)).alias("n_events"),
+    ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    srp = srp_lsh_topk(emb, queries, k=10, n_bits=16, bands=8, d=64)
+    return per_query(ivf, "ivf", 0.15).unionByName(
+        per_query(srp, "srp_lsh", 0.7)
     )
+
+
+# Exact values computed in SQL; bound booleans asserted literally. The
+# discrete quantile is the element at rank ceil(p·n) (1-indexed, value
+# ascending) — identical explicit definition on both sides, so the double
+# compares byte-equal with no interpolation-order risk.
+_SKETCH_ORACLE = """
+WITH s AS (
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS xu
+    FROM events GROUP BY 1
+), r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+    FROM events
+), t AS (
+    SELECT s.event_type, v.stat, CAST(ceil(v.p * s.n) AS BIGINT) AS tr
+    FROM s, (VALUES (0.5, 'q50'), (0.95, 'q95'), (0.99, 'q99')) v(p, stat)
+)
+SELECT event_type, 'users' AS stat, CAST(xu AS DOUBLE) AS exact_val,
+       TRUE AS ok
+FROM s
+UNION ALL
+SELECT event_type, 'n_events', CAST(n AS DOUBLE), TRUE FROM s
+UNION ALL
+SELECT t.event_type, t.stat, r.value, TRUE
+FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.tr
+"""
+
+
+@register("approx_sketches_by_type", _SKETCH_ORACLE)
+def q_approx_sketches_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates per event type, driver-adjudicated as
+    property rows (exact value + in-plan bound check):
+
+    - `users`: exact distinct count; `ok` = HLL++ (rsd 2%) estimate
+      within 8% relative error (4σ of the configured rsd).
+    - `q50/q95/q99`: exact discrete quantile (element at rank ceil(p·n));
+      `ok` = the GK (accuracy 10⁴ → ε 10⁻⁴) estimate's true rank window
+      [count(<v)/n, count(≤v)/n] overlaps p ± 0.005.
+    - `n_events`: exact row count (always-true anchor row).
+
+    Single-pass mergeable sketch state is the 100 TB path — the exact
+    forms here (distinct, per-group sort) exist only to verify it.
+    """
+    events = read_fixture(spark, sf_dir, "events")
+    base = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.countDistinct("user_id").alias("xu"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+        ).alias("qa"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    users = base.select(
+        "event_type",
+        F.lit("users").alias("stat"),
+        F.col("xu").cast("double").alias("exact_val"),
+        (F.abs(F.col("au") - F.col("xu")) / F.col("xu") <= 0.08).alias("ok"),
+    )
+    n_events = base.select(
+        "event_type",
+        F.lit("n_events").alias("stat"),
+        F.col("n").cast("double").alias("exact_val"),
+        F.lit(True).alias("ok"),
+    )
+    # approx quantile values + their target p, one row per (type, p)
+    qa = base.select(
+        "event_type",
+        "n",
+        F.posexplode("qa").alias("pos", "av"),
+    ).withColumn(
+        "p", F.element_at(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.col("pos") + 1)
+    ).withColumn(
+        "stat",
+        F.element_at(F.array(F.lit("q50"), F.lit("q95"), F.lit("q99")), F.col("pos") + 1),
+    )
+    # rank window of each approx value within its group (one broadcast of
+    # 3·|types| rows against the events scan — no extra sort)
+    rank_check = (
+        events.join(F.broadcast(qa), "event_type")
+        .groupBy("event_type", "stat", "p", "n")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("av"), 1).otherwise(0)).alias("le"),
+            F.sum(F.when(F.col("value") < F.col("av"), 1).otherwise(0)).alias("lt"),
+        )
+        .select(
+            "event_type",
+            "stat",
+            (
+                (F.col("le") / F.col("n") >= F.col("p") - 0.005)
+                & (F.col("lt") / F.col("n") <= F.col("p") + 0.005)
+            ).alias("ok"),
+        )
+    )
+    # exact discrete quantile: element at rank ceil(p·n), value ascending
+    w = Window.partitionBy("event_type").orderBy("value")
+    targets = qa.select(
+        "event_type", "stat", F.ceil(F.col("p") * F.col("n")).alias("tr")
+    )
+    exact_q = (
+        events.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(targets), "event_type")
+        .filter(F.col("rn") == F.col("tr"))
+        .select("event_type", "stat", F.col("value").alias("exact_val"))
+    )
+    quant = exact_q.join(rank_check, ["event_type", "stat"]).select(
+        "event_type", "stat", "exact_val", "ok"
+    )
+    return users.unionByName(n_events).unionByName(quant)

@@ -1080,67 +1080,50 @@ def q_day_case_and_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.9/X10 — search tokenizer (TSVECTOR replacement)
 # ---------------------------------------------------------------------------
 
-_TOKENIZE_ORACLE = """
-SELECT doc_id,
-       array_to_string(list_sort(list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''
-       ))), '|') AS tokens
-FROM documents
-"""
+# The English (ASCII classes, documents table) and Cyrillic (unicode
+# \\p{L}/\\p{N} classes + unicode lower, synthesized Russian schedule
+# text) tokenizer paths are merged under one `lang` discriminator — one
+# driver row adjudicates both, freeing a slot in the 50-query window.
+# Java and RE2 agree on \\p{L}; both engines lowercase Cyrillic correctly.
 
-
-@register("search_tokenize", _TOKENIZE_ORACLE)
-def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9: tokenizer replacing to_tsvector (`iis_etl/logic.py:394-404`):
-    lowercase → split non-word → dedup → sort ('|'-joined for the driver
-    hash; tokens contain no '|')."""
-    from ..functions.text import tokenize
-
-    docs = read_fixture(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.array_join(tokenize("text", ascii_only=True), "|").alias("tokens"),
-    )
-
-
-# Cyrillic variant: the reference's actual search corpus is Russian
-# (to_tsvector('russian', ...), `iis_etl/logic.py:394-404`); this drives
-# the unicode-aware tokenizer (\\p{L}/\\p{Nd} classes + unicode lower)
-# over synthesized Russian schedule text. Java and RE2 agree on \\p{L};
-# both engines lowercase Cyrillic correctly.
-
-_TOKENIZE_RU_ORACLE = f"""
-WITH src AS (
+_RU_SRC_SQL = """
     SELECT o_orderkey,
            concat_ws(' ',
-               {_DAY_CASE_SQL.replace('day_of_week',
-                   "CAST(datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1 AS INT)")},
+               {day_case},
                'Аудитория', CAST(o_orderkey % 500 AS VARCHAR),
                'корпус-А', o_orderpriority,
                'Занятие по Расписанию') AS text
     FROM orders
+""".format(
+    day_case=_DAY_CASE_SQL.replace(
+        "day_of_week",
+        "CAST(datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1 AS INT)",
+    )
 )
-SELECT o_orderkey,
+
+_TOKENIZE_ORACLE = f"""
+WITH src AS ({_RU_SRC_SQL})
+SELECT 'en' AS lang, doc_id AS id,
+       array_to_string(list_sort(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''
+       ))), '|') AS tokens
+FROM documents
+UNION ALL
+SELECT 'ru', o_orderkey,
        array_to_string(list_sort(list_distinct(list_filter(
            regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
            x -> x <> ''
-       ))), '|') AS tokens
+       ))), '|')
 FROM src
 """
 
 
-@register("search_tokenize_ru", _TOKENIZE_RU_ORACLE)
-def q_search_tokenize_ru(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 unicode branch: Russian search text through the non-ASCII
-    tokenizer path (`iis_etl/logic.py:394-404` — the reference's corpus is
-    Russian; raw-token match, no dictionary stemming, documented deviation
-    SURVEY.md §2.9)."""
+def _ru_search_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.normalize import day_name_expr
-    from ..functions.text import tokenize
     from .fixtures import day_of_week_expr
 
     orders = read_fixture(spark, sf_dir, "orders")
-    src = orders.select(
+    return orders.select(
         "o_orderkey",
         F.concat_ws(
             " ",
@@ -1152,9 +1135,71 @@ def q_search_tokenize_ru(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Занятие по Расписанию"),
         ).alias("text"),
     )
-    return src.select(
-        "o_orderkey",
+
+
+@register("search_tokenize", _TOKENIZE_ORACLE)
+def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: tokenizer replacing to_tsvector (`iis_etl/logic.py:394-404`):
+    lowercase → split non-word → dedup → sort ('|'-joined for the driver
+    hash; tokens contain no '|'). `lang` rows: 'en' = ASCII classes over
+    documents; 'ru' = the unicode-aware path over Russian schedule text
+    (the reference's actual corpus; raw tokens here — stemming is
+    adjudicated by search_tokenize_ru_stem)."""
+    from ..functions.text import tokenize
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    en = docs.select(
+        F.lit("en").alias("lang"),
+        F.col("doc_id").alias("id"),
+        F.array_join(tokenize("text", ascii_only=True), "|").alias("tokens"),
+    )
+    ru = _ru_search_src(spark, sf_dir).select(
+        F.lit("ru").alias("lang"),
+        F.col("o_orderkey").alias("id"),
         F.array_join(tokenize("text", ascii_only=False), "|").alias("tokens"),
+    )
+    return en.unionByName(ru)
+
+
+# Stemmed variant: closes the one semantic deviation from the reference's
+# to_tsvector('russian', ...) dictionary stemming. The oracle applies the
+# IDENTICAL suffix-strip regex (engine-portable by construction — see
+# functions/text.RU_STEM_PATTERN) inside DuckDB, so lexeme collapse is
+# hash-adjudicated end-to-end; linguistic adequacy (inflection pairs
+# collapsing to one stem) is pinned in tests/test_text.py.
+
+
+def _tokenize_ru_stem_oracle() -> str:
+    from ..functions.text import RU_STEM_PATTERN
+
+    return f"""
+WITH src AS ({_RU_SRC_SQL})
+SELECT o_orderkey AS id,
+       array_to_string(list_sort(list_distinct(list_transform(
+           list_filter(
+               regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+               x -> x <> ''
+           ),
+           t -> regexp_replace(regexp_replace(t, 'ё', 'е'),
+                               '{RU_STEM_PATTERN}', '\\1')
+       ))), '|') AS lexemes
+FROM src
+"""
+
+
+@register("search_tokenize_ru_stem", _tokenize_ru_stem_oracle())
+def q_search_tokenize_ru_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stemmed search tokens: Russian light stemmer (ordered
+    longest-first suffix strip, ≥3-char stem guard, ё→е) applied
+    per-token after unicode tokenization — the tsvector-like lexeme set
+    for inflection-insensitive matching (`iis_etl/logic.py:394-404`).
+    Pure JVM-side regexp_replace inside a higher-order transform: no UDF,
+    zero shuffles, scales as a narrow map at 100 TB."""
+    from ..functions.text import tokenize_stemmed
+
+    return _ru_search_src(spark, sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.array_join(tokenize_stemmed("text"), "|").alias("lexemes"),
     )
 
 
