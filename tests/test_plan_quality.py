@@ -78,3 +78,101 @@ def test_text_analysis_zero_shuffles(spark, sf_dir):
     plan = _plan(spark, "text_analysis", sf_dir)
     assert "Exchange" not in plan
     assert plan.count("FileScan") == 1
+
+
+# --- skew injection: pin SCALE.md's claim that hot keys are handled by
+# AQE's skew-join split (the default path) and by salted_join (the
+# explicit path for AQE-ineligible plans) ---
+
+
+def _with_confs(spark, confs):
+    """Set runtime confs, returning the previous values for restore."""
+    old = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_injected_skew(spark):
+    """A deliberately hot-keyed events table (95% of rows on one key)
+    joined without broadcast must come out of AQE with the skewed side
+    SPLIT (`skew=true` on the join in the final adaptive plan) — the
+    runtime re-plan SCALE.md relies on for unsalted hot keys. Thresholds
+    are lowered so the split triggers at test scale; the mechanism is
+    identical at 100 TB with production defaults."""
+    from pyspark.sql import functions as F
+
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        hot_events = spark.range(40_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.rpad(F.lit("payload"), 64, "x").alias("pad"),
+        )
+        dim = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        joined = hot_events.join(dim, "k")
+        joined.count()  # drive the adaptive re-plan to its final form
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_salted_join_bounds_max_task_input(spark):
+    """salted_join must spread the hot key's rows across ~salt_buckets
+    tasks: the largest single task's share of hot rows stays near
+    1/buckets instead of 1.0 — the 'max task input bounded' property
+    that keeps one reducer from absorbing the whole hot key. AQE is
+    disabled here so partition boundaries are the raw hash ones the
+    salt targets (with AQE on, coalescing merges the now-small pieces,
+    which is fine — the point is none of them is big)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.joins import salted_join
+
+    old = _with_confs(spark, {"spark.sql.adaptive.enabled": "false"})
+    try:
+        n, buckets = 20_000, 16
+        hot_events = spark.range(n).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        per_task = (
+            salted_join(hot_events, dim, "k", salt_buckets=buckets)
+            .filter(F.col("k") == 7)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        hot_total = sum(r["count"] for r in per_task)
+        assert hot_total == 19_000  # join itself stays correct
+        assert len(per_task) >= buckets // 2  # spread over many tasks
+        worst = max(r["count"] for r in per_task) / hot_total
+        assert worst <= 2.5 / buckets, f"worst task holds {worst:.1%}"
+    finally:
+        _restore_confs(spark, old)
