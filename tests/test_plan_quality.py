@@ -108,7 +108,15 @@ def test_aqe_splits_injected_skew(spark):
     SPLIT (`skew=true` on the join in the final adaptive plan) — the
     runtime re-plan SCALE.md relies on for unsalted hot keys. Thresholds
     are lowered so the split triggers at test scale; the mechanism is
-    identical at 100 TB with production defaults."""
+    identical at 100 TB with production defaults.
+
+    Two traps this test must avoid: (1) AQE sizes partitions from the
+    lz4-compressed shuffle files, so the payload must be incompressible
+    (sha2 of the row id) or the hot partition measures ~0 bytes and never
+    crosses the threshold; (2) the action must execute THIS DataFrame's
+    own QueryExecution (collect), not a derived one (count builds a new
+    plan with an added aggregate), or executedPlan() prints the pre-AQE
+    `isFinalPlan=false` shape with no skew annotation."""
     from pyspark.sql import functions as F
 
     old = _with_confs(
@@ -126,14 +134,21 @@ def test_aqe_splits_injected_skew(spark):
         hot_events = spark.range(40_000).select(
             F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
             .alias("k"),
-            F.rpad(F.lit("payload"), 64, "x").alias("pad"),
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+            ).alias("pad"),
         )
         dim = spark.range(2_000).select(
             F.col("id").alias("k"), F.lit("dim").alias("name")
         )
         joined = hot_events.join(dim, "k")
-        joined.count()  # drive the adaptive re-plan to its final form
+        # collect() drives joined's own QueryExecution to its final
+        # adaptive form (count() would execute a different plan)
+        rows = joined.collect()
+        assert len(rows) == 38_100  # 38k hot-key matches + 100 cold keys
         plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:2000]
         assert "skew=true" in plan, plan[:2000]
     finally:
         _restore_confs(spark, old)
