@@ -183,3 +183,60 @@ def test_adaptive_path_selection(spark, sf_dir):
     assert sorted(map(tuple, hi.collect())) == sorted(
         map(tuple, hi_naive.collect())
     )
+
+
+def test_connected_components_shapes(spark):
+    """Chains, stars, isolated pairs — every node labeled with the min id
+    reachable; empty input keeps the (node, comp) schema."""
+    from uma_etl_iis_loader_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (30, 31), (30, 32), (32, 33)],
+        "id_a long, id_b long",
+    )
+    out = sorted(map(tuple, connected_components(pairs).collect()))
+    assert out == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30), (33, 30),
+    ]
+    empty = connected_components(spark.createDataFrame([], "id_a long, id_b long"))
+    assert empty.columns == ["node", "comp"] and empty.count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized graph vs a driver-side union-find reference — pins the
+    exact-components claim (the recursive-CTE oracle checks the same
+    property at the query level). A 60-node path buried in the random
+    edges also exercises >1 propagation round (pointer-jump collapse)."""
+    import random
+
+    from uma_etl_iis_loader_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
+    edges |= {(i, i + 1) for i in range(300, 360)}  # long path component
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = sorted((n, find(n)) for n in parent)
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(map(tuple, connected_components(pairs).collect()))
+    assert got == expected

@@ -16,6 +16,10 @@ Four tiers, trading recall for cost (all shuffle-safe, no driver collect):
                              self-join; for web scale use the IVF/LSH
                              bucketing in operators/similarity.py first).
 
+``connected_components`` turns any of the pair outputs into the cluster
+assignment a dedup pipeline actually applies (keep ``node == comp``, the
+min id per component).
+
 All pair outputs are (id_a < id_b) canonical, ids only — similarity scores
 stay internal so cross-engine float noise can't flip a comparison result.
 """
@@ -581,3 +585,96 @@ def embedding_cosine_pairs(
         .applyInPandas(tile_kernel, "id_a long, id_b long")
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labeling of the near-dup pair graph — the step
+    that turns PAIRS into a deduplicated corpus: keep one document per
+    component (the canonical survivor is ``node == component``, the min
+    id — same deterministic pick as ``exact_dedup``).
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round every node takes the min of (its label, its neighbors'
+    labels) — then labels shortcut through themselves (``comp := comp of
+    comp``), which collapses label chains geometrically, so rounds are
+    O(log diameter) rather than O(diameter); near-dup components are
+    small and dense (diameter ≤ 3-4 in practice), giving 2-3 rounds.
+    Each round is two shuffles (neighbor groupBy-min, label self-join)
+    over (node, comp) pairs ONLY — edge payloads are never re-shuffled,
+    and the input lineage is pinned once up front so iterations never
+    re-execute the (potentially expensive) pair-generation plan above
+    this operator. At 100 TB the same loop runs with edges partitioned
+    by src; the alternating large-star/small-star contraction of
+    Kiveris et al. ("Connected Components in MapReduce and Beyond") is
+    the further rung if components themselves are huge — for dedup
+    graphs (bounded cluster size) the simple propagation is the right
+    cost profile.
+
+    Convergence is detected (a round that changes no label ends the
+    loop; ``max_iter`` is a guard, not the expected exit), making the
+    result exact — matching a recursive-CTE reachability oracle — not
+    an approximation.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # pin: iterations must not re-execute the pair-generation lineage
+        .localCheckpoint(eager=True)
+    )
+    # init already folds in round 1's neighbor-min: comp = min(node, N(node))
+    # (every node of the pair graph appears as src in the symmetric edges)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "nbr_min").alias("comp"),
+        )
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .select(F.col("src").alias("node"), "nbr_comp")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            F.col("comp").alias("prev"),
+        )
+        # pointer jumping: comp := min(comp, comp's comp)
+        jumped = stepped.join(
+            labels.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")),
+            "comp",
+            "left",
+        ).select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
+            "prev",
+        )
+        # lineage stays shallow off the pinned edges (3 joins/round), so a
+        # per-round checkpoint costs more than the re-execution it saves on
+        # the convergence probe; pin every 3rd round as the growth guard
+        if it % 3 == 2:
+            jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("comp") != F.col("prev")).limit(1).count()
+        labels = jumped.drop("prev")
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

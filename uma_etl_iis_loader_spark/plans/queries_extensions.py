@@ -763,9 +763,11 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Exact word-3-gram Jaccard ≥ 0.35 pair set (same derivation as
-# _NGRAM_JACCARD_ORACLE) + the two literal property rows.
+# _NGRAM_JACCARD_ORACLE), its connected components (recursive-CTE
+# reachability — the dedup CLUSTER assignment), + the two literal
+# property rows.
 _LSH_ORACLE = """
-WITH g AS (
+WITH RECURSIVE g AS (
     SELECT doc_id AS id,
            list_distinct(list_transform(
                range(1, greatest(len(words) - 2, 0) + 1),
@@ -781,12 +783,26 @@ WITH g AS (
     GROUP BY 1, 2
 ), sizes AS (
     SELECT id, len(grams) AS sz FROM g
+), exact AS (
+    SELECT id_a, id_b
+    FROM shared
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
+), sym AS (
+    SELECT id_a AS src, id_b AS dst FROM exact
+    UNION
+    SELECT id_b, id_a FROM exact
+), reach(src, dst) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
 )
 SELECT 'minhash_lsh' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS val
-FROM shared
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.35
+FROM exact
+UNION ALL
+SELECT 'cluster', src, min(dst), CAST(NULL AS DOUBLE)
+FROM reach GROUP BY src
 UNION ALL
 SELECT 'minhash_recall', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 1.0
 UNION ALL
@@ -807,12 +823,21 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact pair set: a missed or spurious pair hash-mismatches.
     - `minhash_recall` row — |found ∩ exact| / |exact| computed in-plan;
       oracle asserts the literal 1.0.
+    - `cluster` rows — connected components over the LSH pair graph
+      (operators/dedup.connected_components: min-label propagation +
+      pointer jumping, converged exactly), i.e. the CLUSTER ASSIGNMENT
+      that turns pairs into a deduplicated corpus (survivor = min id per
+      component). The oracle recomputes components with a recursive-CTE
+      reachability over the exact pair set — a wrong merge, a missed
+      transitive link, or early termination all hash-mismatch.
     - `simhash_precision_ok` row — 1.0 iff ≥ 90% of SimHash64
       hamming ≤ 3 pairs (4-band pigeonhole + popcount verify) are in the
       exact J ≥ 0.35 set (measured precision: 1.0 at all SFs; SimHash
       pair identities themselves are signature-specific, so they stay
       pytest-pinned in tests/test_dedup.py).
     """
+    from ..operators.dedup import connected_components
+
     docs = read_fixture(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(
         docs, n=3, threshold=0.35, char_level=False, prefix_filter=False
@@ -827,6 +852,12 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("minhash_lsh").alias("method"),
         "id_a",
         "id_b",
+        null_d.alias("val"),
+    )
+    cluster_rows = connected_components(mh).select(
+        F.lit("cluster").alias("method"),
+        F.col("node").alias("id_a"),
+        F.col("comp").alias("id_b"),
         null_d.alias("val"),
     )
     recall_row = (
@@ -859,7 +890,11 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prec") >= 0.9, 1.0).otherwise(0.0).alias("val"),
         )
     )
-    return pair_rows.unionByName(recall_row).unionByName(precision_row)
+    return (
+        pair_rows.unionByName(cluster_rows)
+        .unionByName(recall_row)
+        .unionByName(precision_row)
+    )
 
 
 # Every query gets exactly k=10 brute-force neighbors (corpus ≥ 500 ≫ k),
