@@ -122,7 +122,11 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
     cnt = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+    # a doc with fewer than n words has NO n-grams (sequence would count
+    # DOWN from 0 to a negative stop and feed slice() an invalid start)
+    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )

@@ -577,27 +577,90 @@ def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered at the END of this module.
 
 
+# 90/5/5 deterministic split + per-test-doc 5-gram contamination counts
+# against the train split, both exactly reproduced in SQL (integer hash
+# arithmetic; gram canonicalization identical on both sides).
 _SPLIT_ORACLE = """
-SELECT doc_id, lang,
-       CASE WHEN b < 9000 THEN 'train'
-            WHEN b < 9500 THEN 'val'
-            ELSE 'test' END AS split
-FROM (SELECT doc_id, lang,
-             ((doc_id * 2654435761) % 4294967296) % 10000 AS b
-      FROM documents)
+WITH spl AS (
+    SELECT doc_id, text,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, text,
+                 ((doc_id * 2654435761) % 4294967296) % 10000 AS b
+          FROM documents)
+), words AS (
+    SELECT doc_id, split,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM spl
+), grams AS (
+    SELECT doc_id, split,
+           list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 0) + 1),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+           )) AS g
+    FROM words
+), train_g AS (
+    SELECT DISTINCT u.gram FROM grams, unnest(g) AS u(gram)
+    WHERE split = 'train'
+), test_g AS (
+    SELECT doc_id, u.gram FROM grams, unnest(g) AS u(gram)
+    WHERE split = 'test'
+), cont AS (
+    SELECT t.doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM test_g t LEFT JOIN train_g tg ON t.gram = tg.gram
+    GROUP BY t.doc_id
+)
+SELECT 'split' AS method, doc_id, split,
+       CAST(NULL AS BIGINT) AS n_ngrams, CAST(NULL AS BIGINT) AS n_contaminated
+FROM spl
+UNION ALL
+SELECT 'contamination', s.doc_id, 'test',
+       coalesce(c.n_ngrams, 0), coalesce(c.n_contaminated, 0)
+FROM spl s LEFT JOIN cont c ON s.doc_id = c.doc_id
+WHERE s.split = 'test'
 """
 
 
 @register("train_test_split", _SPLIT_ORACLE)
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 corpus split by Knuth multiplicative hashing
-    of doc_id — engine-independent integer arithmetic (exact oracle),
-    stable under repartitioning and corpus appends (no PRNG state, no
-    train/test contamination across pipeline runs)."""
+    of doc_id (engine-independent integer arithmetic — exact oracle;
+    stable under repartitioning and corpus appends, no PRNG state), plus
+    the decontamination check that split stability enables: per TEST doc,
+    distinct word-5-gram count and how many of those 5-grams appear in
+    any TRAIN doc (operators/contamination.ngram_contamination — train
+    grams distinct-ed and hashed to 64-bit longs before the join, so the
+    shuffle ships 8-byte keys). `method` discriminates 'split' assignment
+    rows from per-test-doc 'contamination' count rows."""
+    from ..operators.contamination import ngram_contamination
     from ..operators.sampling import deterministic_split
 
-    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
-    return deterministic_split(docs, "doc_id")
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    split_df = deterministic_split(docs, "doc_id")
+    null_l = F.lit(None).cast("long")
+    split_rows = split_df.select(
+        F.lit("split").alias("method"),
+        "doc_id",
+        "split",
+        null_l.alias("n_ngrams"),
+        null_l.alias("n_contaminated"),
+    )
+    cont_rows = ngram_contamination(
+        split_df.filter(F.col("split") == "train"),
+        split_df.filter(F.col("split") == "test"),
+        n=5,
+    ).select(
+        F.lit("contamination").alias("method"),
+        "doc_id",
+        F.lit("test").alias("split"),
+        "n_ngrams",
+        "n_contaminated",
+    )
+    return split_rows.unionByName(cont_rows)
 
 
 # hash-stratified sampling: same multiplicative-hash idea as
