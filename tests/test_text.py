@@ -76,3 +76,32 @@ def test_tokenize_stemmed_dedups_lexemes(spark):
     assert toks.count("лекц") == 1
     assert toks.count("аудитор") == 1
     assert "по" in toks  # short word untouched
+
+
+def test_repetition_signals(spark):
+    """distinct_word_count / top_ngram_count: the Gopher-style repetition
+    inputs (type-token ratio, top-bigram occurrence)."""
+    from uma_etl_iis_loader_spark.functions.text import (
+        distinct_word_count,
+        top_ngram_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2 distinct words; 'a b' occurs 3x
+            (2, "all words differ here"),  # no repeated bigram
+            (3, "Spam SPAM spam"),     # case-folds to 1 distinct word
+            (4, "one"),                # shorter than bigram -> 0
+            (5, ""),                   # empty -> (0, 0)
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["d"], r["t"])
+        for r in df.select(
+            "id",
+            distinct_word_count("text").alias("d"),
+            top_ngram_count("text", 2).alias("t"),
+        ).collect()
+    }
+    assert out == {1: (2, 3), 2: (4, 1), 3: (1, 2), 4: (1, 0), 5: (0, 0)}

@@ -93,6 +93,39 @@ def token_count(col: Column | str) -> Column:
     )
 
 
+def distinct_word_count(col: Column | str) -> Column:
+    """Distinct lowercased whitespace-token count. With token_count this
+    gives the type-token ratio — the repetition signal of the
+    MassiveText/Gopher quality rules (a low distinct/total ratio marks
+    boilerplate and keyword-stuffed documents)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(F.lower(c))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(trimmed, r"\s+")))
+    )
+
+
+def top_ngram_count(col: Column | str, n: int = 2) -> Column:
+    """Occurrence count of the document's most frequent word n-gram
+    (NON-distinct grams — repeats are the point). count × n / total_words
+    is Gopher's "fraction of words in the top n-gram" repetition filter.
+    Pure array expressions over the per-row gram list (O(distinct·total)
+    comparisons per doc, JVM-side) — no explode, no shuffle, so corpus
+    statistics keep the zero-exchange scan shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    cnt = F.size(words)
+    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    per_gram = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.coalesce(F.array_max(per_gram), F.lit(0))
+
+
 # GPT-2-style pre-tokenizer, minus lookahead (RE2/DuckDB-compatible so the
 # oracle can run the SAME pattern): contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs.

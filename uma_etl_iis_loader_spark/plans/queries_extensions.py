@@ -192,6 +192,13 @@ _TEXT_ANALYSIS_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CASE WHEN trim(lower(text)) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+       END AS n_distinct_words,
+       coalesce(list_max(list_transform(
+           list_distinct(g2),
+           x -> len(list_filter(g2, y -> y = x))
+       )), 0) AS top_bigram_count,
        len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
        md5({_CANON_SQL}) AS fingerprint,
@@ -205,7 +212,11 @@ SELECT doc_id,
                                 ELSE 0.0 END) BETWEEN 3 AND 12
                      THEN 1.0 ELSE 0.5 END), 6) AS quality,
        lang_pred
-FROM documents
+FROM (SELECT *,
+             list_transform(range(1, greatest(len(w0) - 1, 0) + 1),
+                            i -> concat_ws(' ', w0[i], w0[i+1])) AS g2
+      FROM (SELECT *, regexp_split_to_array(trim(lower(text)), '\\s+') AS w0
+            FROM documents)) documents
 JOIN (
     WITH toks AS (
         SELECT doc_id AS lid, text AS ltext,
@@ -236,15 +247,24 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: whitespace + BPE-ish token counts
     (RE2-compatible pattern — the oracle runs the SAME regex), char count,
     canonical md5 fingerprint, heuristic quality score (alpha ratio +
-    length saturation + mean-word-length sanity), and marker-stopword +
-    CJK-share language ID. One narrow JVM-side projection, zero shuffles —
-    the 100 TB shape for corpus statistics."""
-    from ..functions.text import bpe_token_count
+    length saturation + mean-word-length sanity), marker-stopword +
+    CJK-share language ID, and the Gopher-style repetition signals
+    (distinct-word count for type-token ratio; occurrence count of the
+    most frequent bigram — both pure array expressions, no explode).
+    One narrow JVM-side projection, zero shuffles — the 100 TB shape
+    for corpus statistics."""
+    from ..functions.text import (
+        bpe_token_count,
+        distinct_word_count,
+        top_ngram_count,
+    )
 
     docs = read_fixture(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        distinct_word_count("text").alias("n_distinct_words"),
+        top_ngram_count("text", 2).alias("top_bigram_count"),
         bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_computed"),
         fingerprint("text").alias("fingerprint"),
