@@ -405,23 +405,33 @@ def run_etl(
     # Phase 1 — dimensions, strictly ordered (main.py:40-47)
     # iis_etl/logic.py:62-63: the KV upsert happens only when the fetched
     # week is truthy — a failed/empty fetch leaves system_state untouched
+    # Empty payloads are no-ops in the reference (its sync loops iterate
+    # the list and never touch the table), so each sync below is guarded:
+    # skipping it is semantically identical and keeps a partial-fetch
+    # run's plan tree (and the chained re-sync plans built on top of it)
+    # proportional to what was actually fetched.
     week = api.get("current_week")
     if week:
         state = sync_system_state(spark, state, "current_week", str(week), now_ts)
-    faculties = sync_faculties(spark, faculties, api.get("faculties", []))
-    departments = sync_departments(spark, departments, api.get("departments", []))
-    specialities, faculties = sync_specialities(
-        spark, specialities, faculties, api.get("specialities", [])
-    )
+    if api.get("faculties"):
+        faculties = sync_faculties(spark, faculties, api["faculties"])
+    if api.get("departments"):
+        departments = sync_departments(spark, departments, api["departments"])
+    if api.get("specialities"):
+        specialities, faculties = sync_specialities(
+            spark, specialities, faculties, api["specialities"]
+        )
     groups = sync_student_groups(
         spark, groups, specialities, api.get("student_groups", []), now_ts
     )
-    employees, bridge = sync_employees(
-        spark, employees, bridge, departments, api.get("employees", [])
-    )
-    auditories, departments = sync_auditories(
-        spark, auditories, departments, api.get("auditories", [])
-    )
+    if api.get("employees"):
+        employees, bridge = sync_employees(
+            spark, employees, bridge, departments, api["employees"]
+        )
+    if api.get("auditories"):
+        auditories, departments = sync_auditories(
+            spark, auditories, departments, api["auditories"]
+        )
 
     # Phase 2 — facts (main.py:51-52)
     raw = spark.createDataFrame(
@@ -429,36 +439,38 @@ def run_etl(
         "entity_name string, entity_type string, payload string",
     )
     docs, quarantine = parse_schedule_json(raw)
-    # raw-blob versioning happens on the UNFILTERED raw rows: the group
-    # path stores docs the shredder quarantines (no schedules/exams) —
-    # guard asymmetry lives in schedule_blob_incoming
-    # (`iis_etl/logic.py:282-297,413,432`)
-    storage = version_blobs(
-        storage, schedule_blob_incoming(raw, employees), now_ts
-    )
+    if api.get("schedules"):
+        # raw-blob versioning happens on the UNFILTERED raw rows: the
+        # group path stores docs the shredder quarantines (no
+        # schedules/exams) — guard asymmetry lives in
+        # schedule_blob_incoming (`iis_etl/logic.py:282-297,413,432`)
+        storage = version_blobs(
+            storage, schedule_blob_incoming(raw, employees), now_ts
+        )
     events = shred_schedule_docs(docs)
-    # J7: backfill number_of_students into current group rows
-    counts = backfill_student_counts(docs)
-    groups = (
-        groups.join(
-            F.broadcast(
-                counts.select(
-                    F.col("entity_name").alias("name"),
-                    F.col("number_of_students").alias("__bf"),
-                )
-            ),
-            "name",
-            "left",
+    if api.get("schedules"):
+        # J7: backfill number_of_students into current group rows
+        counts = backfill_student_counts(docs)
+        groups = (
+            groups.join(
+                F.broadcast(
+                    counts.select(
+                        F.col("entity_name").alias("name"),
+                        F.col("number_of_students").alias("__bf"),
+                    )
+                ),
+                "name",
+                "left",
+            )
+            .withColumn(
+                "number_of_students",
+                F.when(
+                    F.col("valid_to").isNull() & F.col("__bf").isNotNull(),
+                    F.col("__bf"),
+                ).otherwise(F.col("number_of_students")),
+            )
+            .drop("__bf")
         )
-        .withColumn(
-            "number_of_students",
-            F.when(
-                F.col("valid_to").isNull() & F.col("__bf").isNotNull(),
-                F.col("__bf"),
-            ).otherwise(F.col("number_of_students")),
-        )
-        .drop("__bf")
-    )
 
     # Phase 3 — derived occupancy index (main.py:55)
     occupancy = rebuild_occupancy(events, auditories)
