@@ -180,3 +180,46 @@ def test_watermark_drops_late_rows(spark):
     assert by_window[t(10, 0)] == [1]
     # sanity: later windows did finalize through the checkpointed restarts
     assert by_window[t(13, 0)] == [1] and by_window[t(15, 0)] == [1]
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (append mode — per-row join output)
+    must equal the batch face of the same plan: clicks enriched with the
+    same user's events from the preceding 10 minutes."""
+    from uma_etl_iis_loader_spark.streaming.pipeline import (
+        interval_enrich_join,
+    )
+
+    def faces(mk):
+        left = mk().filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id"
+        )
+        right = mk().select("event_id", "ts", "user_id")
+        return interval_enrich_join(
+            left,
+            right,
+            max_delay="10 minutes",
+            right_cols=["event_id"],
+        )
+
+    streamed = faces(lambda: read_events_stream(spark, events_dir))
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ij").collect()
+    }
+    batch = {
+        (r.event_id, r.r_event_id)
+        for r in faces(
+            lambda: read_fixture(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert len(batch) > 0
+    assert got == batch

@@ -101,3 +101,52 @@ def streaming_kv_latest(
         F.max_by("event_type", F.struct("ts", "event_id")).alias("event_type"),
         F.max_by("value", F.struct("ts", "event_id")).alias("value"),
     )
+
+
+def interval_enrich_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "2 hours",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-stream INNER interval join: each left event matched to the
+    right events for the same ``key`` whose timestamp falls in
+    ``[left_ts - max_delay, left_ts]`` — the enrichment shape (click ←
+    preceding impressions, order ← preceding state changes).
+
+    Streaming semantics: BOTH sides carry event-time watermarks and the
+    join condition time-bounds ``right_ts`` against ``left_ts`` — exactly
+    what Structured Streaming requires to evict join state (a right row
+    older than ``left-side watermark - max_delay`` can never match again
+    and is dropped; state per key is bounded by rows inside the interval,
+    not by stream length). The same plan runs unchanged on batch inputs,
+    where Catalyst executes it as an ordinary range-predicate join — the
+    batch face is the oracle for the streaming face.
+
+    Output: all left columns plus each requested right column (default:
+    ``right_ts``) prefixed ``r_``.
+    """
+    l_src = (
+        left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    )
+    r_src = (
+        right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    )
+    right_cols = right_cols if right_cols is not None else [right_ts]
+    lw, rw = l_src.alias("l"), r_src.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_delay}")
+        )
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    out = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"r_{c}") for c in right_cols
+    ]
+    return lw.join(rw, cond, "inner").select(*out)
