@@ -105,3 +105,33 @@ def test_repetition_signals(spark):
         ).collect()
     }
     assert out == {1: (2, 3), 2: (4, 1), 3: (1, 2), 4: (1, 0), 5: (0, 0)}
+
+
+def test_pii_redaction_and_counts(spark):
+    from uma_etl_iis_loader_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or visit https://a.b/c?d=1"),
+            (2, "server 10.0.255.1 answered; call +1 (555) 123-4567 now"),
+            (3, "www.example.org mirrors 192.168.0.1"),
+            (4, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["red"], r["c"].asDict())
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert out[1][0] == "mail me at <EMAIL> or visit <URL>"
+    assert out[1][1] == {"email": 1, "url": 1, "ip": 0, "phone": 0}
+    assert out[2][0] == "server <IP> answered; call <PHONE> now"
+    assert out[2][1] == {"email": 0, "url": 0, "ip": 1, "phone": 1}
+    # url wins over the dotted-quad inside it; the bare ip is tagged
+    assert out[3][0] == "<URL> mirrors <IP>"
+    assert out[4][0] == "no pii here at all"
+    assert out[4][1] == {"email": 0, "url": 0, "ip": 0, "phone": 0}

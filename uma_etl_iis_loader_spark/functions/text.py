@@ -318,3 +318,50 @@ def winnow_fingerprints(k: int = 5, window: int = 4):
         return pd.Series(out)
 
     return winnow
+
+
+# --- PII scrubbing (curation surface) -----------------------------------
+# RE2-compatible patterns (no lookbehind) so the same regexes run in any
+# engine an oracle might use. Deliberately high-recall / low-precision —
+# curation pipelines scrub aggressively and keep the counts as signals.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld (word chars, dots, +, - in local part)
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    # http(s)://... or www.-prefixed
+    "url": r"(?:https?://|www\.)[^\s]+",
+    # dotted-quad IPv4
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # phone-ish: optional +CC, then 7+ digits with separators
+    "phone": r"\+?\d[\d\-\s().]{6,}\d",
+}
+
+# replacement order matters: emails before phones (a phone regex would
+# otherwise eat digit runs inside already-tagged tokens), urls before ips
+# (hosts can be dotted quads)
+_PII_ORDER = ["email", "url", "ip", "phone"]
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-category PII match counts — the reporting face
+    (schema: email/url/ip/phone ints). Each category is counted on the
+    text with earlier categories already redacted, so the counts are
+    exactly what redact_pii tags (a dotted-quad inside a URL counts as
+    the URL, not as an extra IP; an IP's digit runs never double-count
+    as a phone). Zero shuffles, JVM regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = []
+    for k in _PII_ORDER:
+        counts.append(F.regexp_count(c, F.lit(PII_PATTERNS[k])).alias(k))
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
+    return F.struct(*counts)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace each PII match with a <CATEGORY> tag, applied in a fixed
+    order so categories can't partially overwrite each other's tags.
+    Chained JVM regexp_replace — narrow, codegen-friendly, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for k in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out
