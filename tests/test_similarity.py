@@ -106,3 +106,46 @@ def test_persisted_ivf_index_matches_inline_and_prunes_partitions(spark, sf_dir,
     assert "PartitionFilters: [centroid_id" in plan.replace(
         "PartitionFilters: [isnotnull(centroid_id", "PartitionFilters: [centroid_id"
     ) or "centroid_id#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_quantize_roundtrip_bound(spark):
+    """int8 round-trip: per-component error <= scale/2; cosine between
+    original and reconstruction stays ~1; zero vectors survive."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.vectors import (
+        cosine,
+        dequantize_int8,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    vecs = [
+        (1, [0.3, -1.7, 2.5, 0.0]),
+        (2, [100.0, -50.0, 0.25, 12.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1e-6, -1e-6, 1e-6, 1e-6]),
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    out = df.select(
+        "id",
+        "v",
+        quantize_int8("v").alias("p"),
+        dequantize_int8(quantize_int8("v")).alias("r"),
+        cosine("v", dequantize_int8(quantize_int8("v"))).alias("cos"),
+        l2_normalize("v").alias("u"),
+    ).collect()
+    for r in out:
+        scale = r["p"]["scale"]
+        assert all(-127 <= q <= 127 for q in r["p"]["q"])
+        for orig, rec in zip(r["v"], r["r"]):
+            assert abs(orig - rec) <= scale / 2 + 1e-12
+        if any(x != 0 for x in r["v"]):
+            assert r["cos"] > 0.999
+            n = math.sqrt(sum(x * x for x in r["u"]))
+            assert abs(n - 1.0) < 1e-9
+        else:
+            assert r["p"]["scale"] == 0.0 and all(q == 0 for q in r["p"]["q"])
+            assert r["u"] == [0.0, 0.0, 0.0, 0.0]

@@ -86,3 +86,43 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize a vector (zero vectors pass through unchanged) —
+    pre-normalizing a corpus turns every cosine into a plain dot and
+    lets ANN kernels skip per-row norms."""
+    a = _as_col(a)
+    n = norm(a)
+    return F.when(
+        n > 0, F.transform(a, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(a, lambda x: x.cast("double")))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale, q) with
+    q[i] = round(a[i] / scale), scale = max|a| / 127. The 4x storage cut
+    (and Arrow/network cut) for a 100 TB embedding store; reconstruction
+    error is bounded by scale/2 per component. Zero vectors quantize to
+    scale=0 with all-zero codes. JVM-side transform — no Python."""
+    a = _as_col(a)
+    max_abs = F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = max_abs / F.lit(127.0)
+    q = F.when(
+        max_abs > 0,
+        F.transform(a, lambda x: F.round(x.cast("double") / scale).cast("tinyint")),
+    ).otherwise(F.transform(a, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(packed: Column | str) -> Column:
+    """Inverse of quantize_int8: array<double> ≈ the original vector
+    (max abs error scale/2 per component)."""
+    p = _as_col(packed)
+    return F.transform(
+        p["q"], lambda x: x.cast("double") * p["scale"]
+    )
