@@ -223,3 +223,34 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir):
     }
     assert len(batch) > 0
     assert got == batch
+
+
+def test_interval_join_left_outer_batch_face(spark, sf_dir):
+    """leftOuter face: clicks with no same-user event in the window come
+    through NULL-padded; matched rows equal the inner face."""
+    from uma_etl_iis_loader_spark.streaming.pipeline import (
+        interval_enrich_join,
+    )
+
+    events = read_fixture(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    right = events.select("event_id", "ts", "user_id")
+    inner = interval_enrich_join(
+        left, right, max_delay="10 minutes", right_cols=["event_id"]
+    )
+    outer = interval_enrich_join(
+        left,
+        right,
+        max_delay="10 minutes",
+        right_cols=["event_id"],
+        how="leftOuter",
+    )
+    n_left = left.count()
+    matched_left = inner.select("event_id").distinct().count()
+    null_rows = outer.filter(F.col("r_event_id").isNull()).count()
+    assert null_rows == n_left - matched_left
+    assert (
+        outer.filter(F.col("r_event_id").isNotNull()).count() == inner.count()
+    )

@@ -112,6 +112,7 @@ def interval_enrich_join(
     max_delay: str = "15 minutes",
     watermark: str = "2 hours",
     right_cols: list[str] | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER interval join: each left event matched to the
     right events for the same ``key`` whose timestamp falls in
@@ -129,6 +130,11 @@ def interval_enrich_join(
 
     Output: all left columns plus each requested right column (default:
     ``right_ts``) prefixed ``r_``.
+
+    ``how="leftOuter"`` also emits left rows with NO match in the
+    interval (r_* NULL) — in streaming, Spark holds such rows until the
+    watermark proves no matching right row can still arrive, then emits
+    exactly one NULL-padded row; on batch it is an ordinary left join.
     """
     l_src = (
         left.withWatermark(left_ts, watermark) if left.isStreaming else left
@@ -149,4 +155,4 @@ def interval_enrich_join(
     out = [F.col(f"l.{c}") for c in left.columns] + [
         F.col(f"r.{c}").alias(f"r_{c}") for c in right_cols
     ]
-    return lw.join(rw, cond, "inner").select(*out)
+    return lw.join(rw, cond, how).select(*out)
