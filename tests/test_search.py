@@ -1,0 +1,62 @@
+"""BM25 ranking: golden scores on a hand-computed corpus + ordering laws."""
+
+import math
+
+import pytest
+
+from uma_etl_iis_loader_spark.operators.search import bm25_scores
+
+
+def _bm25_ref(docs, query, k1=1.2, b=0.75):
+    """Driver-side reference implementation (plain Python)."""
+    toks = {i: [w for w in t.lower().split() if w] for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in query:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                w = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                scores[i] = scores.get(i, 0.0) + w
+    return scores
+
+
+def test_bm25_matches_reference(spark):
+    docs = {
+        1: "spark shuffles data across the cluster",
+        2: "spark spark spark tuning guide",
+        3: "an unrelated document about gardens",
+        4: "data locality and shuffle avoidance in spark",
+    }
+    query = ["spark", "shuffle"]
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, query).collect()}
+    exp = _bm25_ref(docs, query)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-12)
+    # repetition saturates (k1): doc 2 outranks doc 1 on 'spark' but not 3x
+    assert got[2] > got[1]
+    # no-match doc absent
+    assert 3 not in got
+
+
+def test_bm25_rare_term_dominates(spark):
+    """idf law: a doc matching only the rare term outranks a doc matching
+    only the common one (equal tf, equal length)."""
+    rows = [(i, "common filler words here") for i in range(1, 9)]
+    rows += [(9, "common alpha beta gamma"), (10, "rareterm alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["common", "rareterm"]).collect()}
+    assert got[10] > got[9]
+
+
+def test_bm25_empty_query_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])

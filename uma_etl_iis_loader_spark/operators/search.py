@@ -1,0 +1,88 @@
+"""Full-text search ranking over tokenized documents.
+
+The reference's search surface is tsvector MATCHING only
+(`iis_etl/logic.py:394-404` builds the vector; queries test overlap).
+This module adds the ranking a real search endpoint needs: Okapi BM25
+scoring, expressed as one declarative plan.
+
+Scale design: the per-doc token explode filters to QUERY terms
+immediately (only matching rows survive the narrow stage — a handful per
+doc), so the shuffled term-frequency aggregation is proportional to
+matches, not corpus tokens. Corpus statistics (N, avgdl, per-term df)
+are computed in-plan and broadcast — no driver collect anywhere; the
+query terms themselves are the only driver-side input (they ARE the
+query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_tokens: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score) for every document matching ≥1 query token,
+    descending BM25 with doc_id tiebreak.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones,
+    the +1 form that keeps idf positive];
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+    """
+    if not query_tokens:
+        raise ValueError("query_tokens must be non-empty")
+    terms = [t.lower() for t in query_tokens]
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(words, lambda x: x != "")).alias("tok"),
+    )
+    # doc length BEFORE the query filter (BM25 normalizes by full length)
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    matched = toks.filter(F.col("tok").isin(terms))
+    tf = matched.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        matched.select("id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    # df_t (≤|query| rows) and stats (1 row) broadcast; dl is corpus-sized
+    # so its join with the small matched-tf side is left to AQE (which
+    # broadcasts the TF side when it is small enough)
+    contrib = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(F.sum("w").alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.desc("score"), id_col)
+    )
