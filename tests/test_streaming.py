@@ -254,3 +254,49 @@ def test_interval_join_left_outer_batch_face(spark, sf_dir):
     assert (
         outer.filter(F.col("r_event_id").isNotNull()).count() == inner.count()
     )
+
+
+def test_occupancy_stream_equals_batch(spark):
+    """E3's streaming face: rebuild_occupancy is one filter → explode² →
+    broadcast-dim join → collect_set aggregation, every step of which
+    Structured Streaming supports in update/complete mode — so the SAME
+    function maintains the occupancy index continuously from an event
+    stream. State is calendar-bounded (day × week × slot × room), not
+    stream-length-bounded. Pinned: streaming complete-mode output equals
+    the batch rebuild on identical data."""
+    from uma_etl_iis_loader_spark.operators.occupancy import rebuild_occupancy
+    from uma_etl_iis_loader_spark.schemas import SCHEDULE_EVENTS
+
+    def ev(name, day, start, rooms, weeks, etype="group"):
+        return (
+            name, etype, "s", None, rooms, day, start, start + 4800,
+            weeks, None, None, None, None, None, None,
+        )
+
+    rows = [
+        ev("g1", 1, 28800, ["501-2"], [1, 2]),
+        ev("g2", 1, 28800, ["501-2", "502-2"], [1]),
+        ev("g1", 2, 32400, ["502-2"], [3]),
+        ev("emp", 1, 28800, ["501-2"], [1], etype="employee"),  # filtered
+        ev("g3", None, 28800, ["501-2"], [1]),  # exam row: filtered
+        ev("g4", 3, 28800, ["no-such-room"], [1]),  # dim miss: dropped
+    ]
+    events = spark.createDataFrame(rows, SCHEDULE_EVENTS)
+    dim = spark.createDataFrame(
+        [(10, "501-2"), (20, "502-2")], "id long, name string"
+    )
+
+    d = tempfile.mkdtemp(prefix="occ_stream_")
+    events.coalesce(2).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(SCHEDULE_EVENTS).parquet(d)
+
+    got = _run_stream(spark, rebuild_occupancy(stream, dim), "occ").collect()
+    batch = rebuild_occupancy(events, dim).collect()
+    key = lambda r: (  # noqa: E731
+        r.day_of_week, r.week_number, r.start_time, r.end_time, r.auditory_id
+    )
+    assert len(batch) > 0
+    assert {key(r): r.groups for r in got} == {key(r): r.groups for r in batch}
+    # spot-check semantics: Monday week-1 room 501-2 holds both groups
+    monday = {key(r): r.groups for r in batch}
+    assert monday[("Понедельник", 1, 28800, 33600, 10)] == ["g1", "g2"]
