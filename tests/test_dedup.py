@@ -240,3 +240,19 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = sorted(map(tuple, connected_components(pairs).collect()))
     assert got == expected
+
+
+def test_deduplicate_corpus_keeps_one_per_component(spark):
+    from uma_etl_iis_loader_spark.operators.dedup import deduplicate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in deduplicate_corpus(docs, pairs).collect()
+    )
+    # component {1,2,3} -> keep 1; {5,6} -> keep 5; unpaired 4,7 kept
+    assert kept == [1, 4, 5, 7]

@@ -678,3 +678,25 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", "comp")
+
+
+def deduplicate_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a near-dup pair set to a corpus: keep ONE survivor per
+    connected component (the min id — same deterministic pick as
+    exact_dedup) plus every document in no pair at all. This is the
+    end-state a dedup pipeline writes; the pair generators above
+    (Jaccard / MinHash-LSH / SimHash / embedding-cosine) are its input.
+
+    One anti-join against the (small) non-survivor set: |non-survivors|
+    = |paired docs| - |components|, typically ≪ corpus, so the join
+    broadcasts.
+    """
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
