@@ -256,3 +256,29 @@ def test_deduplicate_corpus_keeps_one_per_component(spark):
     )
     # component {1,2,3} -> keep 1; {5,6} -> keep 5; unpaired 4,7 kept
     assert kept == [1, 4, 5, 7]
+
+
+def test_star_contraction_equals_propagation(spark):
+    """connected_components_star (large-star/small-star contraction — the
+    giant-component path) must produce exactly the labeling of the
+    propagation method (itself union-find-verified) on randomized graphs
+    plus a high-diameter chain."""
+    import random
+
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(150), rng.randrange(150)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(i, i + 1) for i in range(200, 260)]  # diameter-60 chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components_star(pairs).collect()))
+    assert a == b
+    empty = connected_components_star(
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    assert empty.columns == ["node", "comp"] and empty.count() == 0

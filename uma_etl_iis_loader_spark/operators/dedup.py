@@ -700,3 +700,92 @@ def deduplicate_corpus(
         F.col("node").alias(id_col)
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    contraction variant whose round count is O(log n) EVEN for giant
+    high-diameter components, where plain label propagation needs
+    O(diameter) rounds. Use when components can be huge (web-graph-scale
+    duplicate families); for typical near-dup graphs
+    ``connected_components`` converges in fewer, cheaper rounds.
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: the smaller-or-equal
+    neighbors (and the node) attach to that minimum. Alternating the two
+    strictly shrinks the edge potential until the graph is a forest of
+    stars rooted at each component's min — read the labels straight off
+    the final edges. Same output contract as ``connected_components``
+    (equivalence property-tested on randomized graphs).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    # canonical undirected form, pinned (see connected_components)
+    edges = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        j = sym.join(m, "src")
+        attach = j.filter(
+            F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+        ).select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        self_edge = j.select(F.col("src").alias("a"), F.col("m").alias("b"))
+        out = attach.unionByName(self_edge) if not large else attach
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+            )
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent, cannot overflow under ANSI mode
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # stable star forest: every node's component is min(node, min neighbor)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("comp")
+    )
+    return (
+        nodes.join(
+            labels.select(F.col("src").alias("node"), "comp"), "node", "left"
+        )
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
