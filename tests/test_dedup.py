@@ -282,3 +282,26 @@ def test_star_contraction_equals_propagation(spark):
         spark.createDataFrame([], "id_a long, id_b long")
     )
     assert empty.columns == ["node", "comp"] and empty.count() == 0
+
+
+def test_connected_components_string_ids(spark):
+    """Ids keep their input type — string/UUID doc ids must cluster, not
+    silently cast to NULL (which would make deduplicate_corpus a no-op)."""
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        deduplicate_corpus,
+    )
+
+    pairs = spark.createDataFrame(
+        [("aa", "bb"), ("bb", "cc"), ("xx", "yy")], "id_a string, id_b string"
+    )
+    exp = [("aa", "aa"), ("bb", "aa"), ("cc", "aa"), ("xx", "xx"), ("yy", "xx")]
+    assert sorted(map(tuple, connected_components(pairs).collect())) == exp
+    assert sorted(map(tuple, connected_components_star(pairs).collect())) == exp
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in ["aa", "bb", "cc", "xx", "yy", "zz"]],
+        "doc_id string, text string",
+    )
+    kept = sorted(r.doc_id for r in deduplicate_corpus(docs, pairs).collect())
+    assert kept == ["aa", "xx", "zz"]

@@ -46,3 +46,17 @@ def test_profile_approx_mode(spark):
     assert abs(prof["id"]["n_distinct"] - 10_000) <= 500
     assert abs(prof["k"]["n_distinct"] - 97) <= 5
     assert (prof["k"]["min_value"], prof["k"]["max_value"]) == ("0", "96")
+
+
+def test_profile_dotted_and_duplicate_columns(spark):
+    """Column names containing dots must profile (internal aliases are
+    positional; source access is backtick-quoted), and duplicate requests
+    must not collide."""
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "meta.lang"])
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["meta.lang"]["n_nulls"] == 1
+    assert prof["meta.lang"]["n_distinct"] == 1
+    assert [r["column"] for r in profile_table(df, cols=["id", "id"]).collect()] == [
+        "id",
+        "id",
+    ]

@@ -105,25 +105,50 @@ def distinct_word_count(col: Column | str) -> Column:
     )
 
 
-def top_ngram_count(col: Column | str, n: int = 2) -> Column:
-    """Occurrence count of the document's most frequent word n-gram
-    (NON-distinct grams — repeats are the point). count × n / total_words
-    is Gopher's "fraction of words in the top n-gram" repetition filter.
-    Pure array expressions over the per-row gram list (O(distinct·total)
-    comparisons per doc, JVM-side) — no explode, no shuffle, so corpus
-    statistics keep the zero-exchange scan shape."""
+def _word_gram_array(col: Column | str, n: int) -> Column:
+    """NON-distinct word n-grams in document order (lowercased,
+    whitespace-tokenized). Shared gram construction for word_ngrams /
+    top_ngram_count so tokenization changes happen in one place. A doc
+    with fewer than n words has NO n-grams (the guard keeps sequence from
+    counting down to a negative stop and feeding slice an invalid 0
+    start)."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
     cnt = F.size(words)
     idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    per_gram = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def top_ngram_count(col: Column | str, n: int = 2) -> Column:
+    """Occurrence count of the document's most frequent word n-gram
+    (NON-distinct grams — repeats are the point). count × n / total_words
+    is Gopher's "fraction of words in the top n-gram" repetition filter.
+    Sort the gram array and take the longest run of equal adjacent
+    elements — O(T log T) per doc (the distinct×total nested-filter form
+    is quadratic: a single 100k-word doc would do ~10¹⁰ comparisons
+    inside ONE row with no intra-row parallelism). Still a pure array
+    expression: no explode, no shuffle, zero-exchange scan shape."""
+    grams = F.array_sort(_word_gram_array(col, n))
+    run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.coalesce(F.array_max(per_gram), F.lit(0))
+    return run
 
 
 # GPT-2-style pre-tokenizer, minus lookahead (RE2/DuckDB-compatible so the
@@ -152,18 +177,7 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
     """Distinct word n-grams (whitespace tokens, lowercased)."""
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.trim(c)), r"\s+")
-    cnt = F.size(words)
-    # a doc with fewer than n words has NO n-grams (sequence would count
-    # DOWN from 0 to a negative stop and feed slice() an invalid start)
-    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
-    return F.array_distinct(grams)
+    return F.array_distinct(_word_gram_array(col, n))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -151,8 +151,16 @@ def compact_snapshot(
     hash-partitions on that column (retry-deterministic, and co-partitions
     the dominant downstream join/groupBy — same rationale as the fixture
     splitter); without it, ``coalesce`` merges files WITHOUT a shuffle.
-    The rewrite goes through a temp directory + atomic snapshot overwrite,
-    so readers never see a half-compacted table.
+
+    Swap contract: the rewrite lands fully in a temp directory, then two
+    directory renames swap it in (old data is never deleted until the new
+    data is at the table location). A reader can never observe a PARTIAL
+    table; it can hit a path-not-found in the instant between the two
+    renames (retry-once semantics, same as snapshot overwrite readers), and
+    a crash in that instant leaves the complete new data at
+    ``<path>__compacting`` plus the complete old data at ``<path>__old`` —
+    recoverable, nothing lost. True reader-atomicity needs a catalog /
+    table-format pointer (Delta/Iceberg), not bare directories.
     """
     import math
     import shutil
@@ -168,11 +176,11 @@ def compact_snapshot(
     df = df.repartition(n_files, key) if key else df.coalesce(n_files)
     tmp = f"{path}__compacting"
     df.write.mode("overwrite").parquet(tmp)
-    out = f"{path}__compacted"
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
-    shutil.rmtree(path)
-    os.replace(out, path)
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)  # old snapshot intact until the new one is live
+    os.replace(tmp, path)
+    shutil.rmtree(old)
     return sum(
         1
         for _, _, files in os.walk(path)

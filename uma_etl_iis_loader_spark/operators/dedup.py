@@ -621,7 +621,7 @@ def connected_components(
     an approximation.
     """
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
     edges = (
         edges.unionByName(
@@ -691,15 +691,17 @@ def deduplicate_corpus(
     end-state a dedup pipeline writes; the pair generators above
     (Jaccard / MinHash-LSH / SimHash / embedding-cosine) are its input.
 
-    One anti-join against the (small) non-survivor set: |non-survivors|
-    = |paired docs| - |components|, typically ≪ corpus, so the join
-    broadcasts.
+    One anti-join against the non-survivor set (|paired docs| −
+    |components|). Join strategy is left to AQE: on lightly-duplicated
+    corpora the set is tiny and broadcasts at runtime; on heavily
+    deduplicated web corpora it is O(corpus) and MUST shuffle — forcing a
+    broadcast here would OOM the driver exactly when dedup matters most.
     """
     comps = connected_components(pairs)
     losers = comps.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def connected_components_star(
@@ -725,7 +727,7 @@ def connected_components_star(
     (equivalence property-tested on randomized graphs).
     """
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     # canonical undirected form, pinned (see connected_components)
     edges = (

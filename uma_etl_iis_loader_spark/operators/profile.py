@@ -31,35 +31,41 @@ def profile_table(
     as strings (NULL for all-null columns); complex-typed columns profile
     null/distinct only (min/max NULL)."""
     cols = cols or df.columns
+    # internal aliases are POSITIONAL (i), never derived from the column
+    # name: a column literally named "meta.lang" would otherwise produce
+    # aliases F.col can never resolve (dot parses as struct access), and
+    # duplicate names in `cols` would collide. Source access backtick-
+    # quotes the name (df[c] and bare F.col both dot-parse).
     aggs: list = [F.count(F.lit(1)).alias("__n")]
-    simple: dict[str, bool] = {}
-    for c in cols:
+    simple: list[bool] = []
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType.typeName()
-        simple[c] = dt not in ("array", "map", "struct", "binary")
+        simple.append(dt not in ("array", "map", "struct", "binary"))
+        src = F.col("`" + c.replace("`", "``") + "`")
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}")
+            F.sum(F.when(src.isNull(), 1).otherwise(0)).alias(f"__nul_{i}")
         )
         aggs.append(
             (
-                F.approx_count_distinct(c)
+                F.approx_count_distinct(src)
                 if approx
-                else F.countDistinct(c)
-            ).alias(f"__dis_{c}")
+                else F.countDistinct(src)
+            ).alias(f"__dis_{i}")
         )
-        if simple[c]:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+        if simple[i]:
+            aggs.append(F.min(src).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(src).cast("string").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
     null_s = F.lit(None).cast("string")
     rows = [
         F.struct(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__nul_{c}").alias("n_nulls"),
-            F.col(f"__dis_{c}").alias("n_distinct"),
-            (F.col(f"__min_{c}") if simple[c] else null_s).alias("min_value"),
-            (F.col(f"__max_{c}") if simple[c] else null_s).alias("max_value"),
+            F.col(f"__nul_{i}").alias("n_nulls"),
+            F.col(f"__dis_{i}").alias("n_distinct"),
+            (F.col(f"__min_{i}") if simple[i] else null_s).alias("min_value"),
+            (F.col(f"__max_{i}") if simple[i] else null_s).alias("max_value"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -39,19 +39,26 @@ def bm25_scores(
         raise ValueError("query_tokens must be non-empty")
     terms = [t.lower() for t in query_tokens]
 
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+")
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.filter(words, lambda x: x != "")).alias("tok"),
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}]+"),
+        lambda x: x != "",
     )
-    # doc length BEFORE the query filter (BM25 normalizes by full length)
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # doc length is a NARROW per-row expression (full length, before the
+    # query filter — BM25 normalizes by it) carried through the matched
+    # rows, so no corpus-wide per-doc aggregate and no dl join exist
+    base = docs.select(
+        F.col(id_col).alias("id"), F.size(words).alias("dl"), words.alias("ws")
+    )
+    # corpus stats: scalar aggregate over the narrow dl projection
+    stats = base.select("dl").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-
-    matched = toks.filter(F.col("tok").isin(terms))
-    tf = matched.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    matched = base.select("id", "dl", F.explode("ws").alias("tok")).filter(
+        F.col("tok").isin(terms)
+    )
+    tf = matched.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
     df_t = (
         matched.select("id", "tok")
         .distinct()
@@ -63,12 +70,9 @@ def bm25_scores(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    # df_t (≤|query| rows) and stats (1 row) broadcast; dl is corpus-sized
-    # so its join with the small matched-tf side is left to AQE (which
-    # broadcasts the TF side when it is small enough)
+    # df_t (≤|query| rows) and stats (1 row) broadcast
     contrib = (
         tf.join(F.broadcast(df_t), "tok")
-        .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "w",
