@@ -60,3 +60,28 @@ def test_bm25_empty_query_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_bm25_stable_mode_matches_default(spark):
+    """stable=True (exact-sum avgdl + decimal-quantized contribution sum)
+    agrees with the full-precision double path to quantization error, and
+    is invariant to input partitioning — the property the cross-engine
+    adjudication relies on."""
+    docs = {
+        1: "spark shuffles data across the cluster",
+        2: "spark spark spark tuning guide",
+        3: "an unrelated document about gardens",
+        4: "data locality and shuffle avoidance in spark",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["spark"]).collect()}
+    for parts in (1, 7):
+        stable = {
+            r.doc_id: r.score
+            for r in bm25_scores(
+                df.repartition(parts), ["spark"], stable=True
+            ).collect()
+        }
+        assert set(stable) == set(got)
+        for k in got:
+            assert stable[k] == pytest.approx(got[k], abs=1e-7)

@@ -27,6 +27,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    stable: bool = False,
 ) -> DataFrame:
     """(doc_id, score) for every document matching ≥1 query token,
     descending BM25 with doc_id tiebreak.
@@ -34,6 +35,14 @@ def bm25_scores(
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones,
     the +1 form that keeps idf positive];
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    ``stable=True`` makes the score bit-reproducible across partitionings
+    and engines: avgdl is computed as exact-integer sum ÷ count (one
+    double division — plain double ``avg`` accumulates order-sensitively)
+    and per-term contributions are quantized to decimal(20,8) before the
+    per-doc sum (an exact-rational sum, insensitive to partition order and
+    to last-bit libm ``log`` differences). Costs one decimal aggregation;
+    the default double path keeps full precision for in-engine ranking.
     """
     if not query_tokens:
         raise ValueError("query_tokens must be non-empty")
@@ -50,8 +59,13 @@ def bm25_scores(
         F.col(id_col).alias("id"), F.size(words).alias("dl"), words.alias("ws")
     )
     # corpus stats: scalar aggregate over the narrow dl projection
+    avgdl_expr = (
+        (F.sum("dl").cast("double") / F.count(F.lit(1)))
+        if stable
+        else F.avg("dl")
+    )
     stats = base.select("dl").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), avgdl_expr.alias("avgdl")
     )
     matched = base.select("id", "dl", F.explode("ws").alias("tok")).filter(
         F.col("tok").isin(terms)
@@ -84,9 +98,14 @@ def bm25_scores(
             ),
         )
     )
+    score = (
+        F.sum(F.col("w").cast("decimal(20,8)")).cast("double")
+        if stable
+        else F.sum("w")
+    )
     return (
         contrib.groupBy("id")
-        .agg(F.sum("w").alias("score"))
+        .agg(score.alias("score"))
         .select(F.col("id").alias(id_col), "score")
         .orderBy(F.desc("score"), id_col)
     )

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ..operators.search import bm25_scores
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .registry import register
 
@@ -1139,3 +1140,217 @@ def q_approx_sketches_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "stat", "exact_val", "ok"
     )
     return users.unionByName(n_events).unionByName(quant)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — the search face beyond the reference's tsvector matching
+# (`iis_etl/logic.py:394-404` only builds the vector; overlap IS the rank
+# there). Adjudicated with the oracle mirroring the exact arithmetic.
+# ---------------------------------------------------------------------------
+
+# literal forms mirror the Spark operator's Python-evaluated constants:
+# e0-suffixed literals parse as DOUBLE in DuckDB (bare 1.2 would be
+# DECIMAL(2,1) and silently change the arithmetic's type lattice), and
+# compound constants like (1.2e0 + 1.0e0) fold in IEEE double on both
+# engines to the same bits as Python's `k1 + 1.0`.
+_BM25_ORACLE = """
+WITH base AS (
+    SELECT doc_id AS id,
+           list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^\\p{L}\\p{N}]+'),
+               x -> x <> '') AS ws
+    FROM documents
+), based AS (
+    SELECT id, len(ws) AS dl, ws FROM base
+), stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM based
+), matched AS (
+    SELECT id, dl, unnest(ws) AS tok FROM based
+), m AS (
+    SELECT * FROM matched WHERE tok IN ('spark', 'merge', 'window')
+), tf AS (
+    SELECT id, tok, count(*) AS tf, min(dl) AS dl FROM m GROUP BY 1, 2
+), dft AS (
+    SELECT tok, count(DISTINCT id) AS df FROM m GROUP BY 1
+)
+SELECT tf.id AS doc_id,
+       round(CAST(sum(CAST(
+           ln(1.0e0 + (CAST(n_docs - df AS DOUBLE) + 0.5e0)
+                      / (CAST(df AS DOUBLE) + 0.5e0))
+           * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))
+           / (CAST(tf AS DOUBLE)
+              + 1.2e0 * ((1.0e0 - 0.75e0)
+                         + (0.75e0 * CAST(dl AS DOUBLE)) / avgdl))
+       AS DECIMAL(20,8))) AS DOUBLE), 4) + 0 AS score
+FROM tf JOIN dft USING (tok) CROSS JOIN stats
+GROUP BY tf.id
+"""
+
+
+@register("bm25_rank", _BM25_ORACLE)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the documents corpus for a 3-term query —
+    one declarative plan (match-filtered explode, in-plan corpus stats,
+    broadcast df/avgdl), no driver collect. `stable=True` makes the
+    score reproducible across engines and partitionings (exact-sum
+    avgdl, decimal-quantized contribution sum) so every scored row is
+    value-hash-adjudicable; round(4) + 0 is the established float/
+    signed-zero canonicalization."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["spark", "merge", "window"], stable=True)
+    return scored.select(
+        "doc_id", (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# table profiling — the pre-training sanity sweep, one scan, one aggregation
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH a AS (
+    SELECT count(*) AS n,
+        CAST(sum(CASE WHEN doc_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul0,
+        CAST(count(DISTINCT doc_id)  AS BIGINT) AS dis0,
+        CAST(min(doc_id)  AS VARCHAR) AS min0, CAST(max(doc_id)  AS VARCHAR) AS max0,
+        CAST(sum(CASE WHEN text    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul1,
+        CAST(count(DISTINCT text)    AS BIGINT) AS dis1,
+        CAST(min(text)    AS VARCHAR) AS min1, CAST(max(text)    AS VARCHAR) AS max1,
+        CAST(sum(CASE WHEN lang    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul2,
+        CAST(count(DISTINCT lang)    AS BIGINT) AS dis2,
+        CAST(min(lang)    AS VARCHAR) AS min2, CAST(max(lang)    AS VARCHAR) AS max2,
+        CAST(sum(CASE WHEN source  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul3,
+        CAST(count(DISTINCT source)  AS BIGINT) AS dis3,
+        CAST(min(source)  AS VARCHAR) AS min3, CAST(max(source)  AS VARCHAR) AS max3,
+        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul4,
+        CAST(count(DISTINCT n_chars) AS BIGINT) AS dis4,
+        CAST(min(n_chars) AS VARCHAR) AS min4, CAST(max(n_chars) AS VARCHAR) AS max4
+    FROM documents
+)
+SELECT 'doc_id' AS "column", n AS n_rows, nul0 AS n_nulls, dis0 AS n_distinct,
+       min0 AS min_value, max0 AS max_value FROM a
+UNION ALL SELECT 'text',    n, nul1, dis1, min1, max1 FROM a
+UNION ALL SELECT 'lang',    n, nul2, dis2, min2, max2 FROM a
+UNION ALL SELECT 'source',  n, nul3, dis3, min3, max3 FROM a
+UNION ALL SELECT 'n_chars', n, nul4, dis4, min4, max4 FROM a
+"""
+
+
+@register("profile_docs", _PROFILE_ORACLE)
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents table (null count,
+    exact distinct cardinality, min/max rendered to strings): ONE
+    aggregation over ONE scan — no per-column jobs. The oracle computes
+    the same statistics column-by-column and unpivots via UNION ALL.
+    All profiled columns are bigint/varchar, so the string rendering of
+    min/max is engine-independent (doubles would not be)."""
+    from ..operators.profile import profile_table
+
+    return profile_table(read_fixture(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — deterministic PII-bearing text synthesized per doc (the
+# fixture corpus is clean word salad), then category counts + redaction.
+# The oracle interpolates the LITERAL same patterns (functions/text.py
+# PII_PATTERNS — lookahead-free, so Java regex and RE2 agree) and applies
+# them in the same fixed order, counting each category on the text with
+# earlier categories already redacted, exactly like pii_counts.
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    email, url, ip, phone = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["url"],
+        PII_PATTERNS["ip"],
+        PII_PATTERNS["phone"],
+    )
+    return f"""
+WITH synth AS (
+    SELECT doc_id,
+        substr(text, 1, 32)
+        || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' cc admin' || CAST(doc_id % 50 AS VARCHAR) || '@example.org'
+                ELSE '' END
+        || ' or https://docs.example.com/d/' || CAST(doc_id % 97 AS VARCHAR)
+        || ' node 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+        || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+        || CASE WHEN doc_id % 2 = 1
+                THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE ' no phone' END
+        || ' end' AS s
+    FROM documents
+), s1 AS (
+    SELECT doc_id, len(regexp_extract_all(s, '{email}')) AS n_email,
+           regexp_replace(s, '{email}', '<EMAIL>', 'g') AS s FROM synth
+), s2 AS (
+    SELECT doc_id, n_email, len(regexp_extract_all(s, '{url}')) AS n_url,
+           regexp_replace(s, '{url}', '<URL>', 'g') AS s FROM s1
+), s3 AS (
+    SELECT doc_id, n_email, n_url, len(regexp_extract_all(s, '{ip}')) AS n_ip,
+           regexp_replace(s, '{ip}', '<IP>', 'g') AS s FROM s2
+), s4 AS (
+    SELECT doc_id, n_email, n_url, n_ip,
+           len(regexp_extract_all(s, '{phone}')) AS n_phone,
+           regexp_replace(s, '{phone}', '<PHONE>', 'g') AS s FROM s3
+)
+SELECT doc_id, n_email, n_url, n_ip, n_phone, s AS redacted FROM s4
+"""
+
+
+@register("pii_scrub", _pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-category counts over synthesized PII-bearing
+    text (email / optional cc email / URL / dotted-quad / optional phone,
+    varied deterministically by doc_id, prefixed with real corpus text so
+    redaction interplays with organic content). Chained JVM regex — zero
+    shuffles, narrow projection; the 100 TB shape for corpus scrubbing.
+    Counts use the pii_counts contract: a category is counted on text
+    with earlier categories already redacted (a quad inside a URL is the
+    URL, not an extra IP; redacted digits never double-count as phones)."""
+    from ..functions.text import pii_counts, redact_pii
+
+    sid = F.col("doc_id")
+    synth = F.concat(
+        F.substring("text", 1, 32),
+        F.lit(" reach user"), sid.cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            sid % 3 == 0,
+            F.concat(
+                F.lit(" cc admin"),
+                (sid % 50).cast("string"),
+                F.lit("@example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" or https://docs.example.com/d/"), (sid % 97).cast("string"),
+        F.lit(" node 10.0."), (sid % 200).cast("string"),
+        F.lit("."), ((sid * 7) % 250).cast("string"),
+        F.when(
+            sid % 2 == 1,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((sid % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit(" no phone")),
+        F.lit(" end"),
+    )
+    docs = read_fixture(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", synth.alias("s"))
+        .withColumn("c", pii_counts(F.col("s")))
+        .select(
+            "doc_id",
+            F.col("c.email").alias("n_email"),
+            F.col("c.url").alias("n_url"),
+            F.col("c.ip").alias("n_ip"),
+            F.col("c.phone").alias("n_phone"),
+            redact_pii(F.col("s")).alias("redacted"),
+        )
+    )
