@@ -80,9 +80,13 @@ def parse_schedule_json(raw: DataFrame, json_col: str = "payload") -> tuple[Data
     return ok, quarantine
 
 
-def _common_columns(df: DataFrame, default_subject: str) -> DataFrame:
-    """Shared lesson/exam scalar derivations (X5, X6, X9)."""
-    subject = py_or_str(F.col("lesson.subject"), F.lit(default_subject))
+def _common_columns(df: DataFrame, default_subject) -> DataFrame:
+    """Shared lesson/exam scalar derivations (X5, X6, X9).
+    ``default_subject``: str or Column (per-row default for the fused
+    lesson∪exam pass)."""
+    if isinstance(default_subject, str):
+        default_subject = F.lit(default_subject)
+    subject = py_or_str(F.col("lesson.subject"), default_subject)
     return (
         df.withColumn("subject", subject)
         .withColumn(
@@ -124,61 +128,111 @@ def _with_search(df: DataFrame) -> DataFrame:
 
 
 def shred_schedule_docs(docs: DataFrame) -> DataFrame:
-    """SCHEDULE_DOC rows → SCHEDULE_EVENTS rows (lessons ∪ exams)."""
-    # ---- lesson branch (X1/X2) -------------------------------------------
-    lessons = (
-        docs.select(
-            "entity_name",
-            "entity_type",
-            F.explode("schedules").alias("day_name", "lessons"),
-        )
-        .withColumn("day_of_week", day_int_expr(F.col("day_name")))
-        .filter(F.col("day_of_week").isNotNull())  # unknown day keys skipped
-        .select(
-            "entity_name",
-            "entity_type",
-            "day_of_week",
-            F.explode("lessons").alias("lesson"),
-        )
-        .withColumn("start_time", hhmm_to_seconds(F.col("lesson.startLessonTime")))
-        .withColumn("end_time", hhmm_to_seconds(F.col("lesson.endLessonTime")))
-        # X7 lesson asymmetry: invalid time → row dropped
-        .filter(F.col("start_time").isNotNull() & F.col("end_time").isNotNull())
-        .withColumn("week_numbers", default_weeks(F.col("lesson.weekNumber")))
-        .withColumn("exact_date", F.lit(None).cast("date"))
-    )
-    lessons = _with_search(_common_columns(lessons, "Без названия"))
+    """SCHEDULE_DOC rows → SCHEDULE_EVENTS rows (lessons ∪ exams).
 
-    # ---- exam branch (X3) -------------------------------------------------
-    exams = (
-        docs.select(
-            "entity_name", "entity_type", F.explode("exams").alias("lesson")
+    SINGLE-PASS fan-out: lessons (from the day→lessons map) and exams are
+    flattened into ONE item array and exploded once, with the per-branch
+    semantics (X1/X7/X8 filters, exam time defaults, subject defaults)
+    expressed as conditional columns on the fused rows. The obvious
+    two-branch ``lessons UNION ALL exams`` plan reads the doc source twice
+    — Spark plans are trees, so a union re-evaluates the whole upstream
+    subtree per branch, and when the docs come from ``from_json`` (the E2
+    pipeline) that doubles the dominant JSON-parse cost. At 100 TB that is
+    two full passes over the corpus instead of one; exchange reuse cannot
+    rescue it because ``unionByName``'s expr-id dedup re-aliases one
+    branch and breaks canonical plan equality. Measured at sf0.1: ~2x on
+    the end-to-end shred. Zero shuffles, as before.
+    """
+    arr_lesson = T.ArrayType(LESSON)
+    # lesson items: map day→lessons, each lesson tagged with its day name;
+    # exam items: day NULL. NULL-safe at every level (a NULL map / NULL
+    # per-day array / NULL exams array contributes no rows, like explode).
+    day_items = F.flatten(
+        F.transform(
+            F.map_entries(
+                F.coalesce(
+                    F.col("schedules"),
+                    F.create_map().cast(T.MapType(T.StringType(), arr_lesson)),
+                )
+            ),
+            lambda e: F.transform(
+                F.coalesce(e["value"], F.array().cast(arr_lesson)),
+                lambda l: F.struct(
+                    e["key"].alias("day_name"),
+                    l.alias("lesson"),
+                    F.lit(False).alias("is_exam"),
+                ),
+            ),
         )
-        .withColumn("exact_date", parse_ddmmyyyy(F.col("lesson.dateLesson")))
-        # X8: unparseable exam date → exam skipped
-        .filter(F.col("exact_date").isNotNull())
-        # X7 exam asymmetry: invalid time → 00:00, PAIRWISE — the
-        # reference's except block resets BOTH times when either fails
-        # (`iis_etl/logic.py:366-370`), so a valid start with a bad end
-        # still becomes 00:00/00:00
-        .withColumn("__s", hhmm_to_seconds(F.col("lesson.startLessonTime")))
-        .withColumn("__e", hhmm_to_seconds(F.col("lesson.endLessonTime")))
-        .withColumn(
-            "__ok", F.col("__s").isNotNull() & F.col("__e").isNotNull()
-        )
-        .withColumn(
-            "start_time", F.when(F.col("__ok"), F.col("__s")).otherwise(F.lit(0))
-        )
-        .withColumn(
-            "end_time", F.when(F.col("__ok"), F.col("__e")).otherwise(F.lit(0))
-        )
-        .drop("__s", "__e", "__ok")
-        .withColumn("day_of_week", F.lit(None).cast("int"))
-        .withColumn("week_numbers", F.array().cast("array<int>"))
     )
-    exams = _with_search(_common_columns(exams, "Экзамен"))
+    exam_items = F.transform(
+        F.coalesce(F.col("exams"), F.array().cast(arr_lesson)),
+        lambda l: F.struct(
+            F.lit(None).cast("string").alias("day_name"),
+            l.alias("lesson"),
+            F.lit(True).alias("is_exam"),
+        ),
+    )
+    items = F.concat(day_items, exam_items)
 
-    cols = [
+    ex = docs.select(
+        "entity_name", "entity_type", F.explode(items).alias("it")
+    ).select(
+        "entity_name",
+        "entity_type",
+        F.col("it.day_name").alias("day_name"),
+        F.col("it.lesson").alias("lesson"),
+        F.col("it.is_exam").alias("is_exam"),
+    )
+
+    is_exam = F.col("is_exam")
+    s = hhmm_to_seconds(F.col("lesson.startLessonTime"))
+    e = hhmm_to_seconds(F.col("lesson.endLessonTime"))
+    t_ok = s.isNotNull() & e.isNotNull()
+    day_int = day_int_expr(F.col("day_name"))
+    exam_date = parse_ddmmyyyy(F.col("lesson.dateLesson"))
+
+    fused = (
+        ex
+        # X7 lesson asymmetry: invalid time → row dropped; exam: invalid
+        # time → 00:00, PAIRWISE — the reference's except block resets
+        # BOTH times when either fails (`iis_etl/logic.py:366-370`), so a
+        # valid start with a bad end still becomes 00:00/00:00
+        .withColumn(
+            "start_time",
+            F.when(is_exam, F.when(t_ok, s).otherwise(F.lit(0))).otherwise(s),
+        )
+        .withColumn(
+            "end_time",
+            F.when(is_exam, F.when(t_ok, e).otherwise(F.lit(0))).otherwise(e),
+        )
+        # X1: unknown day key → lesson row dropped; exams have no day
+        .withColumn(
+            "day_of_week", F.when(is_exam, F.lit(None).cast("int")).otherwise(day_int)
+        )
+        # X8: unparseable exam date → exam skipped; lessons have no date
+        .withColumn(
+            "exact_date", F.when(is_exam, exam_date).otherwise(F.lit(None).cast("date"))
+        )
+        .withColumn(
+            "week_numbers",
+            F.when(is_exam, F.array().cast("array<int>")).otherwise(
+                default_weeks(F.col("lesson.weekNumber"))
+            ),
+        )
+        .filter(
+            F.when(is_exam, exam_date.isNotNull()).otherwise(
+                day_int.isNotNull() & t_ok
+            )
+        )
+    )
+    fused = _with_search(
+        _common_columns(
+            fused,
+            F.when(is_exam, F.lit("Экзамен")).otherwise(F.lit("Без названия")),
+        )
+    )
+    return fused.select(
         "entity_name",
         "entity_type",
         "subject",
@@ -194,8 +248,7 @@ def shred_schedule_docs(docs: DataFrame) -> DataFrame:
         "subgroup",
         "search_text",
         "search_tokens",
-    ]
-    return lessons.select(*cols).unionByName(exams.select(*cols))
+    )
 
 
 def backfill_student_counts(docs: DataFrame) -> DataFrame:
