@@ -55,6 +55,11 @@ HEADLINE = [
     "window_lag_running_total",
     "cube_order_totals",
     "train_test_split",
+    "bm25_rank",
+    "profile_docs",
+    "pii_scrub",
+    "pack_sequences",
+    "domain_mix_cap",
 ]
 
 

@@ -1354,3 +1354,71 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             redact_pii(F.col("s")).alias("redacted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + per-domain capping — the mixture/packing stage of a
+# training-data pipeline (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH t AS (
+    SELECT source, doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT source, doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM t WHERE n_tokens > 0
+)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(cb / 512) AS BIGINT) AS seq_start,
+       CAST(floor((cb + n_tokens - 1) / 512) AS BIGINT) AS seq_end,
+       cb % 512 AS offset_in_seq
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing at budget 512 over the documents
+    corpus, grouped by source: every document gets its token interval
+    (starting sequence, ending sequence, offset) from ONE group-parallel
+    window cumsum — no global sort. Token counts are the whitespace
+    tokenizer the oracle replicates verbatim."""
+    from ..operators.packing import pack_sequences
+
+    docs = read_fixture(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, token_col="n_tokens")
+
+
+_MIX_CAP_ORACLE = """
+SELECT source, doc_id, n_chars FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents) t
+WHERE rn <= 15
+"""
+
+
+@register("domain_mix_cap", _MIX_CAP_ORACLE)
+def q_domain_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture cap: keep the 15 best documents per source
+    (longest-first with id tiebreak — an integer ordering so both engines
+    rank identically; in production the order column is the quality
+    score). One window row_number per group, single shuffle."""
+    from ..operators.packing import cap_per_group
+
+    docs = read_fixture(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return cap_per_group(
+        docs, 15, "source", [F.col("n_chars").desc(), F.col("doc_id")]
+    )
