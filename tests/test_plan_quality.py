@@ -191,3 +191,44 @@ def test_salted_join_bounds_max_task_input(spark):
         assert worst <= 2.5 / buckets, f"worst task holds {worst:.1%}"
     finally:
         _restore_confs(spark, old)
+
+
+def test_pack_sequences_group_parallel_no_global_sort(spark, sf_dir):
+    """Packing's cumsum must be a group-partitioned window — a global-order
+    cumsum would show up as rangepartitioning (one sorted partition at
+    scale)."""
+    plan = _plan(spark, "pack_sequences", sf_dir)
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_mix_cap_single_window_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "domain_mix_cap", sf_dir)
+    assert plan.count("Window [") == 1
+    assert "Exchange rangepartitioning" not in plan
+    # rank-limit pushdown: Spark inserts a PARTIAL WindowGroupLimit below
+    # the exchange, so at most `cap` rows per group are shuffled — the cap
+    # prunes map-side, not just post-window
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan
+
+
+def test_pii_scrub_stays_narrow(spark, sf_dir):
+    """Redaction + counts are chained JVM regex projections: no joins, no
+    aggregation exchanges (the only exchange allowed is the fixture-split
+    repartition)."""
+    plan = _plan(spark, "pii_scrub", sf_dir)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_bm25_exchanges_are_match_proportional(spark, sf_dir):
+    """BM25 must not aggregate or join on the full corpus-token explode:
+    the tf/df aggregations run on match-filtered rows and the small sides
+    broadcast."""
+    plan = _plan(spark, "bm25_rank", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
