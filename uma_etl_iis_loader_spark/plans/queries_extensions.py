@@ -1006,30 +1006,49 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _query_vectors(spark, sf_dir)
     brute = brute_force_topk(emb, queries, k=10)
 
-    def per_query(approx: DataFrame, method: str, floor: float) -> DataFrame:
-        hits = brute.join(
-            approx.select("query_id", "neighbor_id").withColumn("__f", F.lit(True)),
-            ["query_id", "neighbor_id"],
-            "left",
-        ).groupBy("query_id").agg(
-            (F.sum(F.when(F.col("__f"), 1).otherwise(0)) / F.count(F.lit(1))).alias(
-                "recall"
-            )
-        )
-        n = approx.groupBy("query_id").agg(
-            F.count(F.lit(1)).cast("int").alias("n_results")
-        )
-        return hits.join(n, "query_id").select(
-            F.lit(method).alias("method"),
-            "query_id",
-            "n_results",
-            (F.col("recall") >= floor).alias("recall_ok"),
-        )
-
+    # Spark plans are trees: a per-method helper that joins against
+    # `brute` twice (recall join + n_results agg, x2 methods) re-runs the
+    # brute-force corpus pass and each ANN pass per reference. Instead the
+    # method dimension is EXPLODED onto the brute side (narrow 2x row
+    # tag), both ANN outputs union with their method tag, and ONE
+    # full-outer join + ONE aggregation produce recall and cardinality
+    # together - every subtree evaluated exactly once.
+    brute2 = brute.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(F.array(F.lit("ivf"), F.lit("srp_lsh"))).alias("method"),
+    ).withColumn("__b", F.lit(True))
     ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
     srp = srp_lsh_topk(emb, queries, k=10, n_bits=16, bands=8, d=64)
-    return per_query(ivf, "ivf", 0.15).unionByName(
-        per_query(srp, "srp_lsh", 0.7)
+    approx2 = (
+        ivf.select("query_id", "neighbor_id")
+        .withColumn("method", F.lit("ivf"))
+        .unionByName(
+            srp.select("query_id", "neighbor_id").withColumn(
+                "method", F.lit("srp_lsh")
+            )
+        )
+        .withColumn("__f", F.lit(True))
+    )
+    floor = F.when(F.col("method") == "ivf", F.lit(0.15)).otherwise(F.lit(0.7))
+    return (
+        brute2.join(approx2, ["method", "query_id", "neighbor_id"], "full")
+        .groupBy("method", "query_id")
+        .agg(
+            F.sum(F.when(F.col("__f"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_results"),
+            (
+                F.sum(F.when(F.col("__b") & F.col("__f"), 1).otherwise(0))
+                / F.sum(F.when(F.col("__b"), 1).otherwise(0))
+            ).alias("__recall"),
+        )
+        .select(
+            "method",
+            "query_id",
+            "n_results",
+            (F.col("__recall") >= floor).alias("recall_ok"),
+        )
     )
 
 
