@@ -44,3 +44,98 @@ def test_stateful_stream_matches_batch(spark, sf_dir, events_split_dir):
         for r in running_user_stats(read_fixture(spark, sf_dir, "events")).collect()
     }
     assert got == batch
+
+
+def _doc_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import token_count
+
+    return (
+        read_fixture(spark, sf_dir, "documents")
+        .select(
+            "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+        )
+    )
+
+
+def test_pack_stream_matches_batch(spark, sf_dir):
+    """Single-shard landing: the stateful streaming packer must emit
+    exactly the batch window-cumsum assignment."""
+    from uma_etl_iis_loader_spark.streaming.stateful import pack_sequences_stream
+
+    docs = _doc_tokens(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="pack_src_")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "source string, doc_id long, n_tokens long"
+    ).parquet(d)
+    q = (
+        pack_sequences_stream(stream, budget=512)
+        .writeStream.format("memory")
+        .queryName("packed_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.source, r.doc_id): (r.seq_start, r.seq_end, r.offset_in_seq)
+        for r in spark.sql("SELECT * FROM packed_stream").collect()
+    }
+    batch = {
+        (r.source, r.doc_id): (r.seq_start, r.seq_end, r.offset_in_seq)
+        for r in pack_sequences_stream(docs, budget=512).collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_pack_stream_position_survives_checkpointed_restart(spark, sf_dir):
+    """Shard-by-shard landing across a RESTART: the cumulative token
+    position must persist in the checkpointed state, so shard 2's
+    sequences continue exactly where shard 1 ended — the packed corpus is
+    identical to batch-packing everything at once."""
+    from uma_etl_iis_loader_spark.streaming.stateful import pack_sequences_stream
+
+    docs = _doc_tokens(spark, sf_dir).orderBy("doc_id").collect()
+    half = len(docs) // 2
+    # shard split respects the ordering contract: shard 1 = low doc_ids
+    schema = "source string, doc_id long, n_tokens long"
+    src = tempfile.mkdtemp(prefix="pack_src2_")
+    ckpt = tempfile.mkdtemp(prefix="pack_ckpt_")
+    sink = tempfile.mkdtemp(prefix="pack_sink_")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            pack_sequences_stream(stream, budget=512)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([tuple(r) for r in docs[:half]], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame([tuple(r) for r in docs[half:]], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r.source, r.doc_id): (r.seq_start, r.seq_end, r.offset_in_seq)
+        for r in spark.read.parquet(sink).collect()
+    }
+    from uma_etl_iis_loader_spark.operators.packing import pack_sequences
+
+    full = _doc_tokens(spark, sf_dir)
+    batch = {
+        (r.source, r.doc_id): (r.seq_start, r.seq_end, r.offset_in_seq)
+        for r in pack_sequences(full, budget=512).collect()
+    }
+    assert got == batch and len(got) > 0

@@ -71,3 +71,75 @@ def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
         F.round(F.sum("value"), 2).alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental sequence packing — the streaming face of
+# operators/packing.pack_sequences
+# ---------------------------------------------------------------------------
+
+PACK_OUTPUT_SCHEMA = (
+    "source string, doc_id long, n_tokens long, "
+    "seq_start long, seq_end long, offset_in_seq long"
+)
+PACK_STATE_SCHEMA = "cum bigint"
+
+
+def _make_pack_updater(budget: int):
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout in practice
+            state.remove()
+            return
+        cum = state.get[0] if state.exists else 0
+        parts = list(pdfs)
+        pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+        pdf = pdf[pdf["n_tokens"] > 0].sort_values("doc_id")
+        n = pdf["n_tokens"].to_numpy(dtype="int64")
+        state.update((int(cum + n.sum()),))
+        if len(n):
+            cb = cum + np.concatenate(([0], np.cumsum(n[:-1])))
+            yield pd.DataFrame(
+                {
+                    "source": key[0],
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": n,
+                    "seq_start": cb // budget,
+                    "seq_end": (cb + n - 1) // budget,
+                    "offset_in_seq": cb % budget,
+                }
+            )
+
+    return _update
+
+
+def pack_sequences_stream(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """Incremental concat-then-chunk packing of an arriving document
+    stream (columns: source, doc_id, n_tokens): each group's cumulative
+    token position persists across micro-batches, so newly landed
+    documents continue exactly where the previous batch's sequences ended
+    — the loader-manifest use case, where a corpus lands shard by shard
+    and training sequences must stay stable for the shards already
+    packed.
+
+    Ordering contract: within a micro-batch a group packs in ascending
+    doc_id; across batches, arrival order IS pack order (land shards in
+    manifest order). State is ONE bigint per group — O(#domains) total,
+    no timeout needed; batch face delegates to the window-cumsum plan
+    (`operators/packing.pack_sequences`), equivalence pytest-pinned
+    including a checkpointed restart mid-corpus.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not docs.isStreaming:
+        from ..operators.packing import pack_sequences
+
+        return pack_sequences(docs, budget)
+    return docs.groupBy("source").applyInPandasWithState(
+        _make_pack_updater(budget),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
