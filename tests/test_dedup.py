@@ -305,3 +305,51 @@ def test_connected_components_string_ids(spark):
     )
     kept = sorted(r.doc_id for r in deduplicate_corpus(docs, pairs).collect())
     assert kept == ["aa", "xx", "zz"]
+
+
+def test_incremental_index_parity_and_idempotence(spark, sf_dir, tmp_path):
+    """Persisted-index incremental dedup: (1) pair recall parity — the
+    incremental run's pairs restricted to (old,new)+(new,new) equal the
+    batch LSH run's pairs over the full corpus (same seeded hash family,
+    same banding); (2) idempotence — re-incrementing the same shard finds
+    every doc a dup of the corpus copy, zero survivors."""
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    idx = str(tmp_path / "lsh_index")
+    kw = dict(num_hashes=64, bands=16, n=3, char_level=False)
+
+    build_minhash_index(old, idx, **kw)
+    out = dedup_increment(new, idx, threshold=0.35, **kw)
+
+    batch = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.35, **kw).collect()
+    }
+    batch_old_new = {(a, b) for a, b in batch if a < 250 <= b}
+    batch_new_new = {(a, b) for a, b in batch if a >= 250}
+    got_old = {
+        (min(r.id_old, r.id_new), max(r.id_old, r.id_new))
+        for r in out["pairs_old"].collect()
+    }
+    got_new = {(r.id_a, r.id_b) for r in out["pairs_new"].collect()}
+    assert got_old == batch_old_new
+    assert got_new == batch_new_new
+
+    # survivor contract: dropped ⇔ has a corpus match or a smaller-id
+    # shard match
+    dropped = {b for _, b in got_new} | {max(a, b) for a, b in got_old}
+    surv = {r.doc_id for r in out["survivors"].collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    assert surv == new_ids - dropped
+
+    # idempotence: the survivors were appended to the index, so the same
+    # shard re-incremented (without re-appending) dies entirely
+    again = dedup_increment(new, idx, threshold=0.35, update_index=False, **kw)
+    assert again["survivors"].count() == 0

@@ -320,6 +320,27 @@ def minhash_signature(
     )
 
 
+def _band_entries(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) LSH entries: bucket = hash of the band's
+    row-slice of the signature (band id mixed in so buckets never collide
+    across bands)."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.slice(F.col("sig"), b * rows + 1, rows).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -346,21 +367,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(docs, id_col, text_col, num_hashes, n, char_level)
     sigs = sigs.persist()
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.slice(F.col("sig"), b * rows + 1, rows).cast("string")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _band_entries(sigs, bands, rows)
 
     la, lb = banded.alias("a"), banded.alias("b")
     candidates = (
@@ -791,3 +798,156 @@ def connected_components_star(
         )
         .select("node", F.coalesce("comp", "node").alias("comp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: persisted MinHash-LSH index for a growing corpus
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    char_level: bool = True,
+) -> None:
+    """Persist the LSH state of a corpus so future shards dedup against
+    it WITHOUT re-scanning the corpus: ``<path>/bands`` (band, bucket,
+    id; partitioned by band) and ``<path>/grams`` (id, grams — stored
+    once, NOT per band entry, so gram storage is O(corpus), not
+    O(corpus×bands)). Signatures are deterministic (seeded hash family),
+    so entries appended later by ``dedup_increment`` are mutually
+    consistent with these."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, n, char_level)
+    sigs = sigs.persist()
+    _band_entries(sigs, bands, rows).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    sigs.select("id", "grams").write.mode("overwrite").parquet(f"{path}/grams")
+    sigs.unpersist()
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    char_level: bool = True,
+    update_index: bool = True,
+) -> dict[str, DataFrame]:
+    """Dedup a NEWLY LANDED shard against the persisted index + itself,
+    and (by default) append the surviving docs' LSH state to the index —
+    the daily-ingest shape at 100 TB, where the existing corpus is only
+    touched through the (band, bucket)-bucketed index join + a gram
+    lookup for candidate ids, never re-signatured.
+
+    Returns:
+      - ``pairs_old``: (id_new, id_old) verified dups vs the corpus
+      - ``pairs_new``: (id_a, id_b) verified dups within the shard
+      - ``survivors``: new docs that match no corpus doc and no
+        smaller-id shard doc. Direct-match semantics: on transitive
+        CHAINS (a~b, b~c, a≁c) this keeps more than the batch
+        connected-components dedup — for chain-y corpora run
+        ``connected_components`` over the returned pairs instead.
+        Idempotence law (pytest-pinned): incrementing the same shard
+        again yields zero survivors.
+
+    Candidate generation is IDENTICAL to the batch ``minhash_lsh_pairs``
+    (same seeded hash family, same banding), so incremental pair recall
+    equals the batch run's — pinned by the parity test.
+    """
+    spark = new_docs.sparkSession
+    rows = num_hashes // bands
+    sigs = minhash_signature(
+        new_docs, id_col, text_col, num_hashes, n, char_level
+    ).persist()
+    banded_new = _band_entries(sigs, bands, rows).persist()
+
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    idx_grams = spark.read.parquet(f"{index_path}/grams")
+
+    # vs the existing corpus: bucket join against the index, gram-verify.
+    # The index side arrives band-partitioned; only buckets colliding with
+    # the new shard survive the join (shuffle ∝ shard + matches).
+    cand_old = (
+        banded_new.select(F.col("id").alias("id_new"), "band", "bucket")
+        .join(
+            idx_bands.select(F.col("id").alias("id_old"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    pairs_old = (
+        cand_old.join(
+            sigs.select(F.col("id").alias("id_new"), F.col("grams").alias("ga")),
+            "id_new",
+        )
+        .join(
+            idx_grams.select(F.col("id").alias("id_old"), F.col("grams").alias("gb")),
+            "id_old",
+        )
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_new", "id_old")
+    )
+
+    # within the shard: the batch pipeline on the new docs only
+    la, lb = banded_new.alias("a"), banded_new.alias("b")
+    cand_new = (
+        la.join(lb, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = sigs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sigs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs_new = (
+        cand_new.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("grams_a", "grams_b"))
+            / F.size(F.array_union("grams_a", "grams_b")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    # pin the (small) pair sets eagerly so downstream consumers and the
+    # index append don't re-run the joins; release the signature caches
+    pairs_old = pairs_old.localCheckpoint(eager=True)
+    pairs_new = pairs_new.localCheckpoint(eager=True)
+
+    dropped = pairs_old.select(F.col("id_new").alias(id_col)).unionByName(
+        pairs_new.select(F.col("id_b").alias(id_col))
+    )
+    survivors = new_docs.join(dropped, id_col, "left_anti")
+
+    if update_index:
+        surv_ids = survivors.select(F.col(id_col).alias("id"))
+        keep_sigs = sigs.join(surv_ids, "id", "left_semi").persist()
+        _band_entries(keep_sigs, bands, rows).write.mode("append").partitionBy(
+            "band"
+        ).parquet(f"{index_path}/bands")
+        keep_sigs.select("id", "grams").write.mode("append").parquet(
+            f"{index_path}/grams"
+        )
+        keep_sigs.unpersist()
+
+    sigs.unpersist()
+    banded_new.unpersist()
+    return {"pairs_old": pairs_old, "pairs_new": pairs_new, "survivors": survivors}
