@@ -108,3 +108,42 @@ def test_freq_items_query_is_exact(spark, sf_dir):
         for r in events.groupBy("user_id").count().filter(F.col("count") * 200 > n).collect()
     }
     assert got == truly
+
+
+def test_hll_union_is_lossless(spark, sf_dir):
+    """HLL sketches at equal lgK merge LOSSLESSLY: the union of per-day
+    sketches estimates exactly what one sketch over the whole window
+    estimates — pre-aggregation costs no accuracy. Also: the estimate is
+    within the configured RSE of exact."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_distinct_sketches(events, ["event_type", "day"], "user_id")
+    merged = {
+        r.event_type: r.approx_distinct
+        for r in merge_distinct_sketches(daily, ["event_type"]).collect()
+    }
+    whole = {
+        r.event_type: r.approx_distinct
+        for r in merge_distinct_sketches(
+            build_distinct_sketches(events, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert merged == whole  # lossless union, estimate-exact
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(merged[et] - n) <= 0.05 * n

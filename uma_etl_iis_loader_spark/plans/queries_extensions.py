@@ -1441,3 +1441,49 @@ def q_domain_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(
         docs, 15, "source", [F.col("n_chars").desc(), F.col("doc_id")]
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketches — per-day build, lossless union (operators/sketches)
+# ---------------------------------------------------------------------------
+
+_HLL_UNION_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM events
+GROUP BY 1
+"""
+
+
+@register("hll_daily_union", _HLL_UNION_ORACLE)
+def q_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type answered by UNIONING per-day HLL
+    sketches (never re-scanning events): sketches built per (event_type,
+    day), then merged per event_type. Adjudication emits the exact
+    distinct (computed in-plan) plus a 5%-relative-error bound boolean —
+    a broken union (double-count, dropped day, lgK mismatch) blows the
+    bound and flips a hashed value. The lossless-union law (union of
+    day sketches == one whole-window sketch, estimate-exact) is pinned
+    in tests/test_approx.py."""
+    from ..operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_distinct_sketches(events, ["event_type", "day"], "user_id")
+    approx = merge_distinct_sketches(daily, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(approx, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
