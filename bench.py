@@ -60,6 +60,7 @@ HEADLINE = [
     "pii_scrub",
     "pack_sequences",
     "domain_mix_cap",
+    "hll_daily_union",
 ]
 
 
