@@ -147,3 +147,64 @@ def test_hll_union_is_lossless(spark, sf_dir):
     }
     for et, n in exact.items():
         assert abs(merged[et] - n) <= 0.05 * n
+
+
+def test_theta_set_algebra_laws(spark):
+    """Theta sketches on known sets: A∩B, A\\B, A∪B estimates are EXACT
+    below the nominal entry count (the common case for per-group
+    audiences); inclusion-exclusion holds."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        build_theta_sketches,
+        theta_pair_overlap,
+    )
+
+    # A = {0..599}, B = {400..999}: |A∩B| = 200, |A\B| = 400, |A∪B| = 1000
+    rows = [("A", i) for i in range(600)] + [("B", i) for i in range(400, 1000)]
+    df = spark.createDataFrame(rows, "grp string, user_id long")
+    out = theta_pair_overlap(
+        build_theta_sketches(df, ["grp"], "user_id"), "grp"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.key_a, r.key_b) == ("A", "B")
+    assert round(r.common) == 200
+    assert round(r.only_a) == 400
+    assert round(r.either) == 1000
+
+
+def test_kll_merge_preserves_rank_bound(spark, sf_dir):
+    """Merging per-day KLL sketches keeps the rank guarantee: the merged
+    q50/q95 estimates rank within ±3% of the target on the full data."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_quantile_sketches(events, ["event_type", "day"], "value")
+    est = merge_quantile_sketches(
+        daily, ["event_type"], {"q50": 0.5, "q95": 0.95}
+    ).collect()
+    vals = {
+        r.event_type: sorted(
+            v.value
+            for v in events.filter(F.col("event_type") == r.event_type)
+            .select("value")
+            .collect()
+        )
+        for r in est
+    }
+    import bisect
+
+    for r in est:
+        v = vals[r.event_type]
+        for name, p in (("q50", 0.5), ("q95", 0.95)):
+            rank = bisect.bisect_right(v, getattr(r, name)) / len(v)
+            assert abs(rank - p) <= 0.03, (r.event_type, name, rank)

@@ -1487,3 +1487,125 @@ def q_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta set algebra + mergeable KLL quantiles (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+WITH t AS (SELECT DISTINCT event_type FROM events),
+p AS (SELECT DISTINCT event_type, user_id FROM events),
+x AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+       CAST(coalesce(x.c, 0) AS BIGINT) AS exact_common,
+       TRUE AS within_bound
+FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+LEFT JOIN x ON x.ta = t1.event_type AND x.tb = t2.event_type
+"""
+
+
+@register("theta_audience_overlap", _THETA_ORACLE)
+def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via Theta set algebra: distinct users who did
+    BOTH event types, for every type pair, estimated purely from
+    per-type sketches (the fact table is never rescanned for a pair).
+    Adjudication emits the exact intersection (computed in-plan from
+    distinct pairs) plus a bound boolean — a broken intersection blows
+    the 5%+2 tolerance and flips a hashed value."""
+    from ..operators.sketches import build_theta_sketches, theta_pair_overlap
+
+    events = read_fixture(spark, sf_dir, "events")
+    overlap = theta_pair_overlap(
+        build_theta_sketches(events, ["event_type"], "user_id"), "event_type"
+    ).select(
+        F.col("key_a").alias("type_a"),
+        F.col("key_b").alias("type_b"),
+        "common",
+    )
+    p = events.select("event_type", "user_id").distinct()
+    exact = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        overlap.join(exact, ["type_a", "type_b"], "left")
+        .withColumn("exact_common", F.coalesce(F.col("__c"), F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_common",
+            (
+                F.abs(F.col("common") - F.col("exact_common"))
+                <= 0.05 * F.col("exact_common") + 2.0
+            ).alias("within_bound"),
+        )
+    )
+
+
+# Rank check mirrors quantiles_by_type: the estimate's true rank must sit
+# within p ± 0.03 (KLL k=200 normalized rank error ~1.65% at 99%
+# confidence). The oracle enumerates (event_type x stat) with TRUE.
+_KLL_ORACLE = """
+SELECT event_type, v.stat, TRUE AS rank_ok
+FROM (SELECT DISTINCT event_type FROM events) t,
+     (VALUES ('q50'), ('q95')) v(stat)
+"""
+
+
+@register("kll_rolling_quantiles", _KLL_ORACLE)
+def q_kll_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles answered by MERGING per-day KLL sketches
+    (the rolling-window shape — merge keeps the rank-error guarantee,
+    unlike averaging per-shard percentiles which has none). Adjudicated
+    by computing each estimate's exact rank in-plan and asserting it
+    sits within p ± 0.03."""
+    from ..operators.sketches import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+    )
+
+    events = read_fixture(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_quantile_sketches(events, ["event_type", "day"], "value")
+    est = merge_quantile_sketches(
+        daily, ["event_type"], {"q50": 0.5, "q95": 0.95}
+    )
+    long = est.select(
+        "event_type",
+        F.explode(
+            F.create_map(
+                F.lit("q50"), F.struct(F.col("q50").alias("est"), F.lit(0.5).alias("p")),
+                F.lit("q95"), F.struct(F.col("q95").alias("est"), F.lit(0.95).alias("p")),
+            )
+        ).alias("stat", "s"),
+    ).select("event_type", "stat", F.col("s.est").alias("est"), F.col("s.p").alias("p"))
+    ranked = (
+        events.join(F.broadcast(long), "event_type")
+        .groupBy("event_type", "stat", "p")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0)).alias("le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "stat",
+        (
+            (F.col("le") / F.col("n") >= F.col("p") - 0.03)
+            & (F.col("le") / F.col("n") <= F.col("p") + 0.03)
+        ).alias("rank_ok"),
+    )
