@@ -83,3 +83,49 @@ class Scd2StreamMaintainer:
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
         )
+
+
+class DedupIngestMaintainer:
+    """Continuous corpus curation: each arriving micro-batch of documents
+    is deduped against the persisted MinHash-LSH index (plus itself) and
+    only the survivors land in the corpus — the streaming face of
+    ``operators/dedup.dedup_increment``, wired the same way as the SCD2
+    maintainer (foreachBatch owns a snapshot path + the index path).
+
+    Exactly-once shape: the corpus write is an append of survivors and
+    the index append is derived from the same survivors; a replayed
+    micro-batch re-dedups against the index its first delivery already
+    updated, so every replayed doc now matches its own indexed copy and
+    ZERO survivors append (idempotence law pytest-pinned — same property
+    the batch operator guarantees)."""
+
+    def __init__(
+        self,
+        corpus_path: str,
+        index_path: str,
+        threshold: float = 0.5,
+        **lsh_kwargs,
+    ):
+        self.corpus_path = corpus_path
+        self.index_path = index_path
+        self.threshold = threshold
+        self.lsh_kwargs = lsh_kwargs
+
+    def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import dedup_increment
+
+        out = dedup_increment(
+            incoming,
+            self.index_path,
+            threshold=self.threshold,
+            update_index=True,
+            **self.lsh_kwargs,
+        )
+        out["survivors"].write.mode("append").parquet(self.corpus_path)
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
