@@ -61,6 +61,8 @@ HEADLINE = [
     "pack_sequences",
     "domain_mix_cap",
     "hll_daily_union",
+    "theta_audience_overlap",
+    "kll_rolling_quantiles",
 ]
 
 

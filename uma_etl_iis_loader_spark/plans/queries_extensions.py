@@ -1584,7 +1584,7 @@ def q_kll_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = merge_quantile_sketches(
         daily, ["event_type"], {"q50": 0.5, "q95": 0.95}
     )
-    long = est.select(
+    targets = est.select(
         "event_type",
         F.explode(
             F.create_map(
@@ -1594,7 +1594,7 @@ def q_kll_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stat", "s"),
     ).select("event_type", "stat", F.col("s.est").alias("est"), F.col("s.p").alias("p"))
     ranked = (
-        events.join(F.broadcast(long), "event_type")
+        events.join(F.broadcast(targets), "event_type")
         .groupBy("event_type", "stat", "p")
         .agg(
             F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0)).alias("le"),
