@@ -89,3 +89,44 @@ def test_cap_below_group_size_keeps_all(spark):
     rows = [("x", i, i) for i in range(3)]
     df = spark.createDataFrame(rows, "source string, doc_id long, score long")
     assert cap_per_group(df, 10, "source", ["doc_id"]).count() == 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=700),
+)
+def test_pack_tiling_laws_hypothesis(spark, rows, budget):
+    """For ARBITRARY (group, token-count) inputs and budgets: packed
+    intervals tile each group's token stream gaplessly in order, offsets
+    stay inside the budget, and interval arithmetic is self-consistent."""
+    data = [(g, i, n) for i, (g, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=budget).orderBy("source", "doc_id").collect()
+    pos = {}
+    for r in out:
+        assert r.n_tokens > 0  # zero-token docs never emitted
+        assert 0 <= r.offset_in_seq < budget
+        start_tok = r.seq_start * budget + r.offset_in_seq
+        assert start_tok == pos.get(r.source, 0)  # gapless tiling
+        end_tok = start_tok + r.n_tokens - 1
+        assert r.seq_end == end_tok // budget  # interval arithmetic
+        assert r.seq_end >= r.seq_start
+        pos[r.source] = start_tok + r.n_tokens
+    # total coverage: emitted tokens == sum of positive inputs per group
+    expect = {}
+    for g, _i, n in data:
+        if n > 0:
+            expect[g] = expect.get(g, 0) + n
+    assert pos == expect
