@@ -63,6 +63,7 @@ HEADLINE = [
     "hll_daily_union",
     "theta_audience_overlap",
     "kll_rolling_quantiles",
+    "chunk_documents",
 ]
 
 

@@ -1609,3 +1609,42 @@ def q_kll_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("le") / F.col("n") <= F.col("p") + 0.03)
         ).alias("rank_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking — fixed-size overlapping word windows (operators/chunking)
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+    FROM documents
+), n AS (
+    SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+), c AS (
+    SELECT doc_id, ws, n,
+           CAST(ceil(CAST(greatest(n - 10, 1) AS DOUBLE) / 30) AS BIGINT) AS nc
+    FROM n
+)
+SELECT doc_id, u.i AS chunk_idx,
+       u.i * 30 AS start_word,
+       least(u.i * 30 + 40, n) AS end_word,
+       array_to_string(
+           list_slice(ws, u.i * 30 + 1, least(u.i * 30 + 40, n)), ' '
+       ) AS chunk_text
+FROM c, unnest(range(0, nc)) AS u(i)
+"""
+
+
+@register("chunk_documents", _CHUNK_ORACLE)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking of the corpus (40-word chunks,
+    10-word overlap): tokenize once, explode a per-doc index sequence,
+    slice — zero shuffles, every chunk boundary and the reassembled text
+    value-hash-adjudicated against the oracle's identical arithmetic."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        read_fixture(spark, sf_dir, "documents"), chunk_words=40, overlap_words=10
+    )
