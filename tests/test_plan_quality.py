@@ -232,3 +232,23 @@ def test_bm25_exchanges_are_match_proportional(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_zero_shuffles(spark, sf_dir):
+    """Chunking is pure narrow fan-out: tokenize, explode, slice — the
+    only exchange allowed is the fixture-split repartition; no joins, no
+    aggregates, no Python."""
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sketch_queries_partial_aggregate(spark, sf_dir):
+    """Sketch builds must partial-aggregate map-side (the mergeability
+    that makes them KB-sized shuffles at scale) and never sort-merge."""
+    for name in ("hll_daily_union", "kll_rolling_quantiles"):
+        plan = _plan(spark, name, sf_dir)
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name  # partial + final
