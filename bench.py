@@ -46,24 +46,17 @@ HEADLINE = [
     "knn_ann",
     "embedding_label_centroids",
     "text_analysis",
-    "search_tokenize",
-    "search_tokenize_ru_stem",
+    "search_tokenize",  # en + ru + ru_stem variants under one query
     "freq_items_users",
     "curation_pipeline",
     "stream_windowed_counts",
     "stream_sessionize",
     "window_lag_running_total",
-    "cube_order_totals",
-    "train_test_split",
+    "grouping_analytics",  # cube + grouping-sets rows
+    "sampling_ops",  # split + contamination + stratified-sample rows
     "bm25_rank",
-    "profile_docs",
-    "pii_scrub",
-    "pack_sequences",
-    "domain_mix_cap",
-    "hll_daily_union",
-    "theta_audience_overlap",
-    "kll_rolling_quantiles",
-    "chunk_documents",
+    "llm_prep_ops",  # chunk + pack + mix-cap + pii rows
+    "corpus_stats_ops",  # profile + HLL-union + theta + KLL rows
 ]
 
 

@@ -12,6 +12,13 @@ def _plan(spark, name, sf_dir):
     return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_fn(spark, fn, sf_dir):
+    """Plan of an unregistered helper query (a consolidated query's
+    sub-operator) — assertions stay per-operator even though adjudication
+    is union-tagged."""
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
 def test_flagship_uses_broadcast_joins_only(spark, sf_dir):
     plan = _plan(spark, "flagship_occupancy", sf_dir)
     assert "BroadcastHashJoin" in plan
@@ -41,11 +48,13 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 
 
 def test_cube_and_grouping_sets_single_shuffle(spark, sf_dir):
-    # Expand + one aggregation exchange — NOT one scan/shuffle per grouping
-    for name in ("cube_order_totals", "grouping_sets_status_year"):
-        plan = _plan(spark, name, sf_dir)
-        assert "Expand" in plan, name
-        assert plan.count("Scan parquet") == 1, name
+    # Expand + one aggregation exchange per sub-plan — NOT one
+    # scan/shuffle per grouping combination (cube alone would be 4 scans
+    # hand-rolled; grouping sets 2). The consolidated query unions the
+    # two sub-plans, so exactly 2 scans total.
+    plan = _plan(spark, "grouping_analytics", sf_dir)
+    assert plan.count("Expand") == 2
+    assert plan.count("Scan parquet") == 2
 
 
 def test_window_sorts_within_single_partition_exchange(spark, sf_dir):
@@ -197,14 +206,18 @@ def test_pack_sequences_group_parallel_no_global_sort(spark, sf_dir):
     """Packing's cumsum must be a group-partitioned window — a global-order
     cumsum would show up as rangepartitioning (one sorted partition at
     scale)."""
-    plan = _plan(spark, "pack_sequences", sf_dir)
+    from uma_etl_iis_loader_spark.plans.queries_extensions import q_pack_sequences
+
+    plan = _plan_fn(spark, q_pack_sequences, sf_dir)
     assert "Window" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
 
 
 def test_domain_mix_cap_single_window_no_global_sort(spark, sf_dir):
-    plan = _plan(spark, "domain_mix_cap", sf_dir)
+    from uma_etl_iis_loader_spark.plans.queries_extensions import q_domain_mix_cap
+
+    plan = _plan_fn(spark, q_domain_mix_cap, sf_dir)
     assert plan.count("Window [") == 1
     assert "Exchange rangepartitioning" not in plan
     # rank-limit pushdown: Spark inserts a PARTIAL WindowGroupLimit below
@@ -218,7 +231,9 @@ def test_pii_scrub_stays_narrow(spark, sf_dir):
     """Redaction + counts are chained JVM regex projections: no joins, no
     aggregation exchanges (the only exchange allowed is the fixture-split
     repartition)."""
-    plan = _plan(spark, "pii_scrub", sf_dir)
+    from uma_etl_iis_loader_spark.plans.queries_extensions import q_pii_scrub
+
+    plan = _plan_fn(spark, q_pii_scrub, sf_dir)
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
@@ -238,7 +253,9 @@ def test_chunk_documents_zero_shuffles(spark, sf_dir):
     """Chunking is pure narrow fan-out: tokenize, explode, slice — the
     only exchange allowed is the fixture-split repartition; no joins, no
     aggregates, no Python."""
-    plan = _plan(spark, "chunk_documents", sf_dir)
+    from uma_etl_iis_loader_spark.plans.queries_extensions import q_chunk_documents
+
+    plan = _plan_fn(spark, q_chunk_documents, sf_dir)
     assert "Generate explode" in plan
     assert "Join" not in plan
     assert "HashAggregate" not in plan
@@ -248,7 +265,12 @@ def test_chunk_documents_zero_shuffles(spark, sf_dir):
 def test_sketch_queries_partial_aggregate(spark, sf_dir):
     """Sketch builds must partial-aggregate map-side (the mergeability
     that makes them KB-sized shuffles at scale) and never sort-merge."""
-    for name in ("hll_daily_union", "kll_rolling_quantiles"):
-        plan = _plan(spark, name, sf_dir)
-        assert "SortMergeJoin" not in plan, name
-        assert plan.count("HashAggregate") >= 2, name  # partial + final
+    from uma_etl_iis_loader_spark.plans.queries_extensions import (
+        q_hll_daily_union,
+        q_kll_rolling_quantiles,
+    )
+
+    for fn in (q_hll_daily_union, q_kll_rolling_quantiles):
+        plan = _plan_fn(spark, fn, sf_dir)
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert plan.count("HashAggregate") >= 2, fn.__name__  # partial + final

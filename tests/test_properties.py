@@ -77,3 +77,27 @@ def test_py_or_int_matches_python_or(spark, vals):
     }
     for i, v in enumerate(vals):
         assert out[i] == (v or 9)
+
+
+def test_registry_fits_driver_adjudication_window():
+    """The driver's correctness gate checks only the FIRST 50 registered
+    queries — every query (and in particular every ORACLES-bearing one)
+    must register inside that window, or it silently loses driver
+    adjudication. Guard the invariant so a future addition can't evict
+    an adjudicated query: consolidate into a method-tagged property
+    query (the dedup_lsh_pairs / llm_prep_ops pattern) instead of
+    growing past 50."""
+    from uma_etl_iis_loader_spark.plans.registry import ORACLES, QUERIES
+
+    names = list(QUERIES)
+    assert len(names) <= 50, (
+        f"registry holds {len(names)} queries; the driver adjudicates only "
+        f"the first 50 — consolidate before registering more"
+    )
+    window = set(names[:50])
+    outside = [n for n in ORACLES if n not in window]
+    assert not outside, f"oracled queries outside the driver window: {outside}"
+    # every registered query should also carry an oracle (rows-only checks
+    # are the weaker gate; current registry is 100% oracled — keep it so)
+    missing = [n for n in names if n not in ORACLES]
+    assert not missing, f"queries with no DuckDB oracle: {missing}"

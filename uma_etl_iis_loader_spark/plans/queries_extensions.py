@@ -93,10 +93,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash-LSH and SimHash near-dup queries (rows-only: DuckDB lacks the
-# signature hashes) are merged into `dedup_lsh_pairs`, registered at the
-# END of this module so every oracled query registers inside the driver's
-# 50-row check window.
+# MinHash-LSH and SimHash near-dup queries (DuckDB lacks the signature
+# hashes) are merged into `dedup_lsh_pairs` below — exact-verified pair
+# set + in-plan recall/precision property rows, one registry slot. The
+# whole registry holds ≤ 50 queries so the driver's correctness gate
+# (first 50 registered) adjudicates every one; tests/test_properties.py
+# guards that invariant.
 
 
 # ---------------------------------------------------------------------------
@@ -278,35 +280,16 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal: binary-column plumbing (decode stubbed; see operators/multimodal)
 # ---------------------------------------------------------------------------
 
-_MM_ORACLE = """
-SELECT doc_id AS asset_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS media_type,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes
-FROM documents
-"""
-
-
-@register("multimodal_asset_stats", _MM_ORACLE)
-def q_multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload metadata through the mapInPandas decode kernel
-    (byte counts oracle-checked; histogram features pytest-checked)."""
-    from ..operators.multimodal import documents_as_assets, fake_decode_features
-
-    assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
-    return fake_decode_features(assets).select(
-        "asset_id", "media_type", "n_bytes"
-    )
-
-
-# Frame indices are pure arithmetic over payload length (evenly spaced,
-# capped at max_frames) — so coverage and sampling positions ARE
-# oracle-checkable even though the frame bytes themselves are not. Frame
-# sampling and resize are merged under one `op` discriminator (one driver
-# row adjudicates both kernels, freeing a slot in the driver's 50-query
-# correctness window).
-_MM_TRANSFORM_ORACLE = """
+# All multimodal kernels adjudicated under ONE `op`-discriminated query
+# (the driver checks at most 50 registered queries — method-tagged rows
+# keep every kernel inside the window):
+#   - 'stats': payload metadata through the mapInPandas decode kernel
+#     (byte counts oracle-checked; histogram features pytest-checked).
+#   - 'frame_sample' / 'resize': frame indices are pure arithmetic over
+#     payload length (evenly spaced, capped at max_frames) — so coverage
+#     and sampling positions ARE oracle-checkable even though the frame
+#     bytes themselves are not.
+_MM_OPS_ORACLE = """
 WITH meta AS (
     SELECT doc_id AS asset_id,
            greatest(octet_length(encode(text)) // 1024, 1) AS n_frames
@@ -316,32 +299,52 @@ WITH meta AS (
            greatest(n_frames // 8, 1) AS step
     FROM meta
 )
-SELECT 'frame_sample' AS op, asset_id, CAST(u.i AS INT) AS idx,
+SELECT 'stats' AS op, doc_id AS asset_id, CAST(NULL AS INT) AS idx,
        CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
-       CAST(NULL AS INT) AS n_bytes
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS tag
+FROM documents
+UNION ALL
+SELECT 'frame_sample', asset_id, CAST(u.i AS INT),
+       NULL, NULL, NULL, NULL
 FROM stepped, range(0, 8) AS u(i)
 WHERE u.i < least((n_frames + step - 1) // step, 8)
 UNION ALL
-SELECT 'resize', doc_id, NULL, 16, 16, 256 FROM documents
+SELECT 'resize', doc_id, NULL, 16, 16, 256, NULL FROM documents
 """
 
 
-@register("multimodal_transform", _MM_TRANSFORM_ORACLE)
-def q_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling + resize over opaque payloads, tagged by `op`. The
-    oracle reproduces the deterministic sampling arithmetic (frame count,
-    stride, cap) from the payload byte length and the resize coverage
-    contract (one row per asset at target dims); the payload bytes
-    themselves are codec-stubbed — determinism and byte shape are pinned
-    in tests/test_multimodal.py."""
+@register("multimodal_ops", _MM_OPS_ORACLE)
+def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, tagged by `op`: payload
+    metadata ('stats' rows: byte count + media type through the
+    mapInPandas decode kernel), frame sampling and resize ('frame_sample'
+    / 'resize' rows — the oracle reproduces the deterministic sampling
+    arithmetic from the payload byte length and the resize coverage
+    contract). The payload bytes themselves are codec-stubbed for
+    image/audio; determinism and byte shape are pinned in
+    tests/test_multimodal.py."""
     from ..operators.multimodal import (
         documents_as_assets,
+        fake_decode_features,
         frame_sample,
         resize_images,
     )
 
     assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
     null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+    stats = fake_decode_features(assets).select(
+        F.lit("stats").alias("op"),
+        "asset_id",
+        null_i.alias("idx"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("media_type").alias("tag"),
+    )
     frames = frame_sample(assets).select(
         F.lit("frame_sample").alias("op"),
         "asset_id",
@@ -349,6 +352,7 @@ def q_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("width"),
         null_i.alias("height"),
         null_i.alias("n_bytes"),
+        null_s.alias("tag"),
     )
     resized = resize_images(assets, target_w=16, target_h=16).select(
         F.lit("resize").alias("op"),
@@ -357,8 +361,9 @@ def q_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("int"),
         F.col("height").cast("int"),
         F.length("payload").cast("int").alias("n_bytes"),
+        null_s.alias("tag"),
     )
-    return frames.unionByName(resized)
+    return stats.unionByName(frames).unionByName(resized)
 
 
 # ---------------------------------------------------------------------------
@@ -599,9 +604,10 @@ def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 90/5/5 deterministic split + per-test-doc 5-gram contamination counts
-# against the train split, both exactly reproduced in SQL (integer hash
-# arithmetic; gram canonicalization identical on both sides).
-_SPLIT_ORACLE = """
+# against the train split + salted-hash stratified sampling, all exactly
+# reproduced in SQL (integer hash arithmetic; gram canonicalization
+# identical on both sides), method-tagged under ONE registered query.
+_SAMPLING_OPS_ORACLE = """
 WITH spl AS (
     SELECT doc_id, text,
            CASE WHEN b < 9000 THEN 'train'
@@ -643,25 +649,47 @@ SELECT 'contamination', s.doc_id, 'test',
        coalesce(c.n_ngrams, 0), coalesce(c.n_contaminated, 0)
 FROM spl s LEFT JOIN cont c ON s.doc_id = c.doc_id
 WHERE s.split = 'test'
+UNION ALL
+SELECT 'strat_sample', doc_id, lang, NULL, NULL FROM (
+    SELECT doc_id, lang,
+           ((doc_id * 2654435761 + 1013904223) % 4294967296) % 10000 AS b
+    FROM documents
+)
+WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                    WHEN 'fr' THEN 10000 WHEN 'es' THEN 2500
+                    WHEN 'zh' THEN 2500 ELSE 0 END
 """
 
 
-@register("train_test_split", _SPLIT_ORACLE)
-def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 corpus split by Knuth multiplicative hashing
-    of doc_id (engine-independent integer arithmetic — exact oracle;
-    stable under repartitioning and corpus appends, no PRNG state), plus
-    the decontamination check that split stability enables: per TEST doc,
-    distinct word-5-gram count and how many of those 5-grams appear in
-    any TRAIN doc (operators/contamination.ngram_contamination — train
-    grams distinct-ed and hashed to 64-bit longs before the join, so the
-    shuffle ships 8-byte keys). `method` discriminates 'split' assignment
-    rows from per-test-doc 'contamination' count rows."""
-    from ..operators.contamination import ngram_contamination
-    from ..operators.sampling import deterministic_split
+@register("sampling_ops", _SAMPLING_OPS_ORACLE)
+def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling/split surface, `method`-tagged under one registered query:
 
-    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
-    split_df = deterministic_split(docs, "doc_id")
+    - 'split' rows: deterministic 90/5/5 corpus split by Knuth
+      multiplicative hashing of doc_id (engine-independent integer
+      arithmetic — exact oracle; stable under repartitioning and corpus
+      appends, no PRNG state).
+    - 'contamination' rows: the decontamination check that split
+      stability enables — per TEST doc, distinct word-5-gram count and
+      how many of those 5-grams appear in any TRAIN doc
+      (operators/contamination.ngram_contamination — train grams
+      distinct-ed and hashed to 64-bit longs before the join, so the
+      shuffle ships 8-byte keys).
+    - 'strat_sample' rows (split column carries the stratum): per-language
+      stratified sample by SALTED multiplicative hashing, so sample
+      membership and split assignment stay independent; append-stable (a
+      document's membership never changes as the corpus grows — the
+      property that matters when re-sampling 100 TB incrementally). The
+      seeded Bernoulli variant (`sampling.stratified_sample`) remains for
+      rate-exactness-insensitive uses, pytest-pinned.
+    """
+    from ..operators.contamination import ngram_contamination
+    from ..operators.sampling import deterministic_split, hash_stratified_sample
+
+    docs = read_fixture(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    split_df = deterministic_split(docs.select("doc_id", "text"), "doc_id")
     null_l = F.lit(None).cast("long")
     split_rows = split_df.select(
         F.lit("split").alias("method"),
@@ -681,37 +709,17 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ngrams",
         "n_contaminated",
     )
-    return split_rows.unionByName(cont_rows)
-
-
-# hash-stratified sampling: same multiplicative-hash idea as
-# deterministic_split but salted, so sample membership and split
-# assignment stay independent. Pure integer arithmetic → exact oracle.
-_STRAT_SAMPLE_ORACLE = """
-SELECT doc_id, lang FROM (
-    SELECT doc_id, lang,
-           ((doc_id * 2654435761 + 1013904223) % 4294967296) % 10000 AS b
-    FROM documents
-)
-WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
-                    WHEN 'fr' THEN 10000 WHEN 'es' THEN 2500
-                    WHEN 'zh' THEN 2500 ELSE 0 END
-"""
-
-
-@register("stratified_sample_docs", _STRAT_SAMPLE_ORACLE)
-def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stratified sample by salted multiplicative hashing —
-    deterministic, engine-independent, repartition- and append-stable (a
-    document's membership never changes as the corpus grows; the property
-    that matters when re-sampling 100 TB incrementally). The seeded
-    Bernoulli variant (`sampling.stratified_sample`) remains for
-    rate-exactness-insensitive uses, pytest-pinned."""
-    from ..operators.sampling import hash_stratified_sample
-
-    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.25}
-    return hash_stratified_sample(docs, "doc_id", "lang", fractions)
+    strat_rows = hash_stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", fractions
+    ).select(
+        F.lit("strat_sample").alias("method"),
+        "doc_id",
+        F.col("lang").alias("split"),
+        null_l.alias("n_ngrams"),
+        null_l.alias("n_contaminated"),
+    )
+    return split_rows.unionByName(cont_rows).unionByName(strat_rows)
 
 
 # Heavy hitters, exact: KPS sketch proposes candidates (single pass, no
@@ -1257,7 +1265,6 @@ UNION ALL SELECT 'n_chars', n, nul4, dis4, min4, max4 FROM a
 """
 
 
-@register("profile_docs", _PROFILE_ORACLE)
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profile of the documents table (null count,
     exact distinct cardinality, min/max rendered to strings): ONE
@@ -1323,7 +1330,6 @@ SELECT doc_id, n_email, n_url, n_ip, n_phone, s AS redacted FROM s4
 """
 
 
-@register("pii_scrub", _pii_oracle())
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction + per-category counts over synthesized PII-bearing
     text (email / optional cc email / URL / dotted-quad / optional phone,
@@ -1402,7 +1408,6 @@ FROM c
 """
 
 
-@register("pack_sequences", _PACK_ORACLE)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing at budget 512 over the documents
     corpus, grouped by source: every document gets its token interval
@@ -1427,7 +1432,6 @@ WHERE rn <= 15
 """
 
 
-@register("domain_mix_cap", _MIX_CAP_ORACLE)
 def q_domain_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain mixture cap: keep the 15 best documents per source
     (longest-first with id tiebreak — an integer ordering so both engines
@@ -1456,7 +1460,6 @@ GROUP BY 1
 """
 
 
-@register("hll_daily_union", _HLL_UNION_ORACLE)
 def q_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type answered by UNIONING per-day HLL
     sketches (never re-scanning events): sketches built per (event_type,
@@ -1508,7 +1511,6 @@ LEFT JOIN x ON x.ta = t1.event_type AND x.tb = t2.event_type
 """
 
 
-@register("theta_audience_overlap", _THETA_ORACLE)
 def q_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap via Theta set algebra: distinct users who did
     BOTH event types, for every type pair, estimated purely from
@@ -1565,7 +1567,6 @@ FROM (SELECT DISTINCT event_type FROM events) t,
 """
 
 
-@register("kll_rolling_quantiles", _KLL_ORACLE)
 def q_kll_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value quantiles answered by MERGING per-day KLL sketches
     (the rolling-window shape — merge keeps the rank-error guarantee,
@@ -1637,7 +1638,6 @@ FROM c, unnest(range(0, nc)) AS u(i)
 """
 
 
-@register("chunk_documents", _CHUNK_ORACLE)
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking of the corpus (40-word chunks,
     10-word overlap): tokenize once, explode a per-doc index sequence,
@@ -1648,3 +1648,183 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         read_fixture(spark, sf_dir, "documents"), chunk_words=40, overlap_words=10
     )
+
+
+# ---------------------------------------------------------------------------
+# consolidated adjudication queries — the driver's correctness gate checks
+# at most the FIRST 50 registered queries, so the LLM-pipeline prep and
+# corpus-statistics families are each unioned under one method-tagged
+# query (the `dedup_lsh_pairs` pattern): every family keeps a hash-green
+# driver row without spending a registry slot per sub-operator.
+# ---------------------------------------------------------------------------
+
+
+def _llm_prep_oracle() -> str:
+    return f"""
+SELECT 'chunk' AS method, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_idx AS BIGINT) AS k1, CAST(start_word AS BIGINT) AS k2,
+       CAST(end_word AS BIGINT) AS k3, CAST(NULL AS BIGINT) AS k4,
+       chunk_text AS txt
+FROM ({_CHUNK_ORACLE}) c
+UNION ALL
+SELECT 'pack', CAST(doc_id AS BIGINT), CAST(n_tokens AS BIGINT),
+       CAST(seq_start AS BIGINT), CAST(seq_end AS BIGINT),
+       CAST(offset_in_seq AS BIGINT), source
+FROM ({_PACK_ORACLE}) p
+UNION ALL
+SELECT 'mix_cap', CAST(doc_id AS BIGINT), CAST(n_chars AS BIGINT),
+       NULL, NULL, NULL, source
+FROM ({_MIX_CAP_ORACLE}) m
+UNION ALL
+SELECT 'pii', CAST(doc_id AS BIGINT), CAST(n_email AS BIGINT),
+       CAST(n_url AS BIGINT), CAST(n_ip AS BIGINT),
+       CAST(n_phone AS BIGINT), redacted
+FROM ({_pii_oracle()}) s
+"""
+
+
+@register("llm_prep_ops", _llm_prep_oracle())
+def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data prep surface, `method`-tagged under one
+    registered query (each sub-plan is the UNCHANGED standalone operator
+    query — see the per-helper docstrings above for semantics and scale
+    design):
+
+    - 'chunk' rows (q_chunk_documents): k1=chunk_idx, k2=start_word,
+      k3=end_word, txt=chunk_text.
+    - 'pack' rows (q_pack_sequences): k1=n_tokens, k2=seq_start,
+      k3=seq_end, k4=offset_in_seq, txt=source.
+    - 'mix_cap' rows (q_domain_mix_cap): k1=n_chars, txt=source.
+    - 'pii' rows (q_pii_scrub): k1..k4 = email/url/ip/phone counts,
+      txt=redacted text.
+
+    The union is lazy and each subtree independent — Spark executes the
+    four plans side by side; no cross-family shuffle is introduced.
+    """
+    null_l = F.lit(None).cast("long")
+    chunk = q_chunk_documents(spark, sf_dir).select(
+        F.lit("chunk").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("k1"),
+        F.col("start_word").cast("long").alias("k2"),
+        F.col("end_word").cast("long").alias("k3"),
+        null_l.alias("k4"),
+        F.col("chunk_text").alias("txt"),
+    )
+    pack = q_pack_sequences(spark, sf_dir).select(
+        F.lit("pack").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("k1"),
+        F.col("seq_start").cast("long").alias("k2"),
+        F.col("seq_end").cast("long").alias("k3"),
+        F.col("offset_in_seq").cast("long").alias("k4"),
+        F.col("source").alias("txt"),
+    )
+    cap = q_domain_mix_cap(spark, sf_dir).select(
+        F.lit("mix_cap").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("k1"),
+        null_l.alias("k2"),
+        null_l.alias("k3"),
+        null_l.alias("k4"),
+        F.col("source").alias("txt"),
+    )
+    pii = q_pii_scrub(spark, sf_dir).select(
+        F.lit("pii").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_email").cast("long").alias("k1"),
+        F.col("n_url").cast("long").alias("k2"),
+        F.col("n_ip").cast("long").alias("k3"),
+        F.col("n_phone").cast("long").alias("k4"),
+        F.col("redacted").alias("txt"),
+    )
+    return chunk.unionByName(pack).unionByName(cap).unionByName(pii)
+
+
+def _corpus_stats_oracle() -> str:
+    return f"""
+SELECT 'profile' AS method, "column" AS key_a, CAST(NULL AS VARCHAR) AS key_b,
+       CAST(n_rows AS BIGINT) AS v1, CAST(n_nulls AS BIGINT) AS v2,
+       CAST(n_distinct AS BIGINT) AS v3,
+       min_value AS lo, max_value AS hi, TRUE AS ok
+FROM ({_PROFILE_ORACLE}) pr
+UNION ALL
+SELECT 'hll_union', event_type, NULL, CAST(exact_distinct AS BIGINT),
+       NULL, NULL, NULL, NULL, within_bound
+FROM ({_HLL_UNION_ORACLE}) h
+UNION ALL
+SELECT 'theta_overlap', type_a, type_b, CAST(exact_common AS BIGINT),
+       NULL, NULL, NULL, NULL, within_bound
+FROM ({_THETA_ORACLE}) t
+UNION ALL
+SELECT 'kll_quantile', event_type, stat, NULL, NULL, NULL, NULL, NULL,
+       rank_ok
+FROM ({_KLL_ORACLE}) k
+"""
+
+
+@register("corpus_stats_ops", _corpus_stats_oracle())
+def q_corpus_stats_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus/warehouse statistics surface, `method`-tagged under one
+    registered query (each sub-plan is the UNCHANGED standalone operator
+    query — see the per-helper docstrings above):
+
+    - 'profile' rows (q_profile_docs): key_a=column, v1=n_rows,
+      v2=n_nulls, v3=n_distinct, lo/hi=min/max rendered to strings.
+    - 'hll_union' rows (q_hll_daily_union): key_a=event_type,
+      v1=exact_distinct, ok=5%-relative-error bound on the merged
+      per-day HLL estimate.
+    - 'theta_overlap' rows (q_theta_audience_overlap): key_a/key_b=the
+      type pair, v1=exact_common, ok=5%+2 bound on the Theta
+      intersection estimate.
+    - 'kll_quantile' rows (q_kll_rolling_quantiles): key_a=event_type,
+      key_b=stat, ok=the merged KLL estimate's exact rank sits within
+      p ± 0.03.
+    """
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    prof = q_profile_docs(spark, sf_dir).select(
+        F.lit("profile").alias("method"),
+        F.col("column").alias("key_a"),
+        null_s.alias("key_b"),
+        F.col("n_rows").cast("long").alias("v1"),
+        F.col("n_nulls").cast("long").alias("v2"),
+        F.col("n_distinct").cast("long").alias("v3"),
+        F.col("min_value").alias("lo"),
+        F.col("max_value").alias("hi"),
+        F.lit(True).alias("ok"),
+    )
+    hll = q_hll_daily_union(spark, sf_dir).select(
+        F.lit("hll_union").alias("method"),
+        F.col("event_type").alias("key_a"),
+        null_s.alias("key_b"),
+        F.col("exact_distinct").cast("long").alias("v1"),
+        null_l.alias("v2"),
+        null_l.alias("v3"),
+        null_s.alias("lo"),
+        null_s.alias("hi"),
+        F.col("within_bound").alias("ok"),
+    )
+    theta = q_theta_audience_overlap(spark, sf_dir).select(
+        F.lit("theta_overlap").alias("method"),
+        F.col("type_a").alias("key_a"),
+        F.col("type_b").alias("key_b"),
+        F.col("exact_common").cast("long").alias("v1"),
+        null_l.alias("v2"),
+        null_l.alias("v3"),
+        null_s.alias("lo"),
+        null_s.alias("hi"),
+        F.col("within_bound").alias("ok"),
+    )
+    kll = q_kll_rolling_quantiles(spark, sf_dir).select(
+        F.lit("kll_quantile").alias("method"),
+        F.col("event_type").alias("key_a"),
+        F.col("stat").alias("key_b"),
+        null_l.alias("v1"),
+        null_l.alias("v2"),
+        null_l.alias("v3"),
+        null_s.alias("lo"),
+        null_s.alias("hi"),
+        F.col("rank_ok").alias("ok"),
+    )
+    return prof.unionByName(hll).unionByName(theta).unionByName(kll)

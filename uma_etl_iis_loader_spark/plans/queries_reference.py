@@ -1101,7 +1101,10 @@ _RU_SRC_SQL = """
     )
 )
 
-_TOKENIZE_ORACLE = f"""
+def _tokenize_oracle() -> str:
+    from ..functions.text import RU_STEM_PATTERN
+
+    return f"""
 WITH src AS ({_RU_SRC_SQL})
 SELECT 'en' AS lang, doc_id AS id,
        array_to_string(list_sort(list_distinct(list_filter(
@@ -1113,6 +1116,17 @@ SELECT 'ru', o_orderkey,
        array_to_string(list_sort(list_distinct(list_filter(
            regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
            x -> x <> ''
+       ))), '|')
+FROM src
+UNION ALL
+SELECT 'ru_stem', o_orderkey,
+       array_to_string(list_sort(list_distinct(list_transform(
+           list_filter(
+               regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+               x -> x <> ''
+           ),
+           t -> regexp_replace(regexp_replace(t, 'ё', 'е'),
+                               '{RU_STEM_PATTERN}', '\\1')
        ))), '|')
 FROM src
 """
@@ -1137,15 +1151,26 @@ def _ru_search_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("search_tokenize", _TOKENIZE_ORACLE)
+@register("search_tokenize", _tokenize_oracle())
 def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: tokenizer replacing to_tsvector (`iis_etl/logic.py:394-404`):
     lowercase → split non-word → dedup → sort ('|'-joined for the driver
     hash; tokens contain no '|'). `lang` rows: 'en' = ASCII classes over
     documents; 'ru' = the unicode-aware path over Russian schedule text
-    (the reference's actual corpus; raw tokens here — stemming is
-    adjudicated by search_tokenize_ru_stem)."""
-    from ..functions.text import tokenize
+    (the reference's actual corpus, raw tokens); 'ru_stem' = the same
+    text through the Russian light stemmer (ordered longest-first suffix
+    strip, ≥3-char stem guard, ё→е) applied per-token after unicode
+    tokenization — the tsvector-like lexeme set for inflection-
+    insensitive matching, closing the one semantic deviation from the
+    reference's to_tsvector('russian', ...) dictionary stemming. The
+    oracle applies the IDENTICAL suffix-strip regex (engine-portable by
+    construction — see functions/text.RU_STEM_PATTERN) inside DuckDB, so
+    lexeme collapse is hash-adjudicated end-to-end; linguistic adequacy
+    (inflection pairs collapsing to one stem) is pinned in
+    tests/test_text.py. All three paths are pure JVM-side regex inside
+    higher-order transforms: no UDF, zero shuffles, a narrow map at
+    100 TB."""
+    from ..functions.text import tokenize, tokenize_stemmed
 
     docs = read_fixture(spark, sf_dir, "documents")
     en = docs.select(
@@ -1153,54 +1178,18 @@ def q_search_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.array_join(tokenize("text", ascii_only=True), "|").alias("tokens"),
     )
-    ru = _ru_search_src(spark, sf_dir).select(
+    ru_src = _ru_search_src(spark, sf_dir)
+    ru = ru_src.select(
         F.lit("ru").alias("lang"),
         F.col("o_orderkey").alias("id"),
         F.array_join(tokenize("text", ascii_only=False), "|").alias("tokens"),
     )
-    return en.unionByName(ru)
-
-
-# Stemmed variant: closes the one semantic deviation from the reference's
-# to_tsvector('russian', ...) dictionary stemming. The oracle applies the
-# IDENTICAL suffix-strip regex (engine-portable by construction — see
-# functions/text.RU_STEM_PATTERN) inside DuckDB, so lexeme collapse is
-# hash-adjudicated end-to-end; linguistic adequacy (inflection pairs
-# collapsing to one stem) is pinned in tests/test_text.py.
-
-
-def _tokenize_ru_stem_oracle() -> str:
-    from ..functions.text import RU_STEM_PATTERN
-
-    return f"""
-WITH src AS ({_RU_SRC_SQL})
-SELECT o_orderkey AS id,
-       array_to_string(list_sort(list_distinct(list_transform(
-           list_filter(
-               regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
-               x -> x <> ''
-           ),
-           t -> regexp_replace(regexp_replace(t, 'ё', 'е'),
-                               '{RU_STEM_PATTERN}', '\\1')
-       ))), '|') AS lexemes
-FROM src
-"""
-
-
-@register("search_tokenize_ru_stem", _tokenize_ru_stem_oracle())
-def q_search_tokenize_ru_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 stemmed search tokens: Russian light stemmer (ordered
-    longest-first suffix strip, ≥3-char stem guard, ё→е) applied
-    per-token after unicode tokenization — the tsvector-like lexeme set
-    for inflection-insensitive matching (`iis_etl/logic.py:394-404`).
-    Pure JVM-side regexp_replace inside a higher-order transform: no UDF,
-    zero shuffles, scales as a narrow map at 100 TB."""
-    from ..functions.text import tokenize_stemmed
-
-    return _ru_search_src(spark, sf_dir).select(
+    ru_stem = ru_src.select(
+        F.lit("ru_stem").alias("lang"),
         F.col("o_orderkey").alias("id"),
-        F.array_join(tokenize_stemmed("text"), "|").alias("lexemes"),
+        F.array_join(tokenize_stemmed("text"), "|").alias("tokens"),
     )
+    return en.unionByName(ru).unionByName(ru_stem)
 
 
 # ---------------------------------------------------------------------------
@@ -1466,64 +1455,70 @@ def q_window_lag_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUBE_ORACLE = """
-SELECT coalesce(o_orderstatus, '<all>') AS status,
-       coalesce(o_orderpriority, '<all>') AS priority,
+# CUBE and explicit GROUPING SETS adjudicated under ONE op-tagged query
+# (the driver checks at most 50 registered queries).
+_GROUPING_ANALYTICS_ORACLE = """
+SELECT 'cube' AS op,
+       coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS dim2,
        count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'grouping_sets',
+       coalesce(o_orderstatus, '<all>'),
+       coalesce(strftime(o_orderdate, '%Y'), '<all>'),
+       count(*),
+       CAST(NULL AS DOUBLE)
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (strftime(o_orderdate, '%Y')))
 """
 
 
-@register("cube_order_totals", _CUBE_ORACLE)
-def q_cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all 4 grouping combinations in one
-    pass (Spark expands to an internal grouping-id union, one shuffle)."""
+@register("grouping_analytics", _GROUPING_ANALYTICS_ORACLE)
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional grouping surface, `op`-tagged:
+
+    - 'cube' rows (dim2 = priority): CUBE over (status, priority) — all
+      4 grouping combinations in one pass (Spark expands to an internal
+      grouping-id union, one shuffle).
+    - 'grouping_sets' rows (dim2 = order year): explicit GROUPING SETS
+      (per-status totals ∪ per-year totals in ONE shuffle — the
+      hand-rolled alternative is two aggregations plus a union that
+      re-scans the input). Native DataFrame groupingSets (Spark 4), no
+      temp-view state.
+    """
     orders = read_fixture(spark, sf_dir, "orders")
-    return (
+    cube = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .select(
+            F.lit("cube").alias("op"),
             F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("dim2"),
             "n_orders",
             "total_price",
         )
     )
-
-
-_GROUPING_SETS_ORACLE = """
-SELECT coalesce(o_orderstatus, '<all>') AS status,
-       coalesce(strftime(o_orderdate, '%Y'), '<all>') AS order_year,
-       count(*) AS n_orders
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (strftime(o_orderdate, '%Y')))
-"""
-
-
-@register("grouping_sets_status_year", _GROUPING_SETS_ORACLE)
-def q_grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (per-status totals ∪ per-year totals in ONE
-    shuffle — the hand-rolled alternative is two aggregations plus a
-    union that re-scans the input). Native DataFrame groupingSets
-    (Spark 4), no temp-view state."""
-    orders = read_fixture(spark, sf_dir, "orders")
     src = orders.select(
         "o_orderstatus",
         F.date_format("o_orderdate", "yyyy").alias("order_year"),
     )
-    return (
+    gsets = (
         src.groupingSets(
             [["o_orderstatus"], ["order_year"]], "o_orderstatus", "order_year"
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .select(
+            F.lit("grouping_sets").alias("op"),
             F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
-            F.coalesce(F.col("order_year"), F.lit("<all>")).alias("order_year"),
+            F.coalesce(F.col("order_year"), F.lit("<all>")).alias("dim2"),
             "n_orders",
+            F.lit(None).cast("double").alias("total_price"),
         )
     )
+    return cube.unionByName(gsets)
