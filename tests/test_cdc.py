@@ -131,14 +131,24 @@ def test_dedup_ingest_stream(spark, sf_dir):
     m = DedupIngestMaintainer(corpus, idx, threshold=0.35, **kw)
     m.apply_batch(s1, 0)
     m.apply_batch(s2, 1)
-    n_after = spark.read.parquet(corpus).count()
-    # replay of shard 2: every doc matches its own indexed copy
+    n_after = m.read_corpus(spark).count()
+    # replay of shard 2: the commit marker short-circuits it
     m.apply_batch(s2, 1)
-    assert spark.read.parquet(corpus).count() == n_after
+    assert m.read_corpus(spark).count() == n_after
+    # replay with the marker REMOVED (crash window between the index
+    # append and the marker write): every doc matches its own indexed
+    # copy → zero recomputed survivors — the batch directory's content
+    # must be preserved, not overwritten with the empty result
+    import os
+
+    os.remove(corpus + "/_commits/batch-1.done")
+    m.apply_batch(s2, 1)
+    assert m.read_corpus(spark).count() == n_after
+    assert os.path.exists(corpus + "/_commits/batch-1.done")
 
     # corpus docs are pairwise "new" survivors: re-incrementing the whole
     # non-seed corpus against a fresh seed-only index reproduces it
-    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    ids = {r.doc_id for r in m.read_corpus(spark).collect()}
     from uma_etl_iis_loader_spark.operators.dedup import dedup_increment
 
     idx2 = base + "/idx2"
@@ -151,3 +161,86 @@ def test_dedup_ingest_stream(spark, sf_dir):
         | {r.doc_id for r in s2_out["survivors"].collect()}
     )
     assert ids == expect
+
+
+def test_dedup_ingest_crash_between_corpus_and_index(spark, sf_dir):
+    """Crash window: the batch directory committed but the index append
+    did not (no marker either). The replay must recompute the SAME
+    survivors (the index doesn't know the batch yet), rewrite the same
+    corpus content, and complete the index append — no loss, no dups."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+    )
+    from uma_etl_iis_loader_spark.streaming.cdc import DedupIngestMaintainer
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") < 100)
+    s1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+
+    base = tempfile.mkdtemp(prefix="dedup_crash_")
+    idx, corpus = base + "/idx", base + "/corpus"
+    kw = dict(num_hashes=64, bands=16, n=3, char_level=False)
+    build_minhash_index(seed, idx, **kw)
+    seed.write.mode("overwrite").parquet(corpus)
+
+    # simulate the first delivery dying right after the corpus write:
+    # batch dir exists, index NOT appended, marker missing
+    out = dedup_increment(s1, idx, threshold=0.35, update_index=False, **kw)
+    surv = out["survivors"].localCheckpoint(eager=True)
+    n_surv = surv.count()
+    surv.write.mode("overwrite").parquet(corpus + "/batch-0")
+
+    m = DedupIngestMaintainer(corpus, idx, threshold=0.35, **kw)
+    m.apply_batch(s1, 0)  # recovery replay
+    assert m.read_corpus(spark).count() == 100 + n_surv
+    assert os.path.exists(corpus + "/_commits/batch-0.done")
+    # index now knows the survivors: a fresh shard replay dedups to zero
+    os.remove(corpus + "/_commits/batch-0.done")
+    m.apply_batch(s1, 0)
+    assert m.read_corpus(spark).count() == 100 + n_surv
+
+
+def test_dedup_ingest_zero_gram_docs_idempotent(spark):
+    """Zero-gram documents (empty/whitespace text) share the sentinel
+    MinHash signature, so they bucket-collide with their own indexed
+    copies; the both-empty Jaccard is defined as 1.0, so identical empty
+    docs dedup among themselves and a replayed batch appends nothing
+    (previously 0/0 = NULL dropped the pair and every replay re-appended
+    them)."""
+    import tempfile
+
+    from uma_etl_iis_loader_spark.operators.dedup import build_minhash_index
+    from uma_etl_iis_loader_spark.streaming.cdc import DedupIngestMaintainer
+
+    base = tempfile.mkdtemp(prefix="dedup_zerogram_")
+    idx, corpus = base + "/idx", base + "/corpus"
+    kw = dict(num_hashes=16, bands=4, n=3, char_level=False)
+    seed = spark.createDataFrame(
+        [(1, "a seeded document with plenty of words to gram")],
+        "doc_id long, text string",
+    )
+    build_minhash_index(seed, idx, **kw)
+    seed.write.mode("overwrite").parquet(corpus)
+
+    m = DedupIngestMaintainer(corpus, idx, threshold=0.35, **kw)
+    shard = spark.createDataFrame(
+        [(10, ""), (11, "   "), (12, "xy")], "doc_id long, text string"
+    )
+    m.apply_batch(shard, 0)
+    # the three zero-gram docs are mutual duplicates: min-id survives
+    ids = {r.doc_id for r in m.read_corpus(spark).collect()}
+    assert ids == {1, 10}
+    # crash-window replay (marker removed): doc 10 matches its own
+    # indexed copy and nothing is re-appended or lost
+    import os
+
+    os.remove(corpus + "/_commits/batch-0.done")
+    m.apply_batch(shard, 0)
+    assert {r.doc_id for r in m.read_corpus(spark).collect()} == {1, 10}

@@ -805,6 +805,24 @@ def connected_components_star(
 # ---------------------------------------------------------------------------
 
 
+def _write_index_state(
+    sigs: DataFrame, path: str, bands: int, rows: int, mode: str
+) -> None:
+    """Persist LSH state as two tables, GRAMS FIRST then BANDS.
+
+    The two writes are not atomic; the order makes a crash between them
+    safe: an id present in grams but absent from bands simply generates
+    no candidates (as if the append never happened) and the replay
+    re-appends it. The reverse order would leave band entries whose
+    gram lookup fails — candidates silently vanishing in the verify
+    join; ``dedup_increment`` additionally fails loudly on that state.
+    """
+    sigs.select("id", "grams").write.mode(mode).parquet(f"{path}/grams")
+    _band_entries(sigs, bands, rows).write.mode(mode).partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,
@@ -825,11 +843,45 @@ def build_minhash_index(
     rows = num_hashes // bands
     sigs = minhash_signature(docs, id_col, text_col, num_hashes, n, char_level)
     sigs = sigs.persist()
-    _band_entries(sigs, bands, rows).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(f"{path}/bands")
-    sigs.select("id", "grams").write.mode("overwrite").parquet(f"{path}/grams")
+    _write_index_state(sigs, path, bands, rows, "overwrite")
     sigs.unpersist()
+
+
+def append_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    char_level: bool = True,
+) -> None:
+    """Append the given docs' LSH state to an existing index (same
+    deterministic signature family as ``build_minhash_index``). Used by
+    callers that must order their own durable write BEFORE the index
+    append (see streaming/cdc.DedupIngestMaintainer) — the index must
+    only learn about documents that are already committed downstream, or
+    a replay after a mid-batch crash sees every doc match its own
+    indexed copy and silently drops it."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, n, char_level)
+    sigs = sigs.persist()
+    _write_index_state(sigs, path, bands, rows, "append")
+    sigs.unpersist()
+
+
+def _verify_jaccard(ga, gb):
+    """Gram-set Jaccard for candidate verification. Both-empty is defined
+    as 1.0 (identical empty documents ARE duplicates) — the naive
+    size(∩)/size(∪) yields 0/0 = NULL there, which a >= threshold filter
+    silently drops: zero-gram docs (empty/whitespace text, or text
+    shorter than n) share the sentinel MinHash signature, so they always
+    bucket-collide — including with their own indexed copy on a replay —
+    and a NULL verdict would let every replay re-append them forever."""
+    return F.when(
+        (F.size(ga) == 0) & (F.size(gb) == 0), F.lit(1.0)
+    ).otherwise(F.size(F.array_intersect(ga, gb)) / F.size(F.array_union(ga, gb)))
 
 
 def dedup_increment(
@@ -859,7 +911,11 @@ def dedup_increment(
         connected-components dedup — for chain-y corpora run
         ``connected_components`` over the returned pairs instead.
         Idempotence law (pytest-pinned): incrementing the same shard
-        again yields zero survivors.
+        again yields zero survivors — including for ZERO-GRAM documents
+        (empty/whitespace text, or text shorter than n), whose Jaccard
+        is defined as 1.0 when both gram sets are empty (identical empty
+        docs are duplicates; the naive 0/0 = NULL verdict would let them
+        re-append on every replay).
 
     Candidate generation is IDENTICAL to the batch ``minhash_lsh_pairs``
     (same seeded hash family, same banding), so incremental pair recall
@@ -887,6 +943,11 @@ def dedup_increment(
         .select("id_new", "id_old")
         .distinct()
     )
+    # LEFT join + loud guard: a band entry whose gram row is missing means
+    # the index's two tables diverged (should be impossible with the
+    # grams-first write order — fail fast instead of silently passing the
+    # duplicate through). distinct() tolerates duplicate gram rows, the
+    # benign residue of a replayed append.
     pairs_old = (
         cand_old.join(
             sigs.select(F.col("id").alias("id_new"), F.col("grams").alias("ga")),
@@ -895,14 +956,26 @@ def dedup_increment(
         .join(
             idx_grams.select(F.col("id").alias("id_old"), F.col("grams").alias("gb")),
             "id_old",
+            "left",
         )
-        .withColumn(
-            "jac",
-            F.size(F.array_intersect("ga", "gb"))
-            / F.size(F.array_union("ga", "gb")),
+        .filter(
+            # assert_true returns NULL when the predicate holds and raises
+            # otherwise; as a FILTER predicate it sits in the data path,
+            # so column pruning can't optimize the check away.
+            F.assert_true(
+                F.col("gb").isNotNull(),
+                F.concat(
+                    F.lit(
+                        "LSH index corrupt: band entry without grams for id "
+                    ),
+                    F.col("id_old").cast("string"),
+                ),
+            ).isNull()
         )
+        .withColumn("jac", _verify_jaccard(F.col("ga"), F.col("gb")))
         .filter(F.col("jac") >= threshold)
         .select("id_new", "id_old")
+        .distinct()
     )
 
     # within the shard: the batch pipeline on the new docs only
@@ -919,12 +992,11 @@ def dedup_increment(
         cand_new.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn(
-            "jac",
-            F.size(F.array_intersect("grams_a", "grams_b"))
-            / F.size(F.array_union("grams_a", "grams_b")),
+            "jac", _verify_jaccard(F.col("grams_a"), F.col("grams_b"))
         )
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b")
+        .distinct()
     )
 
     # pin the (small) pair sets eagerly so downstream consumers and the
@@ -940,12 +1012,7 @@ def dedup_increment(
     if update_index:
         surv_ids = survivors.select(F.col(id_col).alias("id"))
         keep_sigs = sigs.join(surv_ids, "id", "left_semi").persist()
-        _band_entries(keep_sigs, bands, rows).write.mode("append").partitionBy(
-            "band"
-        ).parquet(f"{index_path}/bands")
-        keep_sigs.select("id", "grams").write.mode("append").parquet(
-            f"{index_path}/grams"
-        )
+        _write_index_state(keep_sigs, index_path, bands, rows, "append")
         keep_sigs.unpersist()
 
     sigs.unpersist()

@@ -90,14 +90,37 @@ class DedupIngestMaintainer:
     is deduped against the persisted MinHash-LSH index (plus itself) and
     only the survivors land in the corpus — the streaming face of
     ``operators/dedup.dedup_increment``, wired the same way as the SCD2
-    maintainer (foreachBatch owns a snapshot path + the index path).
+    maintainer (foreachBatch owns a corpus path + the index path).
 
-    Exactly-once shape: the corpus write is an append of survivors and
-    the index append is derived from the same survivors; a replayed
-    micro-batch re-dedups against the index its first delivery already
-    updated, so every replayed doc now matches its own indexed copy and
-    ZERO survivors append (idempotence law pytest-pinned — same property
-    the batch operator guarantees)."""
+    Crash-safe write protocol (exactly-once for every crash point, not
+    just whole-batch replay). Per batch, in this order:
+
+      1. survivors → ``<corpus>/batch-<id>`` as an OVERWRITE of that
+         batch-scoped directory (idempotent: a replay rewrites the same
+         content). Never overwritten with an empty result when the
+         directory already exists — see below.
+      2. survivors' LSH state appended to the index
+         (``operators/dedup.append_minhash_index``; grams before bands,
+         so a crash between the two table writes degrades to "append
+         never happened").
+      3. a commit marker ``<corpus>/_commits/batch-<id>.done``.
+
+    The corpus write MUST precede the index append: the reverse order
+    (index first) has a crash window after which a replay sees every doc
+    match its own indexed copy, computes zero survivors, and the batch's
+    documents are silently lost from the corpus forever. With this
+    order, the only ambiguous crash window is between 2 and 3 (index
+    committed, marker missing): there a replay also computes zero
+    survivors — which is why step 1 skips the overwrite when the batch
+    directory already exists and the recomputed survivor set is empty
+    (either the batch was legitimately all-duplicates, in which case the
+    directory is already empty, or steps 1-2 committed, in which case
+    its content must be preserved).
+
+    A marker present at entry short-circuits the whole batch (cheap
+    full-replay no-op). Read the corpus via :meth:`read_corpus` — the
+    batch-scoped subdirectories need a recursive file listing.
+    """
 
     def __init__(
         self,
@@ -111,17 +134,57 @@ class DedupIngestMaintainer:
         self.threshold = threshold
         self.lsh_kwargs = lsh_kwargs
 
+    def read_corpus(self, spark: SparkSession) -> DataFrame:
+        """The deduplicated corpus: seed files at the root plus every
+        committed batch's ``batch-<id>`` subdirectory (``_commits`` is
+        underscore-prefixed, hence invisible to Spark's file listing)."""
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(self.corpus_path)
+        )
+
     def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import dedup_increment
+        from ..operators.dedup import append_minhash_index, dedup_increment
+
+        marker = os.path.join(
+            self.corpus_path, "_commits", f"batch-{batch_id}.done"
+        )
+        if os.path.exists(marker):
+            return  # batch fully committed by an earlier delivery
 
         out = dedup_increment(
             incoming,
             self.index_path,
             threshold=self.threshold,
-            update_index=True,
+            update_index=False,
             **self.lsh_kwargs,
         )
-        out["survivors"].write.mode("append").parquet(self.corpus_path)
+        batch_dir = os.path.join(self.corpus_path, f"batch-{batch_id}")
+        # pin the survivor set NOW: it must be computed against the index
+        # state BEFORE this batch's append (lazy re-evaluation after the
+        # append would see the docs match their own entries)
+        survivors = out["survivors"].localCheckpoint(eager=True)
+        no_survivors = survivors.isEmpty()
+        if no_survivors and os.path.exists(batch_dir):
+            # replay after the index append committed (or a legitimately
+            # all-duplicate batch, whose directory is already empty):
+            # preserve the directory's content, skip straight to the
+            # marker
+            pass
+        else:
+            survivors.write.mode("overwrite").parquet(batch_dir)
+            # only AFTER the corpus commit may the index learn about the
+            # survivors (re-read from the committed directory, so the
+            # index reflects exactly what the corpus durably holds)
+            if not no_survivors:
+                append_minhash_index(
+                    incoming.sparkSession.read.parquet(batch_dir),
+                    self.index_path,
+                    **self.lsh_kwargs,
+                )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
 
     def attach(self, stream: DataFrame, checkpoint: str):
         return (
