@@ -990,24 +990,46 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Every query gets exactly k=10 brute-force neighbors (corpus ≥ 500 ≫ k),
-# so the oracle enumerates (method × query) with the literal floor bools.
+# so the oracle enumerates (method × query) with the literal floor bools,
+# plus one aggregate `avg` row per method (query_id = -1).
 _KNN_ANN_ORACLE = """
 SELECT m.method, e.vec_id AS query_id, 10 AS n_results, TRUE AS recall_ok
 FROM embeddings e, (VALUES ('ivf'), ('srp_lsh')) m(method)
 WHERE e.vec_id % 25 = 0
+UNION ALL
+SELECT m.method, CAST(-1 AS BIGINT), -1, TRUE
+FROM (VALUES ('ivf'), ('srp_lsh')) m(method)
 """
 
 
 @register("knn_ann", _KNN_ANN_ORACLE)
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors, driver-adjudicated as per-query
-    recall@10 vs brute force computed in-plan: IVF (nlist=16, nprobe=4 —
-    the partition-pruning path) and signed-random-projection LSH (16
-    bits, 8 bands — data-independent, append-stable). `recall_ok` floors
-    are set from the measured per-query minimum across sf0.001/0.01/0.1
-    (IVF ≥ 0.20 observed → floor 0.15; SRP ≥ 0.80 observed → floor 0.7);
-    the oracle asserts every row TRUE, so one degraded query flips a
-    hashed value. `n_results` pins output cardinality (exactly k)."""
+    """Approximate top-10 neighbors, driver-adjudicated as recall@10 vs
+    brute force computed in-plan: IVF (nlist=16, nprobe=8 — the
+    partition-pruning path) and signed-random-projection LSH (16 bits,
+    8 bands — data-independent, append-stable). Two property layers, both
+    floors set from measurement across sf0.001/0.01/0.1:
+
+    - per-query rows: recall_ok = recall@10 ≥ floor. Measured per-query
+      MINIMUM at nprobe=8: 0.40 / 0.50 / 0.40 → IVF floor 0.3 (one
+      adversarial query's neighbors straddle many cells; raising nprobe
+      to 12 would lift the min to 0.7 but probes 75% of nlist=16,
+      gutting the pruning the operator exists for). SRP measured min
+      0.80 everywhere → floor 0.7.
+    - one `avg` row per method (query_id=-1, n_results=-1): mean recall
+      over all queries ≥ 0.65 for IVF (measured 0.76-0.81) and ≥ 0.9
+      for SRP (measured 0.965-0.97) — the aggregate floor is the real
+      regression catch: a parameter regression that halves typical
+      recall flips this row even when every query clears the loose
+      per-query bar.
+
+    The oracle asserts every row TRUE, so one degraded query (or a
+    degraded mean) flips a hashed value. `n_results` pins per-query
+    output cardinality (exactly k). Output contract at edges: recall is
+    coalesced to 0.0, so a (method, query) whose ANN returns zero rows
+    emits n_results=0 / recall_ok=false (never a NULL or a dropped
+    row); the brute side always has k rows per query (corpus ≫ k), so
+    approx-only groups cannot occur."""
     from ..operators.similarity import srp_lsh_topk
 
     emb = read_fixture(spark, sf_dir, "embeddings", split=False)
@@ -1026,7 +1048,7 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.explode(F.array(F.lit("ivf"), F.lit("srp_lsh"))).alias("method"),
     ).withColumn("__b", F.lit(True))
-    ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=8)
     srp = srp_lsh_topk(emb, queries, k=10, n_bits=16, bands=8, d=64)
     approx2 = (
         ivf.select("query_id", "neighbor_id")
@@ -1038,26 +1060,41 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__f", F.lit(True))
     )
-    floor = F.when(F.col("method") == "ivf", F.lit(0.15)).otherwise(F.lit(0.7))
-    return (
+    floor = F.when(F.col("method") == "ivf", F.lit(0.3)).otherwise(F.lit(0.7))
+    avg_floor = F.when(F.col("method") == "ivf", F.lit(0.65)).otherwise(
+        F.lit(0.9)
+    )
+    per_query = (
         brute2.join(approx2, ["method", "query_id", "neighbor_id"], "full")
         .groupBy("method", "query_id")
         .agg(
             F.sum(F.when(F.col("__f"), 1).otherwise(0))
             .cast("int")
             .alias("n_results"),
-            (
+            F.coalesce(
                 F.sum(F.when(F.col("__b") & F.col("__f"), 1).otherwise(0))
-                / F.sum(F.when(F.col("__b"), 1).otherwise(0))
+                / F.sum(F.when(F.col("__b"), 1).otherwise(0)),
+                F.lit(0.0),
             ).alias("__recall"),
         )
+    ).localCheckpoint(eager=True)  # tiny; both output layers reuse it
+    query_rows = per_query.select(
+        "method",
+        "query_id",
+        "n_results",
+        (F.col("__recall") >= floor).alias("recall_ok"),
+    )
+    avg_rows = (
+        per_query.groupBy("method")
+        .agg(F.avg("__recall").alias("__avg"))
         .select(
             "method",
-            "query_id",
-            "n_results",
-            (F.col("__recall") >= floor).alias("recall_ok"),
+            F.lit(-1).cast("long").alias("query_id"),
+            F.lit(-1).cast("int").alias("n_results"),
+            (F.col("__avg") >= avg_floor).alias("recall_ok"),
         )
     )
+    return query_rows.unionByName(avg_rows)
 
 
 # Exact values computed in SQL; bound booleans asserted literally. The
