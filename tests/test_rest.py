@@ -59,3 +59,54 @@ def test_fetch_manifest_isolates_per_row_errors(spark):
     assert out["g1"] == ("payload-for-http://api/ok1", None)
     assert out["g3"][1] is None
     assert out["g2"][0] is None and "boom" in out["g2"][1]
+
+
+def test_fetch_manifest_bounds_global_concurrency(spark):
+    """The politeness contract: no matter how many executor slots exist
+    (local[32] here), at most ``max_concurrency`` fetches are in flight
+    cluster-wide. The injected fetcher logs start/end timestamps to a
+    shared append-only file from the Python worker processes; the
+    maximum interval overlap is the true peak concurrency."""
+    import os
+    import tempfile
+    import time as _t
+
+    log_path = os.path.join(
+        tempfile.mkdtemp(prefix="rest_conc_"), "fetches.log"
+    )
+
+    def fetcher(url: str) -> str:
+        start = _t.monotonic()
+        _t.sleep(0.25)  # long enough that unbounded tasks would overlap
+        end = _t.monotonic()
+        with open(log_path, "a") as fh:  # O_APPEND: atomic small writes
+            fh.write(f"{start} {end}\n")
+        return "{}"
+
+    manifest = spark.createDataFrame(
+        [(f"e{i}", f"http://x/{i}") for i in range(24)], "name string, url string"
+    )
+    # ONE action: each action re-runs the fetch plan and would double the
+    # logged intervals
+    rows = fetch_manifest(
+        manifest, fetcher=fetcher, max_concurrency=4
+    ).collect()
+    assert len(rows) == 24
+    assert all(r.fetch_error is None for r in rows)
+
+    intervals = []
+    with open(log_path) as fh:
+        for line in fh:
+            s, e = line.split()
+            intervals.append((float(s), float(e)))
+    assert len(intervals) == 24
+    events = sorted(
+        [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+    )
+    peak = cur = 0
+    for _, d in events:
+        cur += d
+        peak = max(peak, cur)
+    assert peak <= 4, f"peak in-flight {peak} exceeded max_concurrency=4"
+    # sanity: the cap was actually exercised (fetches did run in parallel)
+    assert peak >= 2, f"expected parallel fetches, saw peak={peak}"

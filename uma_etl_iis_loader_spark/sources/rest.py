@@ -92,12 +92,15 @@ class RestSource:
         return self.spark.createDataFrame(rows, schema)
 
 
+DEFAULT_MAX_CONCURRENCY = 5  # iis_etl/client.py:9,31 / config.py:7
+
+
 def fetch_manifest(
     manifest: DataFrame,
     url_col: str = "url",
     fetcher: Callable[[str], str] | None = None,
     retries: int = DEFAULT_RETRIES,
-    tasks: int | None = None,
+    max_concurrency: int | None = DEFAULT_MAX_CONCURRENCY,
 ) -> DataFrame:
     """Distributed per-entity fetch (S3): manifest rows in, raw payload
     rows out. Errors don't poison the batch — failed rows land with a
@@ -105,14 +108,24 @@ def fetch_manifest(
     reference's per-entity savepoint rollback,
     `iis_etl/logic.py:416-424`).
 
-    Concurrency is governed by task parallelism instead of a semaphore;
-    ``tasks`` caps simultaneous fetch tasks (repartition) to stay polite
-    to the upstream API.
+    CLUSTER-WIDE concurrency is bounded by ``max_concurrency`` (default
+    5, the reference's politeness contract — its asyncio semaphore at
+    `iis_etl/client.py:9,31`): the manifest is repartitioned to exactly
+    that many partitions and each task fetches its partition SERIALLY
+    (mapInPandas drains batches sequentially inside one Python worker),
+    so at most ``max_concurrency`` requests are ever in flight no matter
+    how many executor slots the cluster has. Without the cap, a
+    1000-slot cluster would open 1000 concurrent connections against an
+    API sized for 5. Pass ``None`` to opt out explicitly (e.g. when the
+    upstream is a bulk-rated internal gateway); peak in-flight then
+    equals the scheduler's task parallelism.
     """
     import pandas as pd
 
-    if tasks:
-        manifest = manifest.repartition(tasks)
+    if max_concurrency is not None:
+        if max_concurrency < 1:
+            raise ValueError(f"max_concurrency must be >= 1, got {max_concurrency}")
+        manifest = manifest.repartition(max_concurrency)
     other_cols = [c for c in manifest.columns if c != url_col]
     schema = (
         ", ".join(f"{c} string" for c in other_cols)
