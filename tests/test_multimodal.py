@@ -112,3 +112,106 @@ def test_resize_images_shape_and_determinism(spark, sf_dir):
     assert {(r.asset_id, bytes(r.payload)) for r in a} == {
         (r.asset_id, bytes(r.payload)) for r in b
     }
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is lossless for arbitrary dims, including
+    widths whose 3-byte rows need padding (w % 4 != 0)."""
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 2), (13, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(px)
+        row_size = ((3 * w + 3) // 4) * 4
+        assert len(payload) == 54 + h * row_size
+        back = decode_bmp(payload)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+
+
+def test_decode_bmp_rejects_corrupt_payloads():
+    import numpy as np
+    import pytest
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all")
+    with pytest.raises(ValueError):
+        decode_bmp(good[:40])  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-8])  # truncated pixel data
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8  # claim 8-bit
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_image_stdlib_bmp_rung_runs_without_pil():
+    """decode_image must take the stdlib BMP path for BMP payloads — the
+    real-decode rung that executes in this codec-less container (no skip
+    marker here on purpose)."""
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = decode_image(encode_bmp(px))
+    assert isinstance(out, np.ndarray)
+    assert (out == px).all()
+
+
+def test_bmp_pixel_stats_distributed(spark):
+    """The synthetic-BMP → real-decode kernel over Spark: dims, file
+    size, and pixel sums match the generating formulas; no decode
+    errors."""
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        bmp_pixel_stats,
+        synthesize_bmp_assets,
+    )
+
+    ids = spark.range(0, 50).withColumnRenamed("id", "asset_id")
+    rows = bmp_pixel_stats(synthesize_bmp_assets(ids)).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.decode_error is None
+        i = r.asset_id
+        w, h = 4 + i % 5, 3 + i % 4
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == 54 + h * (((3 * w + 3) // 4) * 4)
+        expect = sum(
+            ((i + 11 * rr + 13 * cc) % 256)
+            + ((i + 5 * rr + 7 * cc) % 256)
+            + ((i + 2 * rr + 3 * cc) % 256)
+            for rr in range(h)
+            for cc in range(w)
+        )
+        assert r.pixel_sum == expect
+
+
+def test_bmp_pixel_stats_isolates_decode_errors(spark):
+    """A corrupt payload lands as a decode_error row, not a task
+    failure."""
+    from uma_etl_iis_loader_spark.operators.multimodal import bmp_pixel_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BMgarbage")), (2, bytearray(b"\x89PNG----"))],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in bmp_pixel_stats(df).collect()}
+    assert rows[1].decode_error is not None  # malformed BMP
+    assert rows[2].decode_error is not None  # non-BMP without PIL
+    assert rows[1].pixel_sum is None

@@ -289,6 +289,12 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     payload length (evenly spaced, capped at max_frames) — so coverage
 #     and sampling positions ARE oracle-checkable even though the frame
 #     bytes themselves are not.
+#   - 'decode_bmp': the REAL decode path — deterministic synthetic BMPs
+#     (affine pixel formulas of (id, row, col)) are encoded with the
+#     stdlib encode_bmp and decoded back with decode_image's stdlib BMP
+#     rung; width/height/file-size/pixel-sum are recomputed by the
+#     oracle from the same arithmetic, so a broken header parse, row
+#     flip, padding slice, or channel order flips a hashed value.
 _MM_OPS_ORACLE = """
 WITH meta AS (
     SELECT doc_id AS asset_id,
@@ -313,6 +319,21 @@ FROM stepped, range(0, 8) AS u(i)
 WHERE u.i < least((n_frames + step - 1) // step, 8)
 UNION ALL
 SELECT 'resize', doc_id, NULL, 16, 16, 256, NULL FROM documents
+UNION ALL
+SELECT 'decode_bmp', p.doc_id, NULL, CAST(p.w AS INT), CAST(p.h AS INT),
+       CAST(54 + p.h * (((3 * p.w + 3) // 4) * 4) AS INT),
+       CAST(p.s AS VARCHAR)
+FROM (
+    SELECT b.doc_id, b.w, b.h,
+           sum((b.doc_id + 11 * r.i + 13 * c.i) % 256
+             + (b.doc_id + 5 * r.i + 7 * c.i) % 256
+             + (b.doc_id + 2 * r.i + 3 * c.i) % 256) AS s
+    FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents) b,
+         range(0, 6) r(i), range(0, 8) c(i)
+    WHERE r.i < b.h AND c.i < b.w
+    GROUP BY 1, 2, 3
+) p
 """
 
 
@@ -323,14 +344,20 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode kernel), frame sampling and resize ('frame_sample'
     / 'resize' rows — the oracle reproduces the deterministic sampling
     arithmetic from the payload byte length and the resize coverage
-    contract). The payload bytes themselves are codec-stubbed for
-    image/audio; determinism and byte shape are pinned in
-    tests/test_multimodal.py."""
+    contract), and the REAL decode path ('decode_bmp' rows: synthetic
+    24-bit BMPs encoded and decoded through the stdlib codec in
+    operators/multimodal, with width/height/file-size/pixel-sum
+    hash-adjudicated against the oracle's recomputation — no fake
+    features on this rung). Compressed-format payloads remain
+    codec-gated (PIL rung); their determinism and byte shape are pinned
+    in tests/test_multimodal.py."""
     from ..operators.multimodal import (
+        bmp_pixel_stats,
         documents_as_assets,
         fake_decode_features,
         frame_sample,
         resize_images,
+        synthesize_bmp_assets,
     )
 
     assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
@@ -363,7 +390,20 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("int").alias("n_bytes"),
         null_s.alias("tag"),
     )
-    return stats.unionByName(frames).unionByName(resized)
+    decoded = bmp_pixel_stats(
+        synthesize_bmp_assets(
+            assets.select(F.col("asset_id")), id_col="asset_id"
+        )
+    ).select(
+        F.lit("decode_bmp").alias("op"),
+        "asset_id",
+        null_i.alias("idx"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("n_bytes").cast("int"),
+        F.col("pixel_sum").cast("string").alias("tag"),
+    )
+    return stats.unionByName(frames).unionByName(resized).unionByName(decoded)
 
 
 # ---------------------------------------------------------------------------
