@@ -135,3 +135,99 @@ def test_pii_redaction_and_counts(spark):
     assert out[3][0] == "<URL> mirrors <IP>"
     assert out[4][0] == "no pii here at all"
     assert out[4][1] == {"email": 0, "url": 0, "ip": 0, "phone": 0}
+
+
+def test_ru_stem_parity_vs_snowball_reference():
+    """Measured parity with the dictionary-grade algorithm behind
+    to_tsvector('russian', ...): token-level agreement between the
+    regex light stemmer and a pure-Python implementation of the
+    published Snowball Russian algorithm
+    (tests/snowball_ru_reference.py), over a golden corpus of inflected
+    schedule-domain paradigms. Pure-Python check (re module applies the
+    same pattern Java regex/RE2 do — portability is separately pinned by
+    the hash-green search_tokenize oracle row)."""
+    import re
+
+    from snowball_ru_reference import snowball_ru
+
+    from uma_etl_iis_loader_spark.functions.text import RU_STEM_PATTERN
+
+    pat = re.compile(RU_STEM_PATTERN)
+
+    def light(w: str) -> str:
+        m = pat.match(w.replace("ё", "е"))
+        if not m:
+            return w.replace("ё", "е")
+        return (m.group(1) or "") + (m.group(2) or "")
+
+    paradigms = {
+        "студент": ["студент", "студента", "студенту", "студентом",
+                    "студенты", "студентов", "студентам", "студентами",
+                    "студентах"],
+        "аудитория": ["аудитория", "аудитории", "аудиторию",
+                      "аудиторией", "аудиторий", "аудиториям",
+                      "аудиториях"],
+        "расписание": ["расписание", "расписания", "расписанию",
+                       "расписанием", "расписаний", "расписаниях"],
+        "группа": ["группа", "группы", "группе", "группу", "группой",
+                   "групп", "группам", "группами", "группах"],
+        "лекция": ["лекция", "лекции", "лекцию", "лекцией", "лекций",
+                   "лекциям", "лекциями", "лекциях"],
+        "занятие": ["занятие", "занятия", "занятию", "занятием",
+                    "занятий", "занятиях"],
+        "преподаватель": ["преподаватель", "преподавателя",
+                          "преподавателю", "преподавателем",
+                          "преподаватели", "преподавателей",
+                          "преподавателями"],
+        "корпус": ["корпус", "корпуса", "корпусу", "корпусом",
+                   "корпусе", "корпусов"],
+        "неделя": ["неделя", "недели", "неделю", "неделей", "недель",
+                   "неделям", "неделями", "неделях"],
+        "экзамен": ["экзамен", "экзамена", "экзамену", "экзаменом",
+                    "экзамены", "экзаменов"],
+        "кафедра": ["кафедра", "кафедры", "кафедре", "кафедру",
+                    "кафедрой", "кафедр"],
+        "новый": ["новый", "новая", "новое", "новые", "нового", "новой",
+                  "новому", "новым", "новыми", "новых"],
+        "учебный": ["учебный", "учебная", "учебное", "учебные",
+                    "учебного", "учебной", "учебному", "учебным",
+                    "учебных"],
+        "большой": ["большой", "большая", "большое", "большие",
+                    "большого", "большому", "большим", "больших"],
+        "читать": ["читать", "читает", "читаю", "читал", "читала",
+                   "читали", "читают", "читаем"],
+        "работать": ["работать", "работает", "работаю", "работал",
+                     "работала", "работали", "работают"],
+        "история": ["история", "истории", "историю", "историей",
+                    "историям"],
+        "вторник": ["вторник", "вторника", "вторнику", "вторником"],
+        "суббота": ["суббота", "субботы", "субботе", "субботу",
+                    "субботой"],
+    }
+    words = [w for forms in paradigms.values() for w in forms]
+    agree = sum(1 for w in words if light(w) == snowball_ru(w))
+    rate = agree / len(words)
+    # measured 1.00 on this corpus after the verb-pass additions
+    # (was 0.84 with the noun/adjective-only pattern); floor leaves
+    # margin for corpus growth
+    assert rate >= 0.95, f"agreement {rate:.3f} ({agree}/{len(words)})"
+
+    # every paradigm still collapses at least as tightly as Snowball
+    # itself does (the light stemmer may not split where Snowball merges)
+    for lemma, forms in paradigms.items():
+        n_light = len({light(w) for w in forms})
+        n_snow = len({snowball_ru(w) for w in forms})
+        assert n_light <= max(n_snow, 1) or n_light <= 2, (
+            lemma, {light(w) for w in forms},
+        )
+
+    # KNOWN remaining deviations (documented in COVERAGE.md): the light
+    # stemmer has no -ость derivational pass, no нн-undoubling, no
+    # superlative pass, and a ≥3-char stem guard Snowball lacks. Pin a
+    # representative of each so a silent behavior change surfaces here.
+    assert light("важность") == "важност"  # snowball_ru: "важност" too
+    # (derivational -ост only strips in R2)
+    assert light("длинный") == "длинн"  # no нн undoubling
+    assert snowball_ru("длинный") == "длин"
+    assert light("оса") == "оса"  # ≥3-char stem guard keeps short words
+    assert snowball_ru("оса") == "ос"  # snowball strips to a 2-char stem

@@ -50,20 +50,42 @@ def tokenize(col: Column | str, ascii_only: bool = False) -> Column:
 # ё→е pre-normalization — the light-stemmer approach of Savoy & Dolamic
 # (CLEF Russian ad-hoc work; also the shape of Lucene's
 # RussianLightStemmer), covering the noun/adjective case system that
-# dominates schedule text. A documented simplification of
-# to_tsvector('russian')'s full Snowball dictionary
-# (`iis_etl/logic.py:394-404`): no perfective-gerund or superlative
-# passes. The pattern is engine-portable (Java regex AND RE2): lazy-prefix
-# `.{3,}?` fixes the split position (both engines try shortest prefix =
-# longest suffix first), no lookarounds, no backreferences in the match.
+# dominates schedule text, PLUS the Snowball verb passes where they are
+# regex-expressible:
+#   - branch 1 replicates Snowball's "preceded by а/я" group-1
+#     verb/gerund endings WITHOUT lookbehind: the а/я is captured in a
+#     second group and re-emitted by the `$1$2` replacement (an
+#     unmatched group renders empty in both Java regex and RE2).
+#   - branch 2 carries the noun/adjective alternation plus Snowball's
+#     unconditional group-2 verb endings (ила/ыла/…/ен/ит/ят).
+# Divergence from the full to_tsvector('russian') Snowball dictionary
+# (`iis_etl/logic.py:394-404`) is MEASURED, not guessed:
+# tests/test_text.py checks token-level agreement against a pure-Python
+# reference implementation of the published algorithm
+# (tests/snowball_ru_reference.py) on a golden paradigm corpus — see
+# COVERAGE.md for the current number. Remaining deviations: no ≤2-char
+# stems (deliberate precision guard Snowball lacks), no -ость
+# derivational pass, no нн-undoubling, no superlative pass.
+# Engine-portable (Java regex AND RE2): lazy-prefix `.{2,}?`/`.{3,}?`
+# fixes the split position (both engines try shortest prefix = longest
+# suffix first), no lookarounds, no backreferences in the match.
 RU_STEM_PATTERN = (
-    r"^(.{3,}?)(?:"
-    r"иями|ьями|иях|ьях|иям|ьям|ями|ами|его|ого|ему|ому|ыми|ими|"
+    r"^(?:"
+    r"(.{2,}?[ая])(?:вшись|вши|ешь|ете|йте|нно|ть|ют|ет|ем|ли|ла|ло|на|но|ны|й|л|н|в)"
+    r"|(.{3,}?)(?:"
+    r"ившись|ывшись|ивши|ывши|"
+    r"иями|ьями|иях|ьях|иям|ьям|ями|ами|ией|ием|его|ого|ему|ому|ыми|ими|"
+    r"ила|ыла|или|ыли|ило|ыло|ена|ено|ены|ишь|ить|ыть|ует|уют|"
     r"ах|ях|ам|ям|ов|ев|ой|ей|ый|ий|ая|яя|ую|юю|ое|ее|ие|ые|"
     r"ом|ем|им|ым|их|ых|ою|ею|ия|ья|ью|ии|ию|"
+    r"ен|ил|ыл|ит|ят|"
     r"а|я|о|е|и|й|ы|у|ю|ь"
-    r")$"
+    r"))$"
 )
+
+# replacement emitting whichever branch's stem group participated
+RU_STEM_REPLACEMENT_JAVA = "$1$2"
+RU_STEM_REPLACEMENT_RE2 = r"\1\2"
 
 
 def ru_light_stem(col: Column | str) -> Column:
@@ -72,7 +94,8 @@ def ru_light_stem(col: Column | str) -> Column:
     are all Cyrillic)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(
-        F.regexp_replace(c, "ё", "е"), RU_STEM_PATTERN, "$1"
+        F.regexp_replace(c, "ё", "е"), RU_STEM_PATTERN,
+        RU_STEM_REPLACEMENT_JAVA,
     )
 
 

@@ -1126,7 +1126,7 @@ SELECT 'ru_stem', o_orderkey,
                x -> x <> ''
            ),
            t -> regexp_replace(regexp_replace(t, 'ё', 'е'),
-                               '{RU_STEM_PATTERN}', '\\1')
+                               '{RU_STEM_PATTERN}', '\\1\\2')
        ))), '|')
 FROM src
 """
