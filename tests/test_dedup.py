@@ -353,3 +353,38 @@ def test_incremental_index_parity_and_idempotence(spark, sf_dir, tmp_path):
     # shard re-incremented (without re-appending) dies entirely
     again = dedup_increment(new, idx, threshold=0.35, update_index=False, **kw)
     assert again["survivors"].count() == 0
+
+
+def test_dedup_increment_fails_loudly_on_bands_without_grams(spark):
+    """A band entry whose id has no gram row means the index's two tables
+    diverged (external corruption — the grams-first write order cannot
+    produce it). The verify join must raise, not silently drop the
+    candidate and wave the duplicate through."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox document number {i} with shared words")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = tempfile.mkdtemp(prefix="dedup_corrupt_") + "/idx"
+    kw = dict(num_hashes=16, bands=4, n=3, char_level=False)
+    build_minhash_index(docs, idx, **kw)
+    # corrupt: clone every band entry under a phantom id with no gram row
+    bands = spark.read.parquet(f"{idx}/bands")
+    bands.withColumn("id", F.col("id") + 10_000).write.mode(
+        "append"
+    ).partitionBy("band").parquet(f"{idx}/bands")
+
+    with pytest.raises(Exception, match="LSH index corrupt"):
+        dedup_increment(
+            docs, idx, threshold=0.35, update_index=False, **kw
+        )["pairs_old"].count()

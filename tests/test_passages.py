@@ -1,0 +1,76 @@
+"""Exact repeated-passage detection: planted-passage golden cases,
+hash/string key equivalence, span-merge laws."""
+
+from __future__ import annotations
+
+from uma_etl_iis_loader_spark.operators.passages import repeated_passages
+
+BOILER = "this license text is shared verbatim across several documents here"
+
+
+def _docs(spark):
+    rows = [
+        # docs 1 and 2 share an 11-word boilerplate passage at different
+        # offsets; doc 3 is unrelated; doc 4 too short for any window
+        (1, "alpha beta " + BOILER + " gamma delta epsilon"),
+        (2, BOILER + " zeta eta theta iota kappa some other tail words"),
+        (3, "completely different content with no repeated passage at all today ok"),
+        (4, "too short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_passage_spans_and_stats(spark):
+    out = repeated_passages(_docs(spark), k=8, min_docs=2, hashed=False)
+    spans = {
+        (r.id, r.start_word, r.end_word) for r in out["spans"].collect()
+    }
+    # BOILER is 10 words → windows fully inside it are repeated.
+    # doc 1: BOILER at words 2..11 → window starts 2,3,4 → span (2, 11)
+    # doc 2: BOILER at words 0..9 → window starts 0,1,2 → span (0, 9)
+    assert (1, 2, 11) in spans
+    assert (2, 0, 9) in spans
+    assert not any(i == 3 for i, _, _ in spans)
+    stats = {r.id: (r.n_shingles, r.n_repeated) for r in out["stats"].collect()}
+    assert stats[1] == (8, 3)   # 15 words → 8 windows; 3 repeated
+    assert stats[3][1] == 0
+    assert 4 not in stats       # < k tokens: no window exists
+
+
+def test_hashed_and_string_keys_identical(spark, sf_dir):
+    from uma_etl_iis_loader_spark.io import read_fixture
+
+    docs = read_fixture(spark, sf_dir, "documents").limit(300)
+    a = repeated_passages(docs, k=8, hashed=True)
+    b = repeated_passages(docs, k=8, hashed=False)
+    for part in ("stats", "spans"):
+        ra = sorted(map(tuple, a[part].collect()))
+        rb = sorted(map(tuple, b[part].collect()))
+        assert ra == rb, part
+
+
+def test_spans_merge_consecutive_windows(spark):
+    # one long shared passage must yield ONE span per doc, not one row
+    # per window
+    long_shared = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, long_shared + " unique one"), (2, long_shared + " other two")],
+        "doc_id long, text string",
+    )
+    out = repeated_passages(df, k=8, min_docs=2, hashed=False)
+    spans = [
+        (r.id, r.start_word, r.end_word)
+        for r in out["spans"].orderBy("id").collect()
+    ]
+    assert spans == [(1, 0, 19), (2, 0, 19)]
+
+
+def test_within_doc_repeats_do_not_count(spark):
+    phrase = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, phrase + " filler middle words here " + phrase),
+         (2, "entirely unrelated words that never repeat anything at all")],
+        "doc_id long, text string",
+    )
+    out = repeated_passages(df, k=8, min_docs=2, hashed=False)
+    assert out["spans"].count() == 0  # repeats only within doc 1

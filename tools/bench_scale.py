@@ -1,0 +1,135 @@
+"""Scale-step bench: run production-shaped workloads at a base SF dir
+and at the 10x-tiled dir (tools/gen_scale_fixture.py), print per-query
+times and the wall-time ratio. A plan that holds at 100 TB should show
+a near-linear (~10x at 32 fixed cores, i.e. ratio ≈ 10 of pure work —
+less where the base run is overhead-dominated) step; a quadratic plan
+shows ~100x.
+
+Workloads are the PRODUCTION paths, chosen so the *workload itself*
+scales linearly with the data (unlike some adjudication queries, which
+embed superlinear exact-oracle recomputation for the correctness gate —
+e.g. dedup_lsh_pairs' in-plan exact-Jaccard baseline, or knn queries
+whose query-set size grows with the corpus):
+- ANN/brute-force use the FIXED 80-query set from the base SF (tile 0
+  preserves original vec_ids, so the same queries exist at both SFs);
+- near-dup timing is minhash_lsh_pairs itself, not the oracle sandwich.
+
+Usage: python tools/bench_scale.py [base_dir] [scaled_dir]
+Prints one JSON line; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def workloads(spark, sf_dir: str, base_dir: str):
+    """name -> zero-arg callable returning a DataFrame to count()."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.dedup import minhash_lsh_pairs
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from uma_etl_iis_loader_spark.plans.registry import QUERIES
+
+    def from_registry(name):
+        return lambda: QUERIES[name](spark, sf_dir)
+
+    def lsh_pairs():
+        docs = read_fixture(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=3, threshold=0.35,
+            char_level=False,
+        )
+
+    def fixed_queries():
+        # the base SF's query set (exists identically at both SFs —
+        # tile 0 preserves original ids), so ANN work scales with the
+        # CORPUS only
+        emb_base = read_fixture(spark, base_dir, "embeddings", split=False)
+        return (
+            emb_base.filter(F.col("vec_id") % 25 == 0)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+
+    def knn_brute():
+        emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+        return brute_force_topk(emb, fixed_queries(), k=10)
+
+    def knn_ivf():
+        emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+        return ivf_topk(emb, fixed_queries(), k=10, nlist=16, nprobe=8)
+
+    return {
+        "flagship_occupancy": from_registry("flagship_occupancy"),
+        "etl_job_sync": from_registry("etl_job_sync"),
+        "dedup_exact": from_registry("dedup_exact"),
+        "dedup_minhash_lsh": lsh_pairs,
+        "knn_brute_force_fixed_q": knn_brute,
+        "knn_ivf_fixed_q": knn_ivf,
+        "bm25_rank": from_registry("bm25_rank"),
+        "text_analysis": from_registry("text_analysis"),
+        "llm_prep_ops": from_registry("llm_prep_ops"),
+        "corpus_stats_ops": from_registry("corpus_stats_ops"),
+        "stream_windowed_counts": from_registry("stream_windowed_counts"),
+    }
+
+
+def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
+    from uma_etl_iis_loader_spark.plans.fixtures import (
+        materialize_schedule_fixture,
+    )
+
+    materialize_schedule_fixture(spark, sf_dir)
+    out = {}
+    for name, thunk in workloads(spark, sf_dir, base_dir).items():
+        t0 = time.time()
+        thunk().count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from uma_etl_iis_loader_spark.session import build_session
+
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scaled = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
+    spark = build_session("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up (JIT, Arrow workers) on the tiny region table
+    r = spark.read.parquet(os.path.join(base, "region.parquet"))
+    r.alias("a").join(r.alias("b"), "r_regionkey").count()
+
+    run(spark, base, base)  # discarded: warms every query's codegen shape
+    t_base = run(spark, base, base)
+    t_scaled = run(spark, scaled, base)
+    ratios = {k: round(t_scaled[k] / max(t_base[k], 1e-3), 2) for k in t_base}
+    print(
+        json.dumps(
+            {
+                "metric": "scale_step_10x",
+                "base_dir": base,
+                "scaled_dir": scaled,
+                "base_s": t_base,
+                "scaled_s": t_scaled,
+                "ratio": ratios,
+                "base_total_s": round(sum(t_base.values()), 2),
+                "scaled_total_s": round(sum(t_scaled.values()), 2),
+                "total_ratio": round(
+                    sum(t_scaled.values()) / sum(t_base.values()), 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

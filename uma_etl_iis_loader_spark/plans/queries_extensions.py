@@ -1905,3 +1905,74 @@ def q_corpus_stats_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_ok").alias("ok"),
     )
     return prof.unionByName(hll).unionByName(theta).unionByName(kll)
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-passage detection (operators/passages.py) — substring-level
+# dedup: the span signal whole-document near-dup (LSH) cannot see.
+# ---------------------------------------------------------------------------
+
+_PASSAGES_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '') AS ws
+    FROM documents
+), n AS (
+    SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 8
+), sh AS (
+    SELECT doc_id, u.i AS pos,
+           array_to_string(list_slice(ws, u.i + 1, u.i + 8), ' ') AS sg
+    FROM n, unnest(range(0, n - 7)) AS u(i)
+), rep AS (
+    SELECT sg FROM sh GROUP BY sg HAVING count(DISTINCT doc_id) >= 2
+), m AS (
+    SELECT s.doc_id, s.pos, (r.sg IS NOT NULL) AS rep
+    FROM sh s LEFT JOIN rep r ON s.sg = r.sg
+), isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM m WHERE rep
+)
+SELECT 'stats' AS kind, doc_id,
+       CAST(count(*) AS BIGINT) AS v1,
+       CAST(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS v2
+FROM m GROUP BY doc_id
+UNION ALL
+SELECT 'span', doc_id, CAST(min(pos) AS BIGINT), CAST(max(pos) + 7 AS BIGINT)
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register("repeated_passages", _PASSAGES_ORACLE)
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage detection over the corpus (8-token
+    windows, repeated = present in ≥2 distinct docs), `kind`-tagged:
+
+    - 'stats' rows: per doc, total window count (v1) and how many sit
+      inside cross-doc repeats (v2).
+    - 'span' rows: maximal repeated passages as inclusive word-index
+      intervals (v1=start, v2=end) — consecutive repeated windows merged
+      via the gaps-and-islands window, so each passage reports once.
+
+    Adjudicated with string shingle keys (DuckDB has no xxhash64); the
+    production ``hashed=True`` path (8-byte shuffle keys) is pinned
+    output-identical in tests/test_passages.py. See operators/passages
+    for the 100 TB shuffle design."""
+    from ..operators.passages import repeated_passages
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    out = repeated_passages(docs, k=8, min_docs=2, hashed=False)
+    stats = out["stats"].select(
+        F.lit("stats").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("v1"),
+        F.col("n_repeated").cast("long").alias("v2"),
+    )
+    spans = out["spans"].select(
+        F.lit("span").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("start_word").cast("long").alias("v1"),
+        F.col("end_word").cast("long").alias("v2"),
+    )
+    return stats.unionByName(spans)
