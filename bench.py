@@ -57,6 +57,7 @@ HEADLINE = [
     "bm25_rank",
     "llm_prep_ops",  # chunk + pack + mix-cap + pii rows
     "corpus_stats_ops",  # profile + HLL-union + theta + KLL rows
+    "repeated_passages",  # substring-level dedup: stats + span rows
 ]
 
 

@@ -274,3 +274,20 @@ def test_sketch_queries_partial_aggregate(spark, sf_dir):
         plan = _plan_fn(spark, fn, sf_dir)
         assert "SortMergeJoin" not in plan, fn.__name__
         assert plan.count("HashAggregate") >= 2, fn.__name__  # partial + final
+
+
+def test_repeated_passages_hashed_path_plan(spark, sf_dir):
+    """The production (hashed) shingle path must partial-aggregate the
+    df-count map-side before its shuffle, never cartesian, and ship
+    8-byte hash keys (no string shingle column survives into the
+    exchange)."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.passages import repeated_passages
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    out = repeated_passages(docs, k=8, hashed=True, pin=False)
+    plan = out["stats"]._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final df-count
+    assert "xxhash64" in plan  # hashed keys reach the plan
