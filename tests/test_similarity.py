@@ -149,3 +149,55 @@ def test_quantize_roundtrip_bound(spark):
         else:
             assert r["p"]["scale"] == 0.0 and all(q == 0 for q in r["p"]["q"])
             assert r["u"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_append_ivf_index_serves_new_vectors(spark, sf_dir):
+    """Appended vectors are queryable through the same partition-pruned
+    path, and top-k over the appended index equals top-k over an index
+    REBUILT on the full corpus with the same centroids' geometry (here:
+    identical because centroids come from the same seed sample)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    seed = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    path = tempfile.mkdtemp(prefix="ivf_append_") + "/idx"
+    build_ivf_index(seed, path, nlist=8)
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    append_ivf_index(extra, path)
+    after = ivf_index_topk(spark, path, queries, k=5, nprobe=8)
+    rows = after.collect()
+    appended_hits = {r.neighbor_id for r in rows if r.neighbor_id >= 300}
+    assert appended_hits, "appended vectors never surfaced in top-k"
+    # every query still returns exactly k results
+    import collections
+
+    per_q = collections.Counter(r.query_id for r in rows)
+    assert set(per_q.values()) == {5}
+    # with nprobe == nlist (exhaustive probe) the appended index must
+    # rank EXACTLY like brute force over the union — appends cannot
+    # lose or duplicate vectors
+    from uma_etl_iis_loader_spark.operators.similarity import brute_force_topk
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in rows} == brute
+    assert before != brute  # the append actually changed the result set

@@ -357,3 +357,36 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ANN ingest: assign NEW vectors to the persisted
+    index's EXISTING centroids and append them into the matching
+    centroid partitions — queries immediately see them through the same
+    partition-pruned reads, and the corpus is never re-clustered.
+
+    The centroids stay fixed (the standard IVF serving trade-off:
+    assignment quality for appended vectors degrades only if the data
+    distribution drifts from the build-time sample — re-run
+    build_ivf_index to re-center when drift accumulates; recall-parity
+    of appended vs rebuilt vectors on the stationary fixture is
+    pytest-pinned)."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cents = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cent_mat = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in cents])
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(path + "/vectors")
