@@ -244,3 +244,38 @@ def test_dedup_ingest_zero_gram_docs_idempotent(spark):
     os.remove(corpus + "/_commits/batch-0.done")
     m.apply_batch(shard, 0)
     assert {r.doc_id for r in m.read_corpus(spark).collect()} == {1, 10}
+
+
+def test_compact_minhash_index_dedupes_replay_residue(spark):
+    """Replay residue (duplicate index rows) must compact away without
+    changing increment results."""
+    import tempfile
+
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        dedup_increment,
+    )
+
+    kw = dict(num_hashes=16, bands=4, n=3, char_level=False)
+    seed = spark.createDataFrame(
+        [(1, "a seed document with a good number of distinct words inside")],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [(10, "a fresh shard document sharing nothing with the seed text")],
+        "doc_id long, text string",
+    )
+    idx = tempfile.mkdtemp(prefix="lsh_cmp_") + "/idx"
+    build_minhash_index(seed, idx, **kw)
+    append_minhash_index(shard, idx, **kw)
+    append_minhash_index(shard, idx, **kw)  # simulated replay residue
+    grams = spark.read.parquet(idx + "/grams")
+    assert grams.count() > grams.distinct().count()  # residue exists
+    compact_minhash_index(spark, idx)
+    grams2 = spark.read.parquet(idx + "/grams")
+    assert grams2.count() == grams2.distinct().count()
+    # the shard now matches its own indexed copy: zero survivors
+    out = dedup_increment(shard, idx, threshold=0.35, update_index=False, **kw)
+    assert out["survivors"].count() == 0

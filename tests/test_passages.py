@@ -160,3 +160,44 @@ def test_passages_increment_guards_lazy_update(spark):
     build_shingle_index(df, idx, k=8)
     with pytest.raises(ValueError, match="pin=True"):
         passages_increment(df, idx, k=8, update_index=True, pin=False)
+
+
+def test_compact_shingle_index_preserves_answers(spark):
+    import tempfile
+
+    from uma_etl_iis_loader_spark.operators.passages import (
+        build_shingle_index,
+        compact_shingle_index,
+        passages_increment,
+    )
+
+    phrase = " ".join(f"c{i}" for i in range(10))
+    seed = spark.createDataFrame(
+        [(1, phrase + " one two three four"),
+         (2, "unrelated words for the seed corpus second document entry")],
+        "doc_id long, text string",
+    )
+    idx = tempfile.mkdtemp(prefix="shingle_cmp_") + "/idx"
+    build_shingle_index(seed, idx, k=8)
+    s1 = spark.createDataFrame(
+        [(10, phrase + " tail alpha beta gamma")], "doc_id long, text string"
+    )
+    passages_increment(s1, idx, k=8, update_index=True)
+    before_keys = (
+        spark.read.parquet(idx + "/keys").groupBy("key")
+        .sum("nd").orderBy("key").collect()
+    )
+    compact_shingle_index(spark, idx)
+    after_raw = spark.read.parquet(idx + "/keys")
+    # compaction: one row per key, same summed counts
+    assert after_raw.groupBy("key").count().filter("count > 1").count() == 0
+    after_keys = (
+        after_raw.groupBy("key").sum("nd").orderBy("key").collect()
+    )
+    assert [tuple(r) for r in before_keys] == [tuple(r) for r in after_keys]
+    # and a post-compaction increment still sees the repeats
+    s2 = spark.createDataFrame(
+        [(20, phrase + " other tail words here")], "doc_id long, text string"
+    )
+    out = passages_increment(s2, idx, k=8, update_index=False)
+    assert out["spans"].count() == 1

