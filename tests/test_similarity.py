@@ -201,3 +201,62 @@ def test_append_ivf_index_serves_new_vectors(spark, sf_dir):
     }
     assert {(r.query_id, r.neighbor_id) for r in rows} == brute
     assert before != brute  # the append actually changed the result set
+
+
+def test_pq_roundtrip_compression_and_recall(spark, sf_dir):
+    """PQ codes are m bytes (32x smaller than d=64 float32); ADC top-k
+    over codes reaches a sane recall, and the refine stage lifts it to
+    near-exact on the fixture."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq_codebooks(emb, m=8, ksub=256)
+    assert books.shape == (8, 256, 8)
+    codes = pq_encode(emb, books).localCheckpoint()
+    lens = {len(r.codes) for r in codes.limit(20).collect()}
+    assert lens == {8}  # m bytes per vector
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & brute) / len(brute)
+
+    adc = pq_topk(codes, books, queries, k=10)
+    refined = pq_topk(
+        codes, books, queries, k=10, refine_corpus=emb, refine_factor=4
+    )
+    r_adc, r_ref = recall(adc), recall(refined)
+    assert r_adc >= 0.4, r_adc
+    assert r_ref >= 0.7, r_ref
+    assert r_ref >= r_adc  # refine can only help on average
+
+
+def test_pq_encoding_deterministic(spark, sf_dir):
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False).limit(200)
+    b1 = train_pq_codebooks(emb, m=8, ksub=64, sample_size=256)
+    b2 = train_pq_codebooks(emb, m=8, ksub=64, sample_size=256)
+    assert (b1 == b2).all()
+    c1 = sorted((r.vec_id, bytes(r.codes)) for r in pq_encode(emb, b1).collect())
+    c2 = sorted((r.vec_id, bytes(r.codes)) for r in pq_encode(emb, b2).collect())
+    assert c1 == c2

@@ -390,3 +390,223 @@ def append_ivf_index(
     _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1).write.mode(
         "append"
     ).partitionBy("centroid_id").parquet(path + "/vectors")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression rung for vector serving.
+# A d-dim float32 vector (256 bytes at d=64) compresses to m uint8 codes
+# (8 bytes at m=8) — 32x — and queries score codes via per-subspace lookup
+# tables (asymmetric distance computation) without ever touching the full
+# vectors. The standard shortlist+refine stack at 100 TB: ADC over codes
+# produces a candidate set, exact rescoring on the shortlist restores
+# recall. (Public method: Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011.)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    sample_size: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic per-subspace k-means codebooks, (m, ksub, d/m).
+
+    Training sample = the ``sample_size`` lowest hash-of-id vectors (the
+    same no-randomness device as _ivf_centroids: reruns and persisted
+    encodings agree byte-for-byte). Vectors are L2-normalized first, so
+    inner-product ADC over codes estimates cosine. Driver-side numpy
+    k-means — ksub × m × iters tiny (ksub, dsub) updates; the corpus is
+    only sampled, never collected."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    vm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(vm, axis=1)
+    vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+    d = vm.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(42)
+    books = np.empty((m, ksub, dsub))
+    for mi in range(m):
+        x = vm[:, mi * dsub : (mi + 1) * dsub]
+        # seeded init: sample rows (with replacement if the corpus sample
+        # is smaller than ksub)
+        init_idx = rng.choice(len(x), size=ksub, replace=len(x) < ksub)
+        cb = x[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(ksub):
+                mask = assign == ci
+                if mask.any():
+                    cb[ci] = x[mask].mean(axis=0)
+                # empty cluster: keep the previous codeword (deterministic)
+        books[mi] = cb
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: binary) — m bytes per vector (ksub ≤ 256). The
+    encoded table is what a 100 TB deployment persists and scans; the
+    float vectors are only needed again for the optional refine stage."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+    if ksub > 256:
+        raise ValueError("binary codes require ksub <= 256")
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(vm, axis=1)
+            vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+            codes = np.empty((len(vm), m), dtype=np.uint8)
+            for mi in range(m):
+                x = vm[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(kernel, "id long, codes binary")
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    refine_corpus: DataFrame | None = None,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance
+    computation: per query, one (m × ksub) inner-product lookup table;
+    each corpus partition scores its codes by m table gathers (never
+    reconstructing vectors) and emits only its local top shortlist —
+    the same partition-local top-k shuffle shape as brute_force_topk,
+    over 8-byte codes instead of 256-byte vectors.
+
+    With ``refine_corpus`` (the float-vector table), the ADC shortlist
+    of k × refine_factor candidates per query is exactly rescored
+    (cosine on true vectors, candidates semi-joined — the corpus is NOT
+    rescanned) — the standard two-stage stack that restores recall lost
+    to quantization."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+    q_rows = (
+        queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query set to the driver; got > "
+            f"{max_queries} queries — raise max_queries explicitly if "
+            f"intended."
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = np.linalg.norm(qm, axis=1)
+    qm = qm / np.where(qnorm == 0, 1.0, qnorm)[:, None]
+    # LUT[q, mi, code] = <q_sub(mi), codeword>: ADC sim = sum_mi LUT gather
+    luts = np.einsum(
+        "qmd,mkd->qmk", qm.reshape(len(qm), m, dsub), books
+    )
+    shortlist = k * refine_factor if refine_corpus is not None else k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.frombuffer(c, dtype=np.uint8) for c in pdf["codes"]]
+            )
+            sims = np.zeros((len(ids), len(qids)))
+            for mi in range(m):
+                sims += luts[:, mi, codes[:, mi]].T  # (batch, Q)
+            top = min(shortlist, len(ids))
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, top),
+                    "neighbor_id": ids[idx].T.ravel(),
+                    "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                }
+            )
+
+    candidates = codes_df.select(id_col, "codes").mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    if refine_corpus is None:
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            candidates.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
+    # exact refine: rescore ONLY the shortlist against true vectors
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = refine_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    rescored = (
+        ranked.join(F.broadcast(qdf), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine_arrow(F.col("qvec"), F.col("cvec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1034,11 +1034,11 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus one aggregate `avg` row per method (query_id = -1).
 _KNN_ANN_ORACLE = """
 SELECT m.method, e.vec_id AS query_id, 10 AS n_results, TRUE AS recall_ok
-FROM embeddings e, (VALUES ('ivf'), ('srp_lsh')) m(method)
+FROM embeddings e, (VALUES ('ivf'), ('srp_lsh'), ('pq')) m(method)
 WHERE e.vec_id % 25 = 0
 UNION ALL
 SELECT m.method, CAST(-1 AS BIGINT), -1, TRUE
-FROM (VALUES ('ivf'), ('srp_lsh')) m(method)
+FROM (VALUES ('ivf'), ('srp_lsh'), ('pq')) m(method)
 """
 
 
@@ -1046,8 +1046,10 @@ FROM (VALUES ('ivf'), ('srp_lsh')) m(method)
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors, driver-adjudicated as recall@10 vs
     brute force computed in-plan: IVF (nlist=16, nprobe=8 — the
-    partition-pruning path) and signed-random-projection LSH (16 bits,
-    8 bands — data-independent, append-stable). Two property layers, both
+    partition-pruning path), signed-random-projection LSH (16 bits,
+    8 bands — data-independent, append-stable), and product quantization
+    (m=8 × 256 codewords — 32x memory compression — with the standard
+    ADC-shortlist k×4 + exact-refine stack). Two property layers, all
     floors set from measurement across sf0.001/0.01/0.1:
 
     - per-query rows: recall_ok = recall@10 ≥ floor. Measured per-query
@@ -1055,13 +1057,14 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       adversarial query's neighbors straddle many cells; raising nprobe
       to 12 would lift the min to 0.7 but probes 75% of nlist=16,
       gutting the pruning the operator exists for). SRP measured min
-      0.80 everywhere → floor 0.7.
+      0.80 everywhere → floor 0.7. PQ+refine4 measured min
+      0.90 / 0.90 / 0.50 → floor 0.4.
     - one `avg` row per method (query_id=-1, n_results=-1): mean recall
-      over all queries ≥ 0.65 for IVF (measured 0.76-0.81) and ≥ 0.9
-      for SRP (measured 0.965-0.97) — the aggregate floor is the real
-      regression catch: a parameter regression that halves typical
-      recall flips this row even when every query clears the loose
-      per-query bar.
+      over all queries ≥ 0.65 for IVF (measured 0.76-0.81), ≥ 0.9 for
+      SRP (measured 0.965-0.97), ≥ 0.7 for PQ+refine (measured
+      0.99 / 0.99 / 0.795) — the aggregate floor is the real regression
+      catch: a parameter regression that halves typical recall flips
+      this row even when every query clears the loose per-query bar.
 
     The oracle asserts every row TRUE, so one degraded query (or a
     degraded mean) flips a hashed value. `n_results` pins per-query
@@ -1083,13 +1086,26 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tag), both ANN outputs union with their method tag, and ONE
     # full-outer join + ONE aggregation produce recall and cardinality
     # together - every subtree evaluated exactly once.
+    from ..operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
     brute2 = brute.select(
         "query_id",
         "neighbor_id",
-        F.explode(F.array(F.lit("ivf"), F.lit("srp_lsh"))).alias("method"),
+        F.explode(
+            F.array(F.lit("ivf"), F.lit("srp_lsh"), F.lit("pq"))
+        ).alias("method"),
     ).withColumn("__b", F.lit(True))
     ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=8)
     srp = srp_lsh_topk(emb, queries, k=10, n_bits=16, bands=8, d=64)
+    books = train_pq_codebooks(emb, m=8, ksub=256)
+    pq = pq_topk(
+        pq_encode(emb, books), books, queries, k=10,
+        refine_corpus=emb, refine_factor=4,
+    )
     approx2 = (
         ivf.select("query_id", "neighbor_id")
         .withColumn("method", F.lit("ivf"))
@@ -1098,11 +1114,22 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "method", F.lit("srp_lsh")
             )
         )
+        .unionByName(
+            pq.select("query_id", "neighbor_id").withColumn(
+                "method", F.lit("pq")
+            )
+        )
         .withColumn("__f", F.lit(True))
     )
-    floor = F.when(F.col("method") == "ivf", F.lit(0.3)).otherwise(F.lit(0.7))
-    avg_floor = F.when(F.col("method") == "ivf", F.lit(0.65)).otherwise(
-        F.lit(0.9)
+    floor = (
+        F.when(F.col("method") == "ivf", F.lit(0.3))
+        .when(F.col("method") == "pq", F.lit(0.4))
+        .otherwise(F.lit(0.7))
+    )
+    avg_floor = (
+        F.when(F.col("method") == "ivf", F.lit(0.65))
+        .when(F.col("method") == "pq", F.lit(0.7))
+        .otherwise(F.lit(0.9))
     )
     per_query = (
         brute2.join(approx2, ["method", "query_id", "neighbor_id"], "full")
