@@ -576,20 +576,17 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
+    if refine_corpus is None:
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
     ranked = (
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    if refine_corpus is None:
-        wk = Window.partitionBy("query_id").orderBy(
-            F.col("sim").desc(), F.col("neighbor_id").asc()
-        )
-        return (
-            candidates.withColumn("rank", F.row_number().over(wk))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank")
-        )
     # exact refine: rescore ONLY the shortlist against true vectors
     qdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
