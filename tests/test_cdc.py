@@ -208,12 +208,13 @@ def test_dedup_ingest_crash_between_corpus_and_index(spark, sf_dir):
 
 
 def test_dedup_ingest_zero_gram_docs_idempotent(spark):
-    """Zero-gram documents (empty/whitespace text) share the sentinel
-    MinHash signature, so they bucket-collide with their own indexed
-    copies; the both-empty Jaccard is defined as 1.0, so identical empty
-    docs dedup among themselves and a replayed batch appends nothing
-    (previously 0/0 = NULL dropped the pair and every replay re-appended
-    them)."""
+    """Zero-gram documents (empty/whitespace text, or text shorter than
+    n) share the sentinel MinHash signature, so they bucket-collide with
+    their own indexed copies; the both-empty verify compares canonical
+    fingerprints, so IDENTICAL short docs dedup among themselves, a
+    replayed batch appends nothing (previously 0/0 = NULL dropped the
+    pair and every replay re-appended them), and DISTINCT sub-n docs
+    ("xy") are NOT collapsed into unrelated empties."""
     import tempfile
 
     from uma_etl_iis_loader_spark.operators.dedup import build_minhash_index
@@ -234,16 +235,18 @@ def test_dedup_ingest_zero_gram_docs_idempotent(spark):
         [(10, ""), (11, "   "), (12, "xy")], "doc_id long, text string"
     )
     m.apply_batch(shard, 0)
-    # the three zero-gram docs are mutual duplicates: min-id survives
+    # "" and "   " canonicalize identically → min-id 10 survives for the
+    # pair; "xy" is DISTINCT content and must survive on its own
     ids = {r.doc_id for r in m.read_corpus(spark).collect()}
-    assert ids == {1, 10}
-    # crash-window replay (marker removed): doc 10 matches its own
-    # indexed copy and nothing is re-appended or lost
+    assert ids == {1, 10, 12}
+    # crash-window replay (marker removed): docs 10 and 12 match their
+    # own indexed copies (fingerprint-equal) — nothing re-appended or
+    # lost
     import os
 
     os.remove(corpus + "/_commits/batch-0.done")
     m.apply_batch(shard, 0)
-    assert {r.doc_id for r in m.read_corpus(spark).collect()} == {1, 10}
+    assert {r.doc_id for r in m.read_corpus(spark).collect()} == {1, 10, 12}
 
 
 def test_compact_minhash_index_dedupes_replay_residue(spark):

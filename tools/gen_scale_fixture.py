@@ -7,9 +7,11 @@ evidence SCALE.md's plan analyses predict.
 
 Tiling rules (tile 0 is the original data, so every smaller-SF result
 is a subset):
-- every foreign/primary key is offset by tile * (max_key + 1) on BOTH
-  sides of each relationship (orders↔lineitem↔supplier/part,
-  customer↔orders), so join fan-outs scale linearly, not quadratically;
+- every foreign/primary key is offset by tile * (DOMAIN max + 1) on
+  BOTH sides of each relationship (orders↔lineitem↔supplier/part,
+  customer↔orders↔events.user_id — the offset is shared across every
+  column of a key domain, so differently-ranged sides stay aligned),
+  and join fan-outs scale linearly, not quadratically;
 - `documents.text` gets a tile-specific marker token spliced in every
   5th word (tile > 0), so cross-tile near-dup similarity drops below
   the dedup thresholds — a 10× corpus must not degenerate into 10-way
@@ -32,33 +34,54 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+# column -> key DOMAIN. The offset for a key column must be the maximum
+# over its whole domain — every table sharing it — not the column's own
+# max: events.user_id (max 1500 at sf0.1) joins orders.o_custkey (max
+# 15000) in asof_join_order_state, and a per-column offset would shear
+# the two apart so tiles > 0 never match (found in review: the first
+# version destroyed every cross-table relationship whose two sides have
+# different key ranges).
 KEY_COLS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_suppkey": "suppkey",
+        "l_partkey": "partkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "custkey"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 COPY_TABLES = ["region", "nation"]
 
 
-def _tile(df: DataFrame, tiles: int, key_cols: list[str]) -> DataFrame:
+def _domain_offsets(spark: SparkSession, src: str) -> dict[str, int]:
+    """max+1 per key DOMAIN (max over every column mapped to it)."""
+    maxes: dict[str, int] = {}
+    for table, cols in KEY_COLS.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        row = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+        for c, dom in cols.items():
+            maxes[dom] = max(maxes.get(dom, 0), int(row[c]))
+    return {dom: mx + 1 for dom, mx in maxes.items()}
+
+
+def _tile(
+    df: DataFrame, tiles: int, key_cols: dict[str, str], offsets: dict[str, int]
+) -> DataFrame:
     """Cross-join with the tile index and offset every key column by
-    tile * (max+1) — one pass, no driver loop over tiles."""
-    maxes = df.agg(
-        *[F.max(c).alias(c) for c in key_cols]
-    ).collect()[0]
+    tile * its DOMAIN offset — one pass, no driver loop over tiles."""
     tiled = df.crossJoin(
         F.broadcast(
             df.sparkSession.range(tiles).withColumnRenamed("id", "__tile")
         )
     )
-    for c in key_cols:
+    for c, dom in key_cols.items():
         tiled = tiled.withColumn(
-            c, F.col(c) + F.col("__tile") * F.lit(int(maxes[c]) + 1)
+            c, F.col(c) + F.col("__tile") * F.lit(offsets[dom])
         )
     return tiled
 
@@ -72,9 +95,10 @@ def scale_fixture(
             "overwrite"
         ).parquet(f"{dst}/{name}.parquet")
 
+    offsets = _domain_offsets(spark, src)
     for name, keys in KEY_COLS.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")
-        out = _tile(df, tiles, keys)
+        out = _tile(df, tiles, keys, offsets)
         if name in ("supplier", "customer"):
             # natural-key columns must stay UNIQUE across tiles: the
             # schedule fixture joins rooms by s_name and groups by

@@ -313,10 +313,18 @@ def minhash_signature(
     n: int = 3,
     char_level: bool = True,
 ) -> DataFrame:
-    """(id, grams, sig: array<bigint>) — MinHash signature per document."""
-    g = _gram_table(docs, id_col, text_col, n, char_level)
-    return g.select(
-        "id", "grams", _minhash_sig_udf(num_hashes)(F.col("grams")).alias("sig")
+    """(id, grams, sig: array<bigint>, fp) — MinHash signature per
+    document. ``fp`` is the canonical-text fingerprint: zero-gram
+    documents (text shorter than n) all share the sentinel signature, so
+    their verify step compares fingerprints instead of gram sets —
+    identical short docs dedup, distinct ones never collapse."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        _grams_udf(n, char_level)(F.col(text_col)).alias("grams"),
+        fingerprint(text_col).alias("fp"),
+    ).select(
+        "id", "grams", _minhash_sig_udf(num_hashes)(F.col("grams")).alias("sig"),
+        "fp",
     )
 
 
@@ -817,7 +825,7 @@ def _write_index_state(
     gram lookup fails — candidates silently vanishing in the verify
     join; ``dedup_increment`` additionally fails loudly on that state.
     """
-    sigs.select("id", "grams").write.mode(mode).parquet(f"{path}/grams")
+    sigs.select("id", "grams", "fp").write.mode(mode).parquet(f"{path}/grams")
     _band_entries(sigs, bands, rows).write.mode(mode).partitionBy(
         "band"
     ).parquet(f"{path}/bands")
@@ -871,16 +879,19 @@ def append_minhash_index(
     sigs.unpersist()
 
 
-def _verify_jaccard(ga, gb):
-    """Gram-set Jaccard for candidate verification. Both-empty is defined
-    as 1.0 (identical empty documents ARE duplicates) — the naive
+def _verify_jaccard(ga, gb, fp_a, fp_b):
+    """Gram-set Jaccard for candidate verification. Both-empty compares
+    CANONICAL-TEXT FINGERPRINTS (1.0 iff equal): the naive
     size(∩)/size(∪) yields 0/0 = NULL there, which a >= threshold filter
-    silently drops: zero-gram docs (empty/whitespace text, or text
+    silently drops — zero-gram docs (empty/whitespace text, or text
     shorter than n) share the sentinel MinHash signature, so they always
-    bucket-collide — including with their own indexed copy on a replay —
-    and a NULL verdict would let every replay re-append them forever."""
+    bucket-collide, including with their own indexed copy on a replay,
+    and a NULL verdict would let every replay re-append them forever. A
+    blanket 1.0 would be the opposite failure: DISTINCT sub-n documents
+    ("xy" vs "qz") silently collapsing into one — real data loss."""
     return F.when(
-        (F.size(ga) == 0) & (F.size(gb) == 0), F.lit(1.0)
+        (F.size(ga) == 0) & (F.size(gb) == 0),
+        F.when(fp_a == fp_b, F.lit(1.0)).otherwise(F.lit(0.0)),
     ).otherwise(F.size(F.array_intersect(ga, gb)) / F.size(F.array_union(ga, gb)))
 
 
@@ -912,10 +923,11 @@ def dedup_increment(
         ``connected_components`` over the returned pairs instead.
         Idempotence law (pytest-pinned): incrementing the same shard
         again yields zero survivors — including for ZERO-GRAM documents
-        (empty/whitespace text, or text shorter than n), whose Jaccard
-        is defined as 1.0 when both gram sets are empty (identical empty
-        docs are duplicates; the naive 0/0 = NULL verdict would let them
-        re-append on every replay).
+        (empty/whitespace text, or text shorter than n), whose verify
+        compares canonical-text fingerprints when both gram sets are
+        empty: identical short docs dedup (and replays match their own
+        indexed copy — the naive 0/0 = NULL verdict would re-append them
+        forever), while DISTINCT sub-n docs never collapse.
 
     Candidate generation is IDENTICAL to the batch ``minhash_lsh_pairs``
     (same seeded hash family, same banding), so incremental pair recall
@@ -950,11 +962,19 @@ def dedup_increment(
     # benign residue of a replayed append.
     pairs_old = (
         cand_old.join(
-            sigs.select(F.col("id").alias("id_new"), F.col("grams").alias("ga")),
+            sigs.select(
+                F.col("id").alias("id_new"),
+                F.col("grams").alias("ga"),
+                F.col("fp").alias("fpa"),
+            ),
             "id_new",
         )
         .join(
-            idx_grams.select(F.col("id").alias("id_old"), F.col("grams").alias("gb")),
+            idx_grams.select(
+                F.col("id").alias("id_old"),
+                F.col("grams").alias("gb"),
+                F.col("fp").alias("fpb"),
+            ),
             "id_old",
             "left",
         )
@@ -972,7 +992,10 @@ def dedup_increment(
                 ),
             ).isNull()
         )
-        .withColumn("jac", _verify_jaccard(F.col("ga"), F.col("gb")))
+        .withColumn(
+            "jac",
+            _verify_jaccard(F.col("ga"), F.col("gb"), F.col("fpa"), F.col("fpb")),
+        )
         .filter(F.col("jac") >= threshold)
         .select("id_new", "id_old")
         .distinct()
@@ -986,13 +1009,25 @@ def dedup_increment(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    ga = sigs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = sigs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    ga = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("fp").alias("fp_a"),
+    )
+    gb = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("fp").alias("fp_b"),
+    )
     pairs_new = (
         cand_new.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn(
-            "jac", _verify_jaccard(F.col("grams_a"), F.col("grams_b"))
+            "jac",
+            _verify_jaccard(
+                F.col("grams_a"), F.col("grams_b"),
+                F.col("fp_a"), F.col("fp_b"),
+            ),
         )
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b")
@@ -1024,18 +1059,23 @@ def compact_minhash_index(spark, path: str) -> None:
     """Deduplicate replay residue in the append-only LSH index (replayed
     appends can leave identical (id, grams) / (id, band, bucket) rows —
     harmless for correctness, wasteful for the bucket join) and rewrite
-    each table into fewer files. Atomic per-table swap, grams first
+    each table into fewer files. Rename-away swap per table (see
+    compact_shingle_index — no crash point destroys data), grams first
     (same crash-ordering contract as the appends: bands ⊆ grams always
     holds for any id)."""
     import os
     import shutil
 
     for sub in ("grams", "bands"):  # grams first: see _write_index_state
-        live, nxt = f"{path}/{sub}", f"{path}/{sub}.next"
+        live, nxt, old = f"{path}/{sub}", f"{path}/{sub}.next", f"{path}/{sub}.old"
         df = spark.read.parquet(live).distinct()
         w = df.write.mode("overwrite")
         if sub == "bands":
             w = w.partitionBy("band")
         w.parquet(nxt)
-        shutil.rmtree(live)
+        # rename-away swap: a complete copy exists on disk at every
+        # instant — a crash between the renames leaves the data intact
+        # under .old/.next for a trivial rename recovery, never destroyed
+        os.rename(live, old)
         os.rename(nxt, live)
+        shutil.rmtree(old)

@@ -122,7 +122,14 @@ def decode_image(payload: bytes):
     real cluster for the compressed formats.
     """
     if payload[:2] == b"BM":
-        return decode_bmp(payload)
+        try:
+            return decode_bmp(payload)
+        except ValueError:
+            # a BMP variant the stdlib rung doesn't handle (32-bit, RLE,
+            # top-down): fall through to PIL rather than failing a
+            # payload PIL could decode
+            if _try_import_pillow() is None:
+                raise
     pillow = _try_import_pillow()
     if pillow is None:
         raise NotImplementedError(
@@ -147,14 +154,18 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
+                buf = r["payload"]
+                n_bytes = 0 if buf is None else int(len(buf))
                 try:
-                    px = decode_image(bytes(r["payload"]))
+                    if buf is None:
+                        raise ValueError("NULL payload")
+                    px = decode_image(bytes(buf))
                     out.append(
                         (
                             r["asset_id"],
                             int(px.shape[1]),
                             int(px.shape[0]),
-                            int(len(r["payload"])),
+                            n_bytes,
                             int(px.astype(np.int64).sum()),
                             None,
                         )
@@ -164,8 +175,8 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
                     # the PIL rung raises codec-specific errors; all must
                     # land as error rows, not task failures
                     out.append(
-                        (r["asset_id"], None, None, int(len(r["payload"])),
-                         None, str(exc)[:200])
+                        (r["asset_id"], None, None, n_bytes, None,
+                         str(exc)[:200])
                     )
             yield pd.DataFrame(
                 out,

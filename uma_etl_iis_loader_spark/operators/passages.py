@@ -61,6 +61,28 @@ def shingle_positions(
     ).select("id", "pos", key.alias("key"))
 
 
+def _marked_to_outputs(marked, k: int):
+    """Shared reduction behind both the batch and incremental faces —
+    one implementation, so a change to span semantics can't silently
+    diverge the two (their parity is this module's headline law)."""
+    stats = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("rep").cast("long")).alias("n_repeated"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        marked.filter(F.col("rep"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_word"),
+        )
+        .select("id", "start_word", "end_word")
+    )
+    return {"stats": stats, "spans": spans}
+
+
 def repeated_passages(
     docs: DataFrame,
     k: int = 8,
@@ -88,6 +110,11 @@ def repeated_passages(
     re-run the corpus-wide shuffle twice.
     """
     sh = shingle_positions(docs, k, id_col, text_col, hashed)
+    if pin:
+        # the tokenize+explode subtree (one row per corpus token) feeds
+        # both the df-count aggregation and the mark join: persist it so
+        # the dominant cost runs once, release after the checkpoint
+        sh = sh.persist()
     rep = (
         sh.groupBy("key")
         .agg(F.count_distinct("id").alias("nd"))
@@ -100,22 +127,8 @@ def repeated_passages(
     )
     if pin:
         marked = marked.localCheckpoint(eager=True)
-    stats = marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.col("rep").cast("long")).alias("n_repeated"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    spans = (
-        marked.filter(F.col("rep"))
-        .withColumn("grp", F.col("pos") - F.row_number().over(w))
-        .groupBy("id", "grp")
-        .agg(
-            F.min("pos").alias("start_word"),
-            (F.max("pos") + F.lit(k - 1)).alias("end_word"),
-        )
-        .select("id", "start_word", "end_word")
-    )
-    return {"stats": stats, "spans": spans}
+        sh.unpersist()
+    return _marked_to_outputs(marked, k)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +200,10 @@ def passages_increment(
         )
     spark = new_docs.sparkSession
     sh = shingle_positions(new_docs, k, id_col, text_col, hashed=True)
+    if pin:
+        # shard tokenized ONCE: the shingle table feeds the nd_new
+        # aggregation, the mark join, and (via nd_new) the index append
+        sh = sh.persist()
     nd_new = sh.groupBy("key").agg(F.count_distinct("id").alias("nd_new"))
     idx = (
         spark.read.parquet(f"{index_path}/keys")
@@ -207,37 +224,27 @@ def passages_increment(
     )
     if pin:
         marked = marked.localCheckpoint(eager=True)
-    stats = marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.col("rep").cast("long")).alias("n_repeated"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    spans = (
-        marked.filter(F.col("rep"))
-        .withColumn("grp", F.col("pos") - F.row_number().over(w))
-        .groupBy("id", "grp")
-        .agg(
-            F.min("pos").alias("start_word"),
-            (F.max("pos") + F.lit(k - 1)).alias("end_word"),
-        )
-        .select("id", "start_word", "end_word")
-    )
     if update_index:
         nd_new.withColumnRenamed("nd_new", "nd").write.mode(
             "append"
         ).parquet(f"{index_path}/keys")
-    return {"stats": stats, "spans": spans}
+    if pin:
+        sh.unpersist()
+    return _marked_to_outputs(marked, k)
 
 
 def compact_shingle_index(spark, path: str) -> None:
     """Rewrite the append-only (key, nd) log into one summed row per key
-    — same answers, fewer files/rows. Atomic swap (write aside, rename),
-    so a crash mid-compaction leaves the live index untouched;
-    single-writer assumption as with the other index maintainers."""
+    — same answers, fewer files/rows. Swap via rename-away (live→old,
+    next→live, delete old): a complete copy of the data exists on disk at
+    every instant, so no crash point destroys the index — the worst case
+    (dying between the two renames) leaves the data intact under
+    keys.old/keys.next for a trivial rename recovery. Single-writer
+    assumption as with the other index maintainers."""
     import os
     import shutil
 
-    live, nxt = f"{path}/keys", f"{path}/keys.next"
+    live, nxt, old = f"{path}/keys", f"{path}/keys.next", f"{path}/keys.old"
     (
         spark.read.parquet(live)
         .groupBy("key")
@@ -245,5 +252,6 @@ def compact_shingle_index(spark, path: str) -> None:
         .write.mode("overwrite")
         .parquet(nxt)
     )
-    shutil.rmtree(live)
+    os.rename(live, old)
     os.rename(nxt, live)
+    shutil.rmtree(old)

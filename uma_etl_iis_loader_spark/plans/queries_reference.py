@@ -1125,7 +1125,7 @@ SELECT 'ru_stem', o_orderkey,
                regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
                x -> x <> ''
            ),
-           t -> regexp_replace(regexp_replace(t, 'ё', 'е'),
+           t -> regexp_replace(regexp_replace(t, 'ё', 'е', 'g'),
                                '{RU_STEM_PATTERN}', '\\1\\2')
        ))), '|')
 FROM src
