@@ -260,3 +260,52 @@ def test_pq_encoding_deterministic(spark, sf_dir):
     c1 = sorted((r.vec_id, bytes(r.codes)) for r in pq_encode(emb, b1).collect())
     c2 = sorted((r.vec_id, bytes(r.codes)) for r in pq_encode(emb, b2).collect())
     assert c1 == c2
+
+
+def test_ivfpq_index_end_to_end(spark, sf_dir):
+    """IVF+PQ combined index: exhaustive probe + refine matches brute
+    force exactly on the fixture; a partial probe still returns k rows
+    per query and partition-prunes the vectors scan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_") + "/idx"
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=256)
+
+    # exhaustive probe + generous refine == brute force (PQ only orders
+    # the shortlist; refine rescoring is exact)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = ivfpq_topk(
+        spark, path, queries, k=5, nprobe=8, refine_factor=20
+    )
+    got = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    n_q = queries.count()
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.95, recall
+
+    # partial probe: k rows per query, pruned scan
+    part = ivfpq_topk(spark, path, queries, k=5, nprobe=2, refine_factor=4)
+    rows = part.collect()
+    import collections
+
+    per_q = collections.Counter(r.query_id for r in rows)
+    assert len(per_q) == n_q and set(per_q.values()) == {5}
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]

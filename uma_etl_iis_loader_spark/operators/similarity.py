@@ -607,3 +607,125 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF + PQ combined index — the standard billion-scale serving
+    layout: vectors are partitioned by nearest IVF centroid (so queries
+    prune partitions) AND stored as PQ codes (so the probed partitions
+    scan 8-byte codes, not 256-byte vectors). On top of the layout the
+    float vectors are kept alongside their codes per partition for the
+    optional exact-refine stage — drop that column in deployments where
+    a separate lookup service rescores.
+
+    Persists: ``<path>/centroids`` (IVF), ``<path>/codebooks`` (PQ, one
+    row per (subspace, codeword)), ``<path>/vectors`` (centroid_id-
+    partitioned: id, codes, cvec)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    cent_mat = _ivf_centroids(c, nlist)
+    books = train_pq_codebooks(
+        corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    assigned = _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
+    assigned.join(codes, "neighbor_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path + "/vectors")
+    spark.createDataFrame(
+        [
+            (i, [float(x) for x in cent_mat[i]])
+            for i in range(cent_mat.shape[0])
+        ],
+        "centroid_id int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    mm, kk, dsub = books.shape
+    spark.createDataFrame(
+        [
+            (mi, ci, [float(x) for x in books[mi, ci]])
+            for mi in range(mm)
+            for ci in range(kk)
+        ],
+        "m int, code int, sub array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query the IVF+PQ index: probe ``nprobe`` centroids per query,
+    partition-prune the vectors scan to the probed cells, ADC-score the
+    codes there, take a k × refine_factor shortlist, and exactly rescore
+    it against the stored float vectors. The scan that dominates at
+    scale reads only probed partitions and only the (id, codes) columns
+    until the final shortlist join.
+
+    Batch-probing semantics: the scanned cell set is the UNION of every
+    query's probes (one pruned scan for the whole batch), so a query may
+    surface a neighbor from a cell probed only by another query — recall
+    is ≥ per-query probing at the same scan cost; for single-query
+    serving the union degenerates to that query's own nprobe cells."""
+    import numpy as np
+
+    cents = sorted(
+        spark.read.parquet(path + "/centroids").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cent_mat = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in cents])
+    book_rows = spark.read.parquet(path + "/codebooks").collect()
+    mm = max(r.m for r in book_rows) + 1
+    kk = max(r.code for r in book_rows) + 1
+    dsub = len(book_rows[0].sub)
+    books = np.zeros((mm, kk, dsub))
+    for r in book_rows:
+        books[r.m, r.code] = np.asarray(r.sub, dtype=np.float64)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probed = _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe).localCheckpoint(
+        eager=True
+    )
+    probe_ids = [
+        r.centroid_id
+        for r in probed.select("centroid_id").distinct().collect()
+    ]
+    vectors = spark.read.parquet(path + "/vectors").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    # ADC over the probed cells' codes (see batch-probing note above)
+    codes_df = vectors.select("neighbor_id", "codes")
+    return pq_topk(
+        codes_df,
+        books,
+        q.select("query_id", F.col("qvec").alias(vec_col)),
+        k=k,
+        refine_corpus=vectors.select(
+            "neighbor_id", F.col("cvec").alias(vec_col)
+        ),
+        refine_factor=refine_factor,
+        id_col="neighbor_id",
+        vec_col=vec_col,
+        query_id_col="query_id",
+    )
