@@ -388,3 +388,46 @@ def test_dedup_increment_fails_loudly_on_bands_without_grams(spark):
         dedup_increment(
             docs, idx, threshold=0.35, update_index=False, **kw
         )["pairs_old"].count()
+
+
+def test_semantic_dedup_planted_near_dups(spark, sf_dir):
+    """SemDeDup-style cluster-scoped dedup: planted near-identical
+    vectors are dropped (min id survives), distinct vectors retained,
+    and the cluster-scoped pair set is a SUBSET of the global exact
+    cosine pairs (the method's documented recall trade)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False).limit(400)
+    # plant: clone 5 vectors under new ids with a tiny deterministic bend
+    clones = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x + F.when(i == 0, 0.001).otherwise(0.0)
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+    )
+    full = emb.unionByName(clones)
+    out = semantic_dedup(full, n_clusters=8, threshold=0.99)
+    surv = {r.vec_id for r in out["survivors"].select("vec_id").collect()}
+    for i in range(5):
+        assert i in surv  # original kept (min id)
+        assert i + 1_000_000 not in surv  # clone dropped
+    # subset law vs the global exact pair set at the same threshold
+    sem = {(r.id_a, r.id_b) for r in out["pairs"].collect()}
+    glob = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            full, id_col="vec_id", vec_col="embedding", threshold=0.99
+        ).collect()
+    }
+    assert sem <= glob
+    assert len(sem) >= 5  # every planted clone pair found (same cluster)

@@ -1079,3 +1079,77 @@ def compact_minhash_index(spark, path: str) -> None:
         os.rename(live, old)
         os.rename(nxt, live)
         shutil.rmtree(old)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup — cluster-scoped embedding near-dup (the published
+# SemDeDup recipe: k-means the embedding space, then compare pairs only
+# WITHIN each cluster; cross-cluster near-dups are traded away, which is
+# what makes the method linear-ish at web scale).
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Cluster-scoped embedding dedup:
+
+    1. assign every vector to its nearest deterministic centroid (the
+       same seeded no-randomness centroids the IVF index uses — one
+       narrow mapInPandas matmul, no shuffle);
+    2. inside each cluster, exact pairwise cosine ≥ ``threshold``
+       (applyInPandas per cluster: cost Σ|cluster|² instead of n² —
+       raise ``n_clusters`` to bound the largest cluster at scale);
+    3. survivors = min-id per matched pair chain (direct-match
+       semantics, as dedup_increment: a doc is dropped iff a smaller-id
+       near-duplicate shares its cluster).
+
+    Returns ``pairs`` (id_a < id_b) and ``survivors``. Cross-cluster
+    near-duplicates are NOT found — the deliberate recall trade the
+    method makes for linearity; the global tiled
+    ``embedding_cosine_pairs`` remains the exact alternative.
+    """
+    import numpy as np
+
+    from .similarity import _assign_centroid, _ivf_centroids
+
+    c = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cvec"))
+    cent_mat = _ivf_centroids(
+        c.select(F.col("id").alias("neighbor_id"), "cvec"), n_clusters
+    )
+    assigned = _assign_centroid(
+        c.select(F.col("id").alias("neighbor_id"), "cvec"),
+        cent_mat,
+        "neighbor_id",
+        "cvec",
+        1,
+    ).select(F.col("neighbor_id").alias("id"), "cvec", "centroid_id")
+
+    def cluster_pairs(pdf):
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][[]].assign(id_a=[], id_b=[])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        vm = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+        norms = np.linalg.norm(vm, axis=1)
+        vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+        sims = vm @ vm.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        import pandas as pd
+
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    pairs = (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(cluster_pairs, "id_a long, id_b long")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = emb.join(dropped, id_col, "left_anti")
+    return {"pairs": pairs, "survivors": survivors}
