@@ -82,3 +82,39 @@ def test_hash_stratified_sample_deterministic_and_stable(spark, sf_dir):
     n, p = totals["en"], 0.5
     sigma = (n * p * (1 - p)) ** 0.5
     assert abs(kept.get("en", 0) - n * p) <= 4 * sigma
+
+
+def test_temperature_mixture_rebalances_domains(spark, sf_dir):
+    """alpha<1 shifts share from head to tail domains; rates are exact
+    arithmetic over one count aggregation; membership deterministic."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+
+    out_nat, rates_nat = temperature_mixture(
+        docs, "doc_id", "lang", budget=200, alpha=1.0
+    )
+    out_t, rates_t = temperature_mixture(
+        docs, "doc_id", "lang", budget=200, alpha=0.3
+    )
+    # alpha=1: keep-rate identical across domains (natural distribution)
+    vals = {round(v, 6) for v in rates_nat.values()}
+    assert len(vals) == 1 or all(v == 1.0 for v in rates_nat.values())
+    # alpha<1: tail keep-rate strictly above head keep-rate
+    assert rates_t[tail] > rates_t[head]
+    # tail SHARE of the sample grows vs its natural share
+    n_t = {r[0]: r[1] for r in out_t.groupBy("lang").count().collect()}
+    nat_share = counts[tail] / sum(counts.values())
+    t_share = n_t.get(tail, 0) / max(sum(n_t.values()), 1)
+    assert t_share > nat_share
+    # determinism: same call, same membership
+    out_t2, _ = temperature_mixture(docs, "doc_id", "lang", budget=200, alpha=0.3)
+    assert sorted(r.doc_id for r in out_t.collect()) == sorted(
+        r.doc_id for r in out_t2.collect()
+    )

@@ -95,3 +95,41 @@ def deterministic_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    salt: int = 1013904223,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-rebalanced domain mixture: sample ``budget`` rows
+    total with per-domain shares ∝ n_i^alpha (the published multilingual
+    temperature-sampling recipe — alpha=1 keeps the natural distribution,
+    alpha→0 approaches uniform-over-domains; 0.3-0.7 are the values the
+    multilingual-pretraining literature uses to keep head domains from
+    drowning the tail).
+
+    Two-step: ONE aggregation computes exact per-domain counts (the only
+    shuffle; domains are driver-sized by definition), shares and
+    per-domain keep-rates derive arithmetically (rates cap at 1.0 — a
+    tail domain smaller than its target contributes all it has rather
+    than oversampling), then membership is the deterministic salted-hash
+    filter of ``hash_stratified_sample`` — append- and repartition-stable
+    like every sampling op here. Returns (sampled_df, rates) so the
+    caller can log/persist the realized mixture."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts or budget <= 0:
+        return df.limit(0), {}
+    weights = {s: n**alpha for s, n in counts.items()}
+    z = sum(weights.values())
+    rates = {
+        s: min(1.0, (budget * w / z) / counts[s]) for s, w in weights.items()
+    }
+    return hash_stratified_sample(df, id_col, strata_col, rates, salt), rates
