@@ -444,14 +444,19 @@ def train_pq_codebooks(
         # is smaller than ksub)
         init_idx = rng.choice(len(x), size=ksub, replace=len(x) < ksub)
         cb = x[init_idx].copy()
+        x_sq = (x * x).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2 — one matmul instead
+            # of an (n, ksub, dsub) broadcast tensor
+            d2 = x_sq - 2.0 * (x @ cb.T) + (cb * cb).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for ci in range(ksub):
-                mask = assign == ci
-                if mask.any():
-                    cb[ci] = x[mask].mean(axis=0)
-                # empty cluster: keep the previous codeword (deterministic)
+            # vectorized centroid update (bincount per dim); empty
+            # clusters keep their previous codeword (deterministic)
+            counts = np.bincount(assign, minlength=ksub)
+            sums = np.zeros_like(cb)
+            np.add.at(sums, assign, x)
+            nz = counts > 0
+            cb[nz] = sums[nz] / counts[nz, None]
         books[mi] = cb
     return books
 
@@ -485,7 +490,12 @@ def pq_encode(
             codes = np.empty((len(vm), m), dtype=np.uint8)
             for mi in range(m):
                 x = vm[:, mi * dsub : (mi + 1) * dsub]
-                d2 = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                cb = books[mi]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
                 codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
             yield pd.DataFrame(
                 {
