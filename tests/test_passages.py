@@ -201,3 +201,84 @@ def test_compact_shingle_index_preserves_answers(spark):
     )
     out = passages_increment(s2, idx, k=8, update_index=False)
     assert out["spans"].count() == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_slow = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+@_slow
+def test_passage_laws_arbitrary_corpora(spark, docs, k):
+    """Laws over arbitrary tiny-vocabulary corpora (vocab of 6 tokens
+    forces heavy cross-doc window collisions):
+
+    1. stats consistency: n_shingles == n_tokens - k + 1 per doc with
+       ≥ k tokens; docs below k emit nothing.
+    2. spans ⇔ repeated windows: the union of [start, end-k+1] over a
+       doc's spans equals EXACTLY its repeated window-start set (spans
+       are maximal merges: no overlap, no adjacency).
+    3. reference parity: 'repeated' per window recomputed in plain
+       Python (cross-doc distinct-count ≥ 2) matches.
+    """
+    from uma_etl_iis_loader_spark.operators.passages import (
+        repeated_passages,
+    )
+
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_passages(df, k=k, min_docs=2, hashed=False)
+    stats = {r.id: (r.n_shingles, r.n_repeated) for r in out["stats"].collect()}
+    spans = {}
+    for r in out["spans"].collect():
+        spans.setdefault(r.id, []).append((r.start_word, r.end_word))
+
+    # plain-Python reference
+    windows = {}  # (doc, pos) -> shingle tuple
+    by_shingle = {}
+    for i, toks in enumerate(docs):
+        for p in range(max(len(toks) - k + 1, 0)):
+            sg = tuple(toks[p : p + k])
+            windows[(i, p)] = sg
+            by_shingle.setdefault(sg, set()).add(i)
+    repeated = {
+        (i, p) for (i, p), sg in windows.items() if len(by_shingle[sg]) >= 2
+    }
+
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        if n < k:
+            assert i not in stats
+            assert i not in spans
+            continue
+        n_sh, n_rep = stats[i]
+        assert n_sh == n - k + 1  # law 1
+        ref_positions = {p for (d, p) in repeated if d == i}
+        assert n_rep == len(ref_positions)  # law 3 (counts)
+        got_positions = set()
+        doc_spans = sorted(spans.get(i, []))
+        for s, e in doc_spans:
+            got_positions |= set(range(s, e - k + 2))
+        assert got_positions == ref_positions  # law 2 + 3 (positions)
+        # maximality: consecutive spans are separated by ≥ 2 (no
+        # adjacent-window spans left unmerged)
+        for (s1, e1), (s2, e2) in zip(doc_spans, doc_spans[1:]):
+            assert s2 > e1 - k + 2
