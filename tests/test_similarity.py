@@ -309,3 +309,43 @@ def test_ivfpq_index_end_to_end(spark, sf_dir):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_ivfpq_results_independent_of_batch_composition(spark, sf_dir):
+    """A query's IVF+PQ result must be identical whether it runs alone
+    or batched with other queries (per-query cell restriction — without
+    it, cells probed only by OTHER queries leak into the result)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    batch = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_id = batch.select(F.min("query_id")).collect()[0][0]
+    solo = batch.filter(F.col("query_id") == one_id)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_batch_") + "/idx"
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=256)
+
+    in_batch = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            spark, path, batch, k=5, nprobe=2, refine_factor=4
+        ).collect()
+        if r.query_id == one_id
+    }
+    alone = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            spark, path, solo, k=5, nprobe=2, refine_factor=4
+        ).collect()
+    }
+    assert in_batch == alone

@@ -15,6 +15,10 @@ Four tiers, trading recall for cost (all shuffle-safe, no driver collect):
 - ``embedding_cosine_pairs`` — near-dup by embedding cosine (blocked
                              self-join; for web scale use the IVF/LSH
                              bucketing in operators/similarity.py first).
+- ``semantic_dedup``       — cluster-scoped embedding near-dup (SemDeDup
+                             shape): k-means the space, compare only
+                             within clusters — linear-ish at web scale,
+                             cross-cluster near-dups traded away.
 
 ``connected_components`` turns any of the pair outputs into the cluster
 assignment a dedup pipeline actually applies (keep ``node == comp``, the
@@ -1140,14 +1144,19 @@ def semantic_dedup(
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
         a, b = ids[ia], ids[ib]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # strict lo < hi: duplicate-id input (replay residue) would
+        # otherwise emit (x, x) rows whose id_b-drop removes EVERY copy
+        # of the document instead of keeping one survivor
+        keep = lo < hi
         import pandas as pd
 
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
 
+    # ids unique per input row ⇒ each (id_a, id_b) pair arises from at
+    # most one cluster (n=1 assignment) — no distinct() shuffle needed
     pairs = (
         assigned.groupBy("centroid_id")
         .applyInPandas(cluster_pairs, "id_a long, id_b long")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()

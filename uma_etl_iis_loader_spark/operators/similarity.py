@@ -522,6 +522,8 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 10_000,
+    cell_col: str | None = None,
+    query_cells: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes via asymmetric distance
     computation: per query, one (m × ksub) inner-product lookup table;
@@ -534,12 +536,22 @@ def pq_topk(
     of k × refine_factor candidates per query is exactly rescored
     (cosine on true vectors, candidates semi-joined — the corpus is NOT
     rescanned) — the standard two-stage stack that restores recall lost
-    to quantization."""
+    to quantization.
+
+    IVF integration (``cell_col`` + ``query_cells``): when codes carry a
+    cell id and the caller supplies {query_id -> set(cell ids)}, each
+    query is scored ONLY against rows of its own probed cells (a per-row
+    boolean mask inside the kernel — cells not probed by a query score
+    -inf), so results are identical whether the query runs alone or in a
+    batch. The query→cells map is driver-sized by the same contract as
+    the query set itself."""
     import numpy as np
     import pandas as pd
 
     books = codebooks
     m, ksub, dsub = books.shape
+    if (cell_col is None) != (query_cells is None):
+        raise ValueError("cell_col and query_cells must be passed together")
     q_rows = (
         queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
     )
@@ -558,6 +570,17 @@ def pq_topk(
         "qmd,mkd->qmk", qm.reshape(len(qm), m, dsub), books
     )
     shortlist = k * refine_factor if refine_corpus is not None else k
+    if query_cells is not None:
+        # per-cell boolean row over the query axis, shipped in the closure
+        all_cells = sorted({c for cs in query_cells.values() for c in cs})
+        cell_mask = {
+            c: np.array(
+                [c in query_cells.get(int(q), ()) for q in qids], dtype=bool
+            )
+            for c in all_cells
+        }
+    else:
+        cell_mask = None
 
     def score(batches):
         for pdf in batches:
@@ -570,17 +593,30 @@ def pq_topk(
             sims = np.zeros((len(ids), len(qids)))
             for mi in range(m):
                 sims += luts[:, mi, codes[:, mi]].T  # (batch, Q)
+            if cell_mask is not None:
+                cells = pdf[cell_col].to_numpy()
+                mask = np.stack(
+                    [
+                        cell_mask.get(int(c), np.zeros(len(qids), dtype=bool))
+                        for c in cells
+                    ]
+                )  # (batch, Q): True where this row's cell was probed
+                sims = np.where(mask, sims, -np.inf)
             top = min(shortlist, len(ids))
             idx = np.argpartition(-sims, top - 1, axis=0)[:top]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, top),
                     "neighbor_id": ids[idx].T.ravel(),
                     "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
                 }
             )
+            if cell_mask is not None:
+                out = out[np.isfinite(out["sim"])]  # masked rows never rank
+            yield out
 
-    candidates = codes_df.select(id_col, "codes").mapInPandas(
+    in_cols = [id_col, "codes"] + ([cell_col] if cell_col else [])
+    candidates = codes_df.select(*in_cols).mapInPandas(
         score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -640,6 +676,7 @@ def build_ivfpq_index(
     row per (subspace, codeword)), ``<path>/vectors`` (centroid_id-
     partitioned: id, codes, cvec)."""
     import numpy as np
+    import pandas as pd
 
     spark = corpus.sparkSession
     c = corpus.select(
@@ -649,13 +686,43 @@ def build_ivfpq_index(
     books = train_pq_codebooks(
         corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
+    dsub = books.shape[2]
+
+    # ONE kernel assigns the centroid AND encodes the codes — both
+    # cent_mat and books are driver-side closure matrices, so splitting
+    # this into _assign_centroid + pq_encode + join would scan the corpus
+    # twice and shuffle it once for nothing at ingest
+    def assign_encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            norms = np.linalg.norm(vm, axis=1)
+            vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+            cent = (vm @ cent_mat.T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(vm), m), dtype=np.uint8)
+            for mi in range(m):
+                x = vm[:, mi * dsub : (mi + 1) * dsub]
+                cb = books[mi]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+            out = pdf.copy()
+            out["centroid_id"] = cent
+            out["codes"] = [cc.tobytes() for cc in codes]
+            yield out
+
+    c.mapInPandas(
+        assign_encode,
+        "neighbor_id long, cvec array<float>, centroid_id int, codes binary",
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        path + "/vectors"
     )
-    assigned = _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
-    assigned.join(codes, "neighbor_id").write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(path + "/vectors")
     spark.createDataFrame(
         [
             (i, [float(x) for x in cent_mat[i]])
@@ -691,11 +758,12 @@ def ivfpq_topk(
     scale reads only probed partitions and only the (id, codes) columns
     until the final shortlist join.
 
-    Batch-probing semantics: the scanned cell set is the UNION of every
-    query's probes (one pruned scan for the whole batch), so a query may
-    surface a neighbor from a cell probed only by another query — recall
-    is ≥ per-query probing at the same scan cost; for single-query
-    serving the union degenerates to that query's own nprobe cells."""
+    Per-query cell restriction: the vectors scan is partition-pruned to
+    the UNION of probed cells (one pruned scan for the whole batch), but
+    inside the ADC kernel each query only scores rows of ITS OWN probed
+    cells (pq_topk's query_cells mask) — so a query's result set is
+    identical whether it runs alone or batched with others, matching
+    ivf_index_topk's semantics."""
     import numpy as np
 
     cents = sorted(
@@ -714,20 +782,23 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    probed = _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe).localCheckpoint(
-        eager=True
+    # the probe assignment is |Q| × nprobe — driver-sized by the same
+    # contract as the query set; one collect serves both the partition
+    # filter and the per-query cell mask (no checkpoint, no re-use races)
+    probe_rows = (
+        _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe)
+        .select("query_id", "centroid_id")
+        .collect()
     )
-    probe_ids = [
-        r.centroid_id
-        for r in probed.select("centroid_id").distinct().collect()
-    ]
+    query_cells: dict[int, set] = {}
+    for r in probe_rows:
+        query_cells.setdefault(int(r.query_id), set()).add(int(r.centroid_id))
+    probe_ids = sorted({c for cs in query_cells.values() for c in cs})
     vectors = spark.read.parquet(path + "/vectors").filter(
         F.col("centroid_id").isin(probe_ids)
     )
-    # ADC over the probed cells' codes (see batch-probing note above)
-    codes_df = vectors.select("neighbor_id", "codes")
     return pq_topk(
-        codes_df,
+        vectors.select("neighbor_id", "codes", "centroid_id"),
         books,
         q.select("query_id", F.col("qvec").alias(vec_col)),
         k=k,
@@ -738,4 +809,6 @@ def ivfpq_topk(
         id_col="neighbor_id",
         vec_col=vec_col,
         query_id_col="query_id",
+        cell_col="centroid_id",
+        query_cells=query_cells,
     )
