@@ -68,6 +68,22 @@ def workloads(spark, sf_dir: str, base_dir: str):
         emb = read_fixture(spark, sf_dir, "embeddings", split=False)
         return ivf_topk(emb, fixed_queries(), k=10, nlist=16, nprobe=8)
 
+    def pq_fixed():
+        # full production flow: constant-size codebook train + linear
+        # encode + ADC/refine over the fixed query set
+        from uma_etl_iis_loader_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+        books = train_pq_codebooks(emb, m=8, ksub=256)
+        return pq_topk(
+            pq_encode(emb, books), books, fixed_queries(), k=10,
+            refine_corpus=emb, refine_factor=4,
+        )
+
     return {
         "flagship_occupancy": from_registry("flagship_occupancy"),
         "etl_job_sync": from_registry("etl_job_sync"),
@@ -75,6 +91,8 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "dedup_minhash_lsh": lsh_pairs,
         "knn_brute_force_fixed_q": knn_brute,
         "knn_ivf_fixed_q": knn_ivf,
+        "pq_fixed_q": pq_fixed,
+        "repeated_passages": from_registry("repeated_passages"),
         "bm25_rank": from_registry("bm25_rank"),
         "text_analysis": from_registry("text_analysis"),
         "llm_prep_ops": from_registry("llm_prep_ops"),
