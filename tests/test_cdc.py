@@ -282,3 +282,57 @@ def test_compact_minhash_index_dedupes_replay_residue(spark):
     # the shard now matches its own indexed copy: zero survivors
     out = dedup_increment(shard, idx, threshold=0.35, update_index=False, **kw)
     assert out["survivors"].count() == 0
+
+
+def test_passages_ingest_maintainer(spark):
+    """Streaming passage detection: batch outputs land once, markers
+    short-circuit full replays, and the marker-less replay window only
+    rewrites the batch directory (no duplicate rows, no loss)."""
+    import os
+    import tempfile
+
+    from uma_etl_iis_loader_spark.operators.passages import (
+        build_shingle_index,
+    )
+    from uma_etl_iis_loader_spark.streaming.cdc import (
+        PassagesIngestMaintainer,
+    )
+
+    phrase = " ".join(f"s{i}" for i in range(10))
+    seed = spark.createDataFrame(
+        [(1, phrase + " plus seed only words here")],
+        "doc_id long, text string",
+    )
+    base = tempfile.mkdtemp(prefix="passages_stream_")
+    idx, outp = base + "/idx", base + "/out"
+    build_shingle_index(seed, idx, k=8)
+
+    m = PassagesIngestMaintainer(outp, idx, k=8)
+    s1 = spark.createDataFrame(
+        [(10, phrase + " first shard tail tokens")],
+        "doc_id long, text string",
+    )
+    m.apply_batch(s1, 0)
+    spans = [tuple(r) for r in m.read_output(spark, "spans").collect()]
+    assert spans == [(10, 0, 9)]  # the shared 10-word phrase
+    n_stats = m.read_output(spark, "stats").count()
+
+    # marker short-circuit
+    m.apply_batch(s1, 0)
+    assert m.read_output(spark, "stats").count() == n_stats
+    # marker-less replay after the index learned the batch: directory is
+    # rewritten (self-match makes MORE windows repeated, never fewer) —
+    # still one row set, no duplicates
+    os.remove(outp + "/_commits/batch-0.done")
+    m.apply_batch(s1, 0)
+    assert m.read_output(spark, "stats").count() == n_stats
+    assert m.read_output(spark, "spans").count() >= 1
+    assert os.path.exists(outp + "/_commits/batch-0.done")
+
+    # a second shard sees repeats against seed AND shard 1
+    s2 = spark.createDataFrame(
+        [(20, "first shard tail tokens going beyond with more words")],
+        "doc_id long, text string",
+    )
+    m.apply_batch(s2, 1)
+    assert m.read_output(spark, "stats").count() == n_stats + 1

@@ -192,3 +192,79 @@ class DedupIngestMaintainer:
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
         )
+
+
+class PassagesIngestMaintainer:
+    """Streaming face of ``operators/passages.passages_increment``: each
+    arriving micro-batch of documents gets its cross-corpus repeated
+    passages computed against the persisted shingle index, outputs land
+    in batch-scoped directories, and only then does the index learn the
+    batch — the same write protocol as :class:`DedupIngestMaintainer`
+    (outputs-before-index ordering, commit markers, overwrite-idempotent
+    batch directories), with one difference: a replay in the marker-less
+    window after the index append recomputes with the batch's own
+    shingles counted, which can only flag MORE windows repeated
+    (conservative direction — flagged spans are reviewed/cut downstream,
+    never silently lost), so the batch directory is simply rewritten.
+
+    Outputs under ``<out_path>/stats/batch-<id>`` and
+    ``<out_path>/spans/batch-<id>``; read with
+    ``spark.read.option("recursiveFileLookup", "true")``.
+    """
+
+    def __init__(
+        self,
+        out_path: str,
+        index_path: str,
+        k: int = 8,
+        min_docs: int = 2,
+    ):
+        self.out_path = out_path
+        self.index_path = index_path
+        self.k = k
+        self.min_docs = min_docs
+
+    def read_output(self, spark: SparkSession, which: str) -> DataFrame:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.out_path, which))
+        )
+
+    def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
+        from ..operators.passages import passages_increment
+
+        marker = os.path.join(
+            self.out_path, "_commits", f"batch-{batch_id}.done"
+        )
+        if os.path.exists(marker):
+            return
+        out = passages_increment(
+            incoming,
+            self.index_path,
+            k=self.k,
+            min_docs=self.min_docs,
+            update_index=False,
+        )
+        for which in ("stats", "spans"):
+            out[which].write.mode("overwrite").parquet(
+                os.path.join(self.out_path, which, f"batch-{batch_id}")
+            )
+        # outputs committed — now the index may learn the batch
+        from ..operators.passages import shingle_positions
+
+        sh = shingle_positions(incoming, self.k)
+        from pyspark.sql import functions as F
+
+        sh.groupBy("key").agg(F.count_distinct("id").alias("nd")).write.mode(
+            "append"
+        ).parquet(f"{self.index_path}/keys")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
