@@ -58,6 +58,7 @@ HEADLINE = [
     "llm_prep_ops",  # chunk + pack + mix-cap + pii rows
     "corpus_stats_ops",  # profile + HLL-union + theta + KLL rows
     "repeated_passages",  # substring-level dedup: stats + span rows
+    "multimodal_ops",  # stats + frame/resize + real BMP decode rows
 ]
 
 
