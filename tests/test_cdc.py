@@ -286,10 +286,14 @@ def test_compact_minhash_index_dedupes_replay_residue(spark):
 
 def test_passages_ingest_maintainer(spark):
     """Streaming passage detection: batch outputs land once, markers
-    short-circuit full replays, and the marker-less replay window only
-    rewrites the batch directory (no duplicate rows, no loss)."""
+    short-circuit full replays, the marker-less replay window only
+    rewrites the batch directory AND never double-appends the index
+    (nd totals stay constant), and a later shard genuinely sees repeats
+    learned from an earlier shard."""
     import os
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from uma_etl_iis_loader_spark.operators.passages import (
         build_shingle_index,
@@ -298,7 +302,15 @@ def test_passages_ingest_maintainer(spark):
         PassagesIngestMaintainer,
     )
 
+    def index_nd_total(idx):
+        return (
+            spark.read.parquet(idx + "/keys")
+            .agg(F.sum("nd"))
+            .collect()[0][0]
+        )
+
     phrase = " ".join(f"s{i}" for i in range(10))
+    s1_tail = " ".join(f"t{i}" for i in range(8))  # 8 tokens: one window
     seed = spark.createDataFrame(
         [(1, phrase + " plus seed only words here")],
         "doc_id long, text string",
@@ -309,30 +321,38 @@ def test_passages_ingest_maintainer(spark):
 
     m = PassagesIngestMaintainer(outp, idx, k=8)
     s1 = spark.createDataFrame(
-        [(10, phrase + " first shard tail tokens")],
-        "doc_id long, text string",
+        [(10, phrase + " " + s1_tail)], "doc_id long, text string"
     )
     m.apply_batch(s1, 0)
     spans = [tuple(r) for r in m.read_output(spark, "spans").collect()]
     assert spans == [(10, 0, 9)]  # the shared 10-word phrase
     n_stats = m.read_output(spark, "stats").count()
+    nd_after_b0 = index_nd_total(idx)
 
-    # marker short-circuit
+    # marker short-circuit: nothing recomputed, nothing re-appended
     m.apply_batch(s1, 0)
     assert m.read_output(spark, "stats").count() == n_stats
+    assert index_nd_total(idx) == nd_after_b0
     # marker-less replay after the index learned the batch: directory is
-    # rewritten (self-match makes MORE windows repeated, never fewer) —
-    # still one row set, no duplicates
+    # rewritten (self-match makes MORE windows repeated, never fewer)
+    # and the index append is IDEMPOTENT — nd totals must not inflate
     os.remove(outp + "/_commits/batch-0.done")
     m.apply_batch(s1, 0)
     assert m.read_output(spark, "stats").count() == n_stats
     assert m.read_output(spark, "spans").count() >= 1
     assert os.path.exists(outp + "/_commits/batch-0.done")
+    assert index_nd_total(idx) == nd_after_b0  # no double-append
 
-    # a second shard sees repeats against seed AND shard 1
+    # a second shard whose text contains s1's exact 8-token tail window:
+    # the repeat is only detectable if the index actually learned s1
     s2 = spark.createDataFrame(
-        [(20, "first shard tail tokens going beyond with more words")],
+        [(20, s1_tail + " plus brand new trailing words")],
         "doc_id long, text string",
     )
     m.apply_batch(s2, 1)
+    b1_spans = [
+        tuple(r)
+        for r in spark.read.parquet(outp + "/spans/batch-1").collect()
+    ]
+    assert b1_spans == [(20, 0, 7)]  # s1's tail window found via the index
     assert m.read_output(spark, "stats").count() == n_stats + 1

@@ -68,6 +68,21 @@ def workloads(spark, sf_dir: str, base_dir: str):
         emb = read_fixture(spark, sf_dir, "embeddings", split=False)
         return ivf_topk(emb, fixed_queries(), k=10, nlist=16, nprobe=8)
 
+    def passages_hashed():
+        # the PRODUCTION path (8-byte xxhash64 shuffle keys) — the
+        # registered query is the string-key oracle variant and would
+        # measure ~10x the shuffle bytes of the plan proposed for 100 TB
+        from uma_etl_iis_loader_spark.operators.passages import (
+            repeated_passages,
+        )
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        out = repeated_passages(docs, k=8, min_docs=2, hashed=True)
+        return out["stats"].unionByName(
+            out["spans"].withColumnRenamed("start_word", "n_shingles")
+            .withColumnRenamed("end_word", "n_repeated")
+        )
+
     def pq_fixed():
         # full production flow: constant-size codebook train + linear
         # encode + ADC/refine over the fixed query set
@@ -92,7 +107,7 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "knn_brute_force_fixed_q": knn_brute,
         "knn_ivf_fixed_q": knn_ivf,
         "pq_fixed_q": pq_fixed,
-        "repeated_passages": from_registry("repeated_passages"),
+        "repeated_passages_hashed": passages_hashed,
         "bm25_rank": from_registry("bm25_rank"),
         "text_analysis": from_registry("text_analysis"),
         "llm_prep_ops": from_registry("llm_prep_ops"),

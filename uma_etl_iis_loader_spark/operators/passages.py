@@ -228,9 +228,17 @@ def passages_increment(
         nd_new.withColumnRenamed("nd_new", "nd").write.mode(
             "append"
         ).parquet(f"{index_path}/keys")
+    nd_out = nd_new.withColumnRenamed("nd_new", "nd")
     if pin:
+        nd_out = nd_out.localCheckpoint(eager=True)
         sh.unpersist()
-    return _marked_to_outputs(marked, k)
+    out = _marked_to_outputs(marked, k)
+    # the shard's own (key, nd) rows — computed from the SAME persisted
+    # shingle table, so callers that manage the index append themselves
+    # (streaming/cdc.PassagesIngestMaintainer's idempotent single-file
+    # append) don't re-tokenize the shard
+    out["nd"] = nd_out
+    return out
 
 
 def compact_shingle_index(spark, path: str) -> None:

@@ -421,6 +421,19 @@ def train_pq_codebooks(
     inner-product ADC over codes estimates cosine. Driver-side numpy
     k-means — ksub × m × iters tiny (ksub, dsub) updates; the corpus is
     only sampled, never collected."""
+    vm = _sample_normalized(corpus, sample_size, id_col, vec_col)
+    if vm.shape[1] % m != 0:
+        raise ValueError(f"dimension {vm.shape[1]} not divisible by m={m}")
+    return _train_books_on(vm, m, ksub, iters)
+
+
+def _sample_normalized(
+    corpus: DataFrame, sample_size: int, id_col: str, vec_col: str
+):
+    """Deterministic L2-normalized training sample (the sample_size
+    lowest hash-of-id vectors) — ONE implementation of the sampling
+    contract, shared by plain-PQ and IVF+PQ training so they can never
+    silently diverge."""
     import numpy as np
 
     rows = (
@@ -431,12 +444,7 @@ def train_pq_codebooks(
     )
     vm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(vm, axis=1)
-    vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
-    d = vm.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dimension {d} not divisible by m={m}")
-    dsub = d // m
-    return _train_books_on(vm, m, ksub, iters)
+    return vm / np.where(norms == 0, 1.0, norms)[:, None]
 
 
 def _train_books_on(vm, m: int, ksub: int, iters: int):
@@ -568,6 +576,11 @@ def pq_topk(
     m, ksub, dsub = books.shape
     if (cell_col is None) != (query_cells is None):
         raise ValueError("cell_col and query_cells must be passed together")
+    if cell_offsets is not None and cell_col is None:
+        raise ValueError(
+            "cell_offsets requires cell_col/query_cells (offsets apply "
+            "per row-cell inside the masked kernel)"
+        )
     q_rows = (
         queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
     )
@@ -717,15 +730,7 @@ def build_ivfpq_index(
     # centroid, and residuals have far less variance than raw vectors —
     # the standard IVF+PQ refinement; ADC adds the exact <q, centroid>
     # term back per (query, cell) at search time
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(id_col), id_col)
-        .limit(2048)
-        .collect()
-    )
-    vm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(vm, axis=1)
-    vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+    vm = _sample_normalized(corpus, 2048, id_col, vec_col)
     if vm.shape[1] % m != 0:
         raise ValueError(f"dimension {vm.shape[1]} not divisible by m={m}")
     sample_cells = (vm @ cent_mat.T).argmax(axis=1)
@@ -795,6 +800,7 @@ def ivfpq_topk(
     refine_factor: int = 4,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Query the IVF+PQ index: probe ``nprobe`` centroids per query,
     partition-prune the vectors scan to the probed cells, ADC-score the
@@ -827,43 +833,48 @@ def ivfpq_topk(
     for r in book_rows:
         books[r.m, r.code] = np.asarray(r.sub, dtype=np.float64)
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    # the probe assignment is |Q| × nprobe — driver-sized by the same
-    # contract as the query set; one collect serves both the partition
-    # filter and the per-query cell mask (no checkpoint, no re-use races)
-    probe_rows = (
-        _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe)
-        .select("query_id", "centroid_id")
+    # ONE guarded collect of the query set serves everything driver-side:
+    # probe cells (argsort of the normalized-IP base matrix — identical
+    # semantics to _assign_centroid, without a distributed job), the
+    # partition filter, and the per-(query, cell) residual offsets. The
+    # frame handed to pq_topk is REBUILT from these collected rows, so a
+    # nondeterministic input DataFrame (sample/limit without order)
+    # cannot desynchronize the three views of the query set.
+    q_rows = (
+        queries.select(query_id_col, vec_col)
+        .limit(max_queries + 1)
         .collect()
     )
-    query_cells: dict[int, set] = {}
-    for r in probe_rows:
-        query_cells.setdefault(int(r.query_id), set()).add(int(r.centroid_id))
-    probe_ids = sorted({c for cs in query_cells.values() for c in cs})
-    # residual ADC: the estimate is <q, centroid(cell)> + <q, residual^>;
-    # the first term is exact and per-(query, cell) — Q x nlist, driver-
-    # sized, computed from the normalized query matrix
-    q_rows2 = q.collect()
-    qm = np.stack([np.asarray(r.qvec, dtype=np.float64) for r in q_rows2])
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk collects the query set to the driver; got > "
+            f"{max_queries} queries — raise max_queries explicitly if "
+            f"intended."
+        )
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(qm, axis=1)
     qm = qm / np.where(qn == 0, 1.0, qn)[:, None]
-    base = qm @ cent_mat.T  # (Q, nlist)
+    base = qm @ cent_mat.T  # (Q, nlist): exact <q, centroid> terms
+    order = np.argsort(-base, axis=1, kind="stable")[:, :nprobe]
+    query_cells = {
+        int(r[0]): {int(c) for c in order[i]} for i, r in enumerate(q_rows)
+    }
+    probe_ids = sorted({c for cs in query_cells.values() for c in cs})
     cell_offsets = {
-        cid: {
-            int(r.query_id): float(base[i, cid])
-            for i, r in enumerate(q_rows2)
-        }
+        cid: {int(r[0]): float(base[i, cid]) for i, r in enumerate(q_rows)}
         for cid in probe_ids
     }
+    q = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows],
+        f"query_id long, {vec_col} array<float>",
+    )
     vectors = spark.read.parquet(path + "/vectors").filter(
         F.col("centroid_id").isin(probe_ids)
     )
     return pq_topk(
         vectors.select("neighbor_id", "codes", "centroid_id"),
         books,
-        q.select("query_id", F.col("qvec").alias(vec_col)),
+        q,
         k=k,
         refine_corpus=vectors.select(
             "neighbor_id", F.col("cvec").alias(vec_col)

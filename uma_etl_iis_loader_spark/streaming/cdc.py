@@ -207,6 +207,14 @@ class PassagesIngestMaintainer:
     (conservative direction — flagged spans are reviewed/cut downstream,
     never silently lost), so the batch directory is simply rewritten.
 
+    The index append itself is IDEMPOTENT: the batch's (key, nd) rows
+    are written aside as ONE part file and os.replace()d into the keys
+    directory under a deterministic batch-derived name — a replay at any
+    crash point rewrites the same file with the same content instead of
+    appending a second copy (a plain append would double the batch's nd
+    counts on replay, inflating distinct-doc totals and breaking
+    batch-parity for min_docs thresholds above 2).
+
     Outputs under ``<out_path>/stats/batch-<id>`` and
     ``<out_path>/spans/batch-<id>``; read with
     ``spark.read.option("recursiveFileLookup", "true")``.
@@ -249,15 +257,23 @@ class PassagesIngestMaintainer:
             out[which].write.mode("overwrite").parquet(
                 os.path.join(self.out_path, which, f"batch-{batch_id}")
             )
-        # outputs committed — now the index may learn the batch
-        from ..operators.passages import shingle_positions
+        # outputs committed — now the index learns the batch, via an
+        # idempotent single-file replace (out["nd"] reuses the increment's
+        # own persisted shingle table — the shard is tokenized ONCE)
+        import glob
+        import shutil
 
-        sh = shingle_positions(incoming, self.k)
-        from pyspark.sql import functions as F
-
-        sh.groupBy("key").agg(F.count_distinct("id").alias("nd")).write.mode(
-            "append"
-        ).parquet(f"{self.index_path}/keys")
+        tmp = os.path.join(self.index_path, f"keys.batch-{batch_id}.tmp")
+        out["nd"].coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        assert len(parts) == 1, parts
+        os.replace(
+            parts[0],
+            os.path.join(
+                self.index_path, "keys", f"batch-{batch_id}.parquet"
+            ),
+        )
+        shutil.rmtree(tmp)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w"):
             pass
