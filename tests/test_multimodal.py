@@ -215,3 +215,37 @@ def test_bmp_pixel_stats_isolates_decode_errors(spark):
     assert rows[1].decode_error is not None  # malformed BMP
     assert rows[2].decode_error is not None  # non-BMP without PIL
     assert rows[1].pixel_sum is None
+
+
+def test_decode_bmp_never_crashes_on_fuzzed_bytes():
+    """Decode-boundary contract under fuzz: decode_bmp either returns a
+    pixel array or raises ValueError — never any other exception — for
+    random garbage AND randomly mutated valid BMPs (pure-Python check,
+    no Spark)."""
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    good = encode_bmp(
+        rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    )
+    cases = []
+    for n in (0, 1, 2, 13, 54, 200):
+        cases.append(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+        cases.append(b"BM" + rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+    for _ in range(200):
+        buf = bytearray(good)
+        for _ in range(rng.integers(1, 6)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        cases.append(bytes(buf))
+        cases.append(bytes(buf[: rng.integers(0, len(buf))]))
+    for payload in cases:
+        try:
+            out = decode_bmp(payload)
+            assert out.ndim == 3 and out.shape[2] == 3
+        except ValueError:
+            pass  # the only permitted failure mode

@@ -1,14 +1,22 @@
 """Similarity search over embedding columns (`array<float>`).
 
+The rung ladder, trading exactness for scan cost and memory:
+
 - ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
-  score JVM-side, window-rank per query. The correctness baseline; linear
-  scan of the corpus per query batch (fine when queries ≪ corpus and the
-  corpus scan is the dominant, embarrassingly-parallel cost).
-- ``ivf_topk`` — the 100 TB path: IVF (inverted-file) bucketing with
-  deterministic centroids. Corpus is pre-assigned to nlist centroid
-  partitions (one broadcast join), each query probes its nprobe nearest
-  centroids, and only those partitions are scored. Cuts scanned rows by
-  ~nlist/nprobe at a recall cost measured in tests.
+  score in a mapInPandas matrix kernel, window-rank per query. The
+  correctness baseline; linear corpus scan per query batch.
+- ``ivf_topk`` / ``build_ivf_index`` + ``ivf_index_topk`` /
+  ``append_ivf_index`` — IVF bucketing with deterministic centroids;
+  the persisted index partition-prunes every query to its nprobe cells
+  and appends new vectors without re-clustering.
+- ``srp_lsh_topk`` — signed-random-projection LSH: data-independent and
+  append-stable (no training state at all).
+- ``train_pq_codebooks`` / ``pq_encode`` / ``pq_topk`` — product
+  quantization: 32x-compressed 8-byte codes scored via ADC lookup
+  tables, with an exact-refine shortlist stage.
+- ``build_ivfpq_index`` / ``ivfpq_topk`` — the combined billion-scale
+  layout: centroid-partitioned residual-encoded PQ codes; pruned scans
+  over codes, float vectors touched only to rescore the shortlist.
 
 Output is (query id, neighbor id, rank) — ids and integer ranks only, so
 float noise between engines cannot flip a compared value.
