@@ -118,3 +118,50 @@ def test_temperature_mixture_rebalances_domains(spark, sf_dir):
     assert sorted(r.doc_id for r in out_t.collect()) == sorted(
         r.doc_id for r in out_t2.collect()
     )
+
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(1, 100_000),
+        min_size=1,
+        max_size=5,
+    ),
+    budget=st.integers(1, 200_000),
+    alpha=st.floats(0.05, 1.0),
+)
+def test_temperature_rate_laws(counts, budget, alpha):
+    """Pure arithmetic invariants of the temperature-mixture rates:
+
+    1. every rate in (0, 1];
+    2. expected sample Σ rate_i·n_i ≤ budget + ε (capping can only
+       shrink it, never overshoot);
+    3. uncapped domains realize exactly budget·share_i docs;
+    4. alpha < 1 never gives a LARGER head-domain rate than a tail
+       domain's (n_i ≥ n_j ⇒ rate_i ≤ rate_j) — the rebalancing
+       direction.
+    """
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    rates = temperature_rates(counts, budget, alpha)
+    assert set(rates) == set(counts)
+    for r in rates.values():
+        assert 0.0 < r <= 1.0
+    expected = sum(rates[s] * n for s, n in counts.items())
+    assert expected <= budget + 1e-6 * max(budget, 1)
+    z = sum(n**alpha for n in counts.values())
+    for s, n in counts.items():
+        target = budget * (n**alpha) / z
+        if rates[s] < 1.0:
+            assert abs(rates[s] * n - target) <= 1e-6 * max(target, 1)
+    items = sorted(counts.items(), key=lambda kv: kv[1])
+    for (s_small, n_small), (s_big, n_big) in zip(items, items[1:]):
+        if n_small == n_big:
+            continue
+        assert rates[s_big] <= rates[s_small] + 1e-12

@@ -125,11 +125,22 @@ def temperature_mixture(
         for r in df.groupBy(strata_col).count().collect()
         if r[0] is not None
     }
-    if not counts or budget <= 0:
+    rates = temperature_rates(counts, budget, alpha)
+    if not rates:
         return df.limit(0), {}
+    return hash_stratified_sample(df, id_col, strata_col, rates, salt), rates
+
+
+def temperature_rates(
+    counts: dict[str, int], budget: int, alpha: float
+) -> dict[str, float]:
+    """Pure rate arithmetic behind :func:`temperature_mixture` (separated
+    so the invariants are property-testable without a SparkSession):
+    share_i ∝ n_i^alpha, keep-rate_i = min(1, budget·share_i / n_i)."""
+    if not counts or budget <= 0:
+        return {}
     weights = {s: n**alpha for s, n in counts.items()}
     z = sum(weights.values())
-    rates = {
+    return {
         s: min(1.0, (budget * w / z) / counts[s]) for s, w in weights.items()
     }
-    return hash_stratified_sample(df, id_col, strata_col, rates, salt), rates
