@@ -106,29 +106,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COSINE_PAIRS_ORACLE = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
+SELECT 'exact' AS method, a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
+UNION ALL
+SELECT 'semantic_subset_ok', CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
 """
 
 
 @register("dedup_embedding_cosine", _COSINE_PAIRS_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, cosine ≥ 0.45 (ids only — float noise
-    stays internal). Tiled exact block-matmul self-join: shuffles
-    n·blocks replicated vectors instead of materializing n²/2 crossJoin
-    pair rows (equivalence to the crossJoin path pytest-pinned in
-    tests/test_dedup.py). At t=0.45 on near-orthogonal embeddings LSH
-    has no recall/pruning headroom, so the exact path must scale; the
-    SRP-banded approximate path (method='srp') is the high-threshold
-    ladder rung."""
-    return embedding_cosine_pairs(
-        read_fixture(spark, sf_dir, "embeddings"),
-        threshold=0.45,
-        method="tiled",
-        blocks=8,
+    """Embedding near-dup, method-tagged:
+
+    - 'exact' pair rows, cosine ≥ 0.45 (ids only — float noise stays
+      internal). Tiled exact block-matmul self-join: shuffles n·blocks
+      replicated vectors instead of materializing n²/2 crossJoin pair
+      rows (equivalence to the crossJoin path pytest-pinned in
+      tests/test_dedup.py). At t=0.45 on near-orthogonal embeddings LSH
+      has no recall/pruning headroom, so the exact path must scale; the
+      SRP-banded approximate path is the high-threshold ladder rung.
+    - one 'semantic_subset_ok' property row (id_a=-1): id_b=1 iff every
+      cluster-scoped semantic_dedup pair at the same threshold is in the
+      exact pair set — the containment law the SemDeDup recipe promises
+      (its clustering can only LOSE cross-cluster pairs, never invent
+      one), computed in-plan with an anti-join and asserted literally by
+      the oracle. The cluster assignment itself hashes with xxhash64, so
+      the semantic pair IDENTITIES stay pytest-pinned; this row makes
+      the operator's correctness law driver-adjudicated."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    exact = embedding_cosine_pairs(
+        emb, threshold=0.45, method="tiled", blocks=8
+    )
+    sem = semantic_dedup(emb, n_clusters=8, threshold=0.45)["pairs"]
+    subset_ok = (
+        sem.join(exact, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("__extra"))
+        .select(
+            F.lit("semantic_subset_ok").alias("method"),
+            F.lit(-1).cast("long").alias("id_a"),
+            F.when(F.col("__extra") == 0, 1).otherwise(0)
+            .cast("long")
+            .alias("id_b"),
+        )
+    )
+    return (
+        exact.select(F.lit("exact").alias("method"), "id_a", "id_b")
+        .unionByName(subset_ok)
     )
 
 
@@ -698,6 +725,22 @@ SELECT 'strat_sample', doc_id, lang, NULL, NULL FROM (
 WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
                     WHEN 'fr' THEN 10000 WHEN 'es' THEN 2500
                     WHEN 'zh' THEN 2500 ELSE 0 END
+UNION ALL
+SELECT 'temp_mixture', t.doc_id, t.lang, NULL, NULL
+FROM (
+    SELECT doc_id, lang,
+           ((doc_id * 2654435761 + 1013904223) % 4294967296) % 10000 AS b
+    FROM documents
+) t
+JOIN (
+    SELECT lang,
+           least(1.0, (150 * sqrt(n) / z) / n) AS rate
+    FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+          FROM documents GROUP BY 1) c,
+         (SELECT sum(sqrt(CAST(n2 AS DOUBLE))) AS z
+          FROM (SELECT count(*) AS n2 FROM documents GROUP BY lang))
+) r ON t.lang = r.lang
+WHERE t.b < round(r.rate * 10000)
 """
 
 
@@ -722,9 +765,19 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       property that matters when re-sampling 100 TB incrementally). The
       seeded Bernoulli variant (`sampling.stratified_sample`) remains for
       rate-exactness-insensitive uses, pytest-pinned.
+    - 'temp_mixture' rows: temperature-rebalanced mixture (budget 150,
+      alpha=0.5 — i.e. shares ∝ √n, engine-portable because sqrt is
+      IEEE-correctly-rounded on both sides): the oracle recomputes the
+      per-domain keep-rates from its own counts and replays the same
+      salted-hash membership, so both the rate ARITHMETIC and the
+      sampled id set are hash-adjudicated end-to-end.
     """
     from ..operators.contamination import ngram_contamination
-    from ..operators.sampling import deterministic_split, hash_stratified_sample
+    from ..operators.sampling import (
+        deterministic_split,
+        hash_stratified_sample,
+        temperature_mixture,
+    )
 
     docs = read_fixture(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
@@ -759,7 +812,21 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_ngrams"),
         null_l.alias("n_contaminated"),
     )
-    return split_rows.unionByName(cont_rows).unionByName(strat_rows)
+    tm, _rates = temperature_mixture(
+        docs.select("doc_id", "lang"), "doc_id", "lang", budget=150, alpha=0.5
+    )
+    tm_rows = tm.select(
+        F.lit("temp_mixture").alias("method"),
+        "doc_id",
+        F.col("lang").alias("split"),
+        null_l.alias("n_ngrams"),
+        null_l.alias("n_contaminated"),
+    )
+    return (
+        split_rows.unionByName(cont_rows)
+        .unionByName(strat_rows)
+        .unionByName(tm_rows)
+    )
 
 
 # Heavy hitters, exact: KPS sketch proposes candidates (single pass, no
