@@ -71,14 +71,32 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
 
 
 def test_tiled_cosine_single_shuffle_no_cartesian(spark, sf_dir):
-    """The tiled exact cosine pair join must shuffle ONCE (replicated
+    """The tiled exact cosine pair OPERATOR must shuffle ONCE (replicated
     vectors grouped by tile pair) and never fall back to a cartesian —
-    the whole point of replacing the crossJoin."""
-    plan = _plan(spark, "dedup_embedding_cosine", sf_dir)
+    the whole point of replacing the crossJoin. Asserted on the operator
+    plan (the registered query now unions the semantic-subset property
+    row, whose cluster pass adds its own exchanges)."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    df = embedding_cosine_pairs(
+        read_fixture(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        method="tiled",
+        blocks=8,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+    # the registered query (union with the property row) must still be
+    # cartesian-free end to end
+    full = _plan(spark, "dedup_embedding_cosine", sf_dir)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
 
 
 def test_text_analysis_zero_shuffles(spark, sf_dir):
