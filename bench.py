@@ -190,6 +190,22 @@ def main() -> None:
     # (the LSH/ngram dedups) execute that work during "setup" — the split
     # separates driver-side/plan-build/pin cost from the final action,
     # the sum is always the whole query.
+    #
+    # "scale_step_sf1": the recorded 10x (sf0.1 -> sf1) scale-step
+    # measurement from tools/bench_scale.py over the tiled fixture
+    # (tools/gen_scale_fixture.py — regenerable; see SCALE.md for the
+    # table and methodology). Embedded, not re-run, so the per-round
+    # bench stays fast; refresh with
+    #   python tools/gen_scale_fixture.py /root/testdata/sf0.1 testdata_sf1 10
+    #   python tools/bench_scale.py /root/testdata/sf0.1 testdata_sf1 > SCALE_STEP.json
+    scale_step = None
+    step_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_STEP.json")
+    if os.path.exists(step_path):
+        try:
+            with open(step_path) as fh:
+                scale_step = json.load(fh)
+        except (OSError, ValueError):
+            scale_step = None
     print(
         json.dumps(
             {
@@ -202,6 +218,7 @@ def main() -> None:
                 "query_total_s": round(total, 3),
                 "fixture_setup_s": fixture_setup_s,
                 "sf": float(sf),
+                "scale_step_sf1": scale_step,
             }
         )
     )

@@ -82,3 +82,100 @@ def test_salted_join_matches_plain_join(spark):
         "s", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(16))
     )
     assert salted.filter(F.col("k") == 1).select("s").distinct().count() > 8
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_lookup — SymSpell deletion-neighborhood edit-distance join
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (unit-cost insert/delete/substitute)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_resolve(fact_keys, names, max_dist):
+    """Driver-side oracle: per fact key the (dist, id)-min match ≤ max_dist."""
+    out = {}
+    for k in fact_keys:
+        kn = k.strip().lower()
+        best = None
+        for name, nid in names:
+            d = _lev(kn, name.strip().lower())
+            if d <= max_dist and (best is None or (d, nid) < best):
+                best = (d, nid)
+        out[k] = best
+    return out
+
+
+def test_fuzzy_lookup_golden(spark):
+    from uma_etl_iis_loader_spark.operators.joins import fuzzy_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "Main Hall"), (2, "Annex"), (3, "Library")], "id long, name string"
+    )
+    facts = spark.createDataFrame(
+        [("main hall",), ("Mian Hall",), (" anex ",), ("librray",), ("gym",), (None,)],
+        "ref string",
+    )
+    out = fuzzy_lookup(facts, dim, "ref", "id", "name", max_dist=2, dist_col="d")
+    got = {(r.ref, r.resolved_id, r.d) for r in out.collect()}
+    assert got == {
+        ("main hall", 1, 0),   # exact (normalized) match wins at distance 0
+        ("Mian Hall", 1, 2),   # transposition = 2 edits
+        (" anex ", 2, 1),      # trim + one insertion
+        ("librray", 3, 2),
+        ("gym", None, None),   # nothing within distance 2
+        (None, None, None),    # null key passes through unresolved
+    }
+
+
+def test_fuzzy_lookup_matches_brute_force(spark):
+    """Completeness of the deletion-neighborhood block: every brute-force
+    levenshtein match ≤ d is found (the SymSpell guarantee), and the
+    (dist, id)-min tie-break agrees — for d=1 and d=2 over a corpus with
+    dense distance-1 neighbors (shared prefixes, 1-char edits)."""
+    from uma_etl_iis_loader_spark.operators.joins import fuzzy_lookup
+
+    names = [
+        (10, "room-a1"), (11, "room-a2"), (12, "room-b1"), (13, "roomb1"),
+        (14, "hall"), (15, "halls"), (16, "x"), (17, "xy"),
+    ]
+    fact_keys = [
+        "room-a1", "room-a", "rom-a1", "room-ab1", "hal", "hallss",
+        "x", "", "zzzzz", "ROOM-B1 ",
+    ]
+    dim = spark.createDataFrame(names, "id long, name string")
+    facts = spark.createDataFrame([(k,) for k in fact_keys], "ref string")
+    for d in (1, 2):
+        out = fuzzy_lookup(facts, dim, "ref", "id", "name", max_dist=d, dist_col="d")
+        got = {r.ref: (r.d, r.resolved_id) for r in out.collect()}
+        want = _brute_resolve(
+            [k for k in fact_keys if k.strip()], [(n, i) for i, n in names], d
+        )
+        for k in fact_keys:
+            if not k.strip():
+                assert got[k] == (None, None)
+            elif want.get(k) is None:
+                assert got[k] == (None, None), (d, k, got[k])
+            else:
+                assert got[k] == want[k], (d, k, got[k], want[k])
+
+
+def test_fuzzy_lookup_exact_beats_fuzzy_tiebreak(spark):
+    """A distance-0 match must win even when a lower-id dim row sits at
+    distance 1 (struct-min orders by dist FIRST)."""
+    from uma_etl_iis_loader_spark.operators.joins import fuzzy_lookup
+
+    dim = spark.createDataFrame([(1, "cat"), (2, "cart")], "id long, name string")
+    facts = spark.createDataFrame([("cart",)], "ref string")
+    out = fuzzy_lookup(facts, dim, "ref", "id", "name", max_dist=1).collect()
+    assert out[0].resolved_id == 2

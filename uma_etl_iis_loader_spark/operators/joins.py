@@ -138,3 +138,124 @@ def salted_join(
     )
     out = salted_l.join(salted_r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance-bounded) lookup — dirty-key record linkage
+# ---------------------------------------------------------------------------
+
+
+def _single_deletions(c: Column) -> Column:
+    """Array of every string obtainable from ``c`` by deleting exactly one
+    character (``[]`` for the empty string — guarded because
+    ``sequence(1, 0)`` would DESCEND, not return empty)."""
+    one = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            F.substring(c, F.lit(1), i - F.lit(1)),
+            F.substring(c, i + F.lit(1), F.length(c)),
+        ),
+    )
+    return F.when(F.length(c) < 1, F.array().cast("array<string>")).otherwise(one)
+
+
+def deletion_neighborhood(c: Column, max_dist: int) -> Column:
+    """SymSpell deletion neighborhood: all distinct strings reachable from
+    ``c`` by deleting up to ``max_dist`` characters (including ``c``
+    itself). Guarantee used by :func:`fuzzy_lookup`: if
+    ``levenshtein(a, b) <= d`` then the ≤d-deletion neighborhoods of
+    ``a`` and ``b`` intersect — substitutions delete the differing
+    position on both sides, insertions/deletions delete the extra
+    character on the longer side. Neighborhood size is 1 + L for d=1 and
+    O(L²) for d=2, bounded for the short keys (names/codes) this targets.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
+    v1 = _single_deletions(c)
+    if max_dist == 1:
+        return F.array_distinct(F.concat(F.array(c), v1))
+    v2 = F.flatten(F.transform(v1, _single_deletions))
+    return F.array_distinct(F.concat(F.array(c), v1, v2))
+
+
+def fuzzy_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_id: str,
+    dim_name_col: str,
+    max_dist: int = 1,
+    out_col: str = "resolved_id",
+    dist_col: str | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Edit-distance-bounded key resolution: left-join ``facts`` to the
+    dim row whose name is within ``max_dist`` Levenshtein edits of the
+    (lower+trim normalized) fact key — the dirty-key extension of
+    :func:`normalized_lookup` (the reference's dict lookup at
+    `iis_etl/logic.py:177-181,201-210` silently drops typo'd keys; this
+    resolves them).
+
+    Tie-break is deterministic: smallest distance first, then min
+    ``dim_id`` — an exact (distance-0) match always beats a fuzzy one.
+    Unmatched facts keep ``NULL``.
+
+    Scale shape (no all-pairs): candidates come from the SymSpell
+    deletion-neighborhood block — both sides explode their ≤max_dist
+    deletion variants and equi-join on ``xxhash64(variant)`` (8-byte
+    shuffle keys; hash collisions are harmless, the verify step computes
+    ``levenshtein`` on the ORIGINAL strings). Distinct fact keys are
+    resolved once and the resolution map joins back, so shuffle volume
+    scales with distinct-key × neighborhood size, never |facts| × |dim|.
+    With ``broadcast_dim`` (default) the exploded dim variant table is
+    broadcast and candidate generation is map-side.
+    """
+    norm_fact = "__fuzzy_k"
+    keys = (
+        facts.select(norm_key(F.col(fact_key)).alias(norm_fact))
+        .filter(F.col(norm_fact).isNotNull() & (F.col(norm_fact) != ""))
+        .distinct()
+    )
+    cand_f = keys.select(
+        norm_fact,
+        F.explode(deletion_neighborhood(F.col(norm_fact), max_dist)).alias("__v"),
+    ).select(norm_fact, F.xxhash64("__v").alias("__vh"))
+
+    names = (
+        dim.select(
+            norm_key(F.col(dim_name_col)).alias("__name"),
+            F.col(dim_id).alias(out_col),
+        )
+        .filter(F.col("__name").isNotNull() & (F.col("__name") != ""))
+        .groupBy("__name")
+        .agg(F.min(out_col).alias(out_col))
+    )
+    cand_d = names.select(
+        "__name",
+        out_col,
+        F.explode(deletion_neighborhood(F.col("__name"), max_dist)).alias("__v"),
+    ).select("__name", out_col, F.xxhash64("__v").alias("__vh"))
+    if broadcast_dim:
+        cand_d = F.broadcast(cand_d)
+
+    resolved = (
+        cand_f.join(cand_d, "__vh")
+        .select(norm_fact, "__name", out_col)
+        .distinct()  # many shared variants per (key, name) pair → one verify
+        .withColumn("__dist", F.levenshtein(F.col(norm_fact), F.col("__name")))
+        .filter(F.col("__dist") <= max_dist)
+        .groupBy(norm_fact)
+        .agg(F.min(F.struct("__dist", out_col)).alias("__best"))
+        .select(
+            norm_fact,
+            F.col(f"__best.{out_col}").alias(out_col),
+            F.col("__best.__dist").alias("__dist"),
+        )
+    )
+
+    out = facts.withColumn(norm_fact, norm_key(F.col(fact_key))).join(
+        resolved, norm_fact, "left"
+    )
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.col("__dist"))
+    return out.drop(norm_fact, "__dist")

@@ -15,6 +15,7 @@ from ..operators.joins import (
     anti_missing,
     backfill_first_match,
     fk_repair_placeholders,
+    fuzzy_lookup,
     normalized_lookup,
     semi_fk_filter,
 )
@@ -371,15 +372,49 @@ WITH dim AS (
                 WHEN s_suppkey % 5 = 1 THEN 'no-such-room'
                 ELSE concat('sup#', CAST(s_suppkey AS VARCHAR)) END AS room_ref
     FROM supplier
+), typo AS (
+    SELECT id AS s_suppkey,
+           concat(substring(name, 1, p - 1),
+                  substring(name, p + 1, length(name))) AS room_ref
+    FROM (SELECT id, name, (id % length(name)) + 1 AS p FROM dim)
+), best AS (
+    SELECT s_suppkey, id AS resolved_id, dist FROM (
+        SELECT t.s_suppkey, d.id,
+               levenshtein(lower(trim(t.room_ref)), lower(trim(d.name))) AS dist,
+               row_number() OVER (
+                   PARTITION BY t.s_suppkey
+                   ORDER BY levenshtein(lower(trim(t.room_ref)),
+                                        lower(trim(d.name))), d.id
+               ) AS rn
+        FROM typo t CROSS JOIN dim d
+        WHERE levenshtein(lower(trim(t.room_ref)), lower(trim(d.name))) <= 1
+    ) WHERE rn = 1
 )
-SELECT f.s_suppkey, f.room_ref, lk.resolved_id
+SELECT 'exact' AS method, f.s_suppkey, f.room_ref, lk.resolved_id,
+       CAST(CASE WHEN lk.resolved_id IS NOT NULL THEN 0 END AS INT) AS dist
 FROM facts f LEFT JOIN lk ON lower(trim(f.room_ref)) = lk.k
+UNION ALL
+SELECT 'fuzzy', t.s_suppkey, t.room_ref, b.resolved_id, CAST(b.dist AS INT)
+FROM typo t LEFT JOIN best b USING (s_suppkey)
 """
 
 
 @register("normalized_key_lookup", _NORM_LOOKUP_ORACLE)
 def q_normalized_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: lookup on lower(trim(name-or-abbr)) (`iis_etl/logic.py:177-181,201-210`)."""
+    """J3, method-tagged:
+
+    - 'exact' rows: lookup on lower(trim(name-or-abbr))
+      (`iis_etl/logic.py:177-181,201-210`) — the reference's dict
+      semantics (dist 0 when resolved, NULL when unknown).
+    - 'fuzzy' rows: the dirty-key extension the reference silently lacks
+      (typo'd keys fall through its dict lookup): every supplier name
+      with one deterministically-positioned character deleted, resolved
+      by `joins.fuzzy_lookup` — SymSpell deletion-neighborhood blocking
+      + levenshtein ≤ 1 verify, (dist, id)-min tie-break. The oracle
+      recomputes the match brute-force (levenshtein over the full cross
+      product), so the blocked plan's completeness is driver-adjudicated
+      against the unblocked definition.
+    """
     supplier = read_fixture(spark, sf_dir, "supplier")
     dim = supplier.select(
         F.col("s_suppkey").alias("id"),
@@ -397,7 +432,31 @@ def q_normalized_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("room_ref"),
     )
-    return normalized_lookup(facts, dim, "room_ref", "id", ["name", "abbr"])
+    exact = normalized_lookup(facts, dim, "room_ref", "id", ["name", "abbr"]).select(
+        F.lit("exact").alias("method"),
+        "s_suppkey",
+        "room_ref",
+        "resolved_id",
+        F.when(F.col("resolved_id").isNotNull(), F.lit(0)).cast("int").alias("dist"),
+    )
+    p = (F.col("id") % F.length("name")) + F.lit(1)
+    typo = dim.select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), p - F.lit(1)),
+            F.substring(F.col("name"), p + F.lit(1), F.length("name")),
+        ).alias("room_ref"),
+    )
+    fuzzy = fuzzy_lookup(
+        typo, dim, "room_ref", "id", "name", max_dist=1, dist_col="dist"
+    ).select(
+        F.lit("fuzzy").alias("method"),
+        "s_suppkey",
+        "room_ref",
+        "resolved_id",
+        F.col("dist").cast("int").alias("dist"),
+    )
+    return exact.unionByName(fuzzy)
 
 
 # ---------------------------------------------------------------------------
