@@ -1,0 +1,134 @@
+"""Data-layout clustering: Z-order (Morton-curve) sort for multi-column
+file skipping.
+
+At 100 TB the scan is the dominant cost, and the only scan work a query
+engine can skip WITHOUT an index is whole row groups / files whose
+min-max column statistics exclude the predicate (parquet footer stats +
+Spark's pushed filters). A linear ``sortWithinPartitions(a)`` makes
+stats razor-sharp for ``a`` but useless for ``b``; interleaving the bits
+of rank-bucketed ``a`` and ``b`` along a Morton curve makes BOTH
+columns' min-max ranges narrow per file — a box predicate then touches
+O(perimeter) of the curve instead of every file. This is the same
+mechanism Delta's OPTIMIZE ZORDER BY and Iceberg's sort-order rewrite
+use; here it is a plain DataFrame transform + parquet write, no table
+format required.
+
+Scale shape: one ``approxQuantile`` pass over a sample for per-column
+rank boundaries (the driver holds 255 doubles per column, never data),
+one narrow projection computing the interleaved key (a binary-search
+``when`` tree + shiftleft/bitwise-OR interleave — pure JVM, O(log
+buckets) comparisons per row, whole-stage-codegen friendly), one range
+repartition on the key (the single shuffle — the same cost as any
+global sort), then a sorted write. The curve value is dropped before
+landing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "zorder_layout"]
+
+# 8 bits per column: 256 rank buckets per dimension saturate min-max
+# skipping long before real file counts reach that granularity (a 256 x
+# 256 grid over 2 columns ≫ any practical file count), and 4 columns
+# interleave into 32 bits — comfortably a bigint.
+_BITS = 8
+
+
+def _rank_tree(c: Column, uniq: list[float], lo: int, hi: int) -> Column:
+    """Binary-search ``when`` tree: number of ``uniq[lo:hi]`` boundaries
+    <= c, offset by ``lo``. One root-to-leaf path evaluates per row
+    (when/otherwise short-circuit), so cost is O(log n) compares. A NULL
+    comparison is never true, so NULLs fall through every otherwise to
+    bucket 0 — null-heavy rows cluster together, keeping the non-null
+    columns' file stats narrow."""
+    if lo >= hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        c >= F.lit(float(uniq[mid])), _rank_tree(c, uniq, mid + 1, hi)
+    ).otherwise(_rank_tree(c, uniq, lo, mid))
+
+
+def _bucket_expr(col: str, boundaries: list[float]) -> Column:
+    """Rank bucket of ``col`` against sampled quantile ``boundaries``:
+    a bigint in [0, 2**_BITS). Quantile samples repeat on skewed data,
+    so boundaries are deduped (equal-valued rows are one min-max point —
+    collapsing them is exactly right for skipping) and the deduped rank
+    is rescaled onto the full bucket range so interleaving weights every
+    column equally."""
+    uniq = sorted(set(boundaries))
+    if not uniq:
+        return F.lit(0).cast("bigint")
+    rank = _rank_tree(F.col(col).cast("double"), uniq, 0, len(uniq))
+    scale = (2**_BITS - 1) / len(uniq)
+    return F.least(
+        F.floor(rank.cast("bigint") * F.lit(scale)).cast("bigint"),
+        F.lit(2**_BITS - 1),
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], sample_fraction: float = 0.05
+) -> Column:
+    """Morton-interleaved bigint key over ``cols`` (2-4 columns, numeric
+    or date/timestamp — anything castable to double for RANK bucketing;
+    the data itself is never modified).
+
+    Bit i of each column's 8-bit rank bucket lands at position
+    ``i * len(cols) + col_index`` — the classic Morton interleave, built
+    from shiftleft/bitwise-OR terms that stay inside whole-stage codegen.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"zorder_key wants 2-4 columns, got {len(cols)}")
+    n = len(cols)
+    probs = [i / 2**_BITS for i in range(1, 2**_BITS)]
+    sampled = (
+        df.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction < 1.0
+        else df
+    )
+    casted = sampled.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    bounds = casted.approxQuantile(list(cols), probs, 0.001)
+    key = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        bucket = _bucket_expr(c, bounds[ci])
+        for bit in range(_BITS):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * n + ci,
+                )
+            )
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    out_partitions: int = 32,
+    sample_fraction: float = 0.05,
+) -> DataFrame:
+    """Cluster ``df`` along the Z-order curve over ``cols``: range-
+    repartition on the Morton key into ``out_partitions`` (one shuffle —
+    the same cost as any global sort) and sort within each partition, so
+    every output file covers a compact curve segment and its parquet
+    min-max stats are narrow in EVERY clustered column.
+
+    Returns the permuted DataFrame (content-identical to the input) ready
+    for ``write.parquet``; pair with ``io.compact_snapshot`` for sizing.
+    Verified in tests/test_layout.py by reading back real parquet footer
+    stats: a box predicate overlaps a small fraction of z-ordered row
+    groups vs ~all of them under a single-column linear sort.
+    """
+    key = zorder_key(df, cols, sample_fraction=sample_fraction)
+    return (
+        df.withColumn("__z", key)
+        .repartitionByRange(out_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
