@@ -102,3 +102,54 @@ def test_zorder_key_handles_nulls_and_skew(spark):
     assert all(r.z is not None and r.z >= 0 for r in rows)
     # the non-skewed column still spreads the curve
     assert keyed.select("z").distinct().count() > 50
+
+
+def test_file_stats_pruned_read_roundtrip(spark, tmp_path):
+    """Manifest pruning: the stats table skips files a box predicate
+    cannot match, and the pruned read returns EXACTLY the full-scan
+    filter result."""
+    from uma_etl_iis_loader_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+        pruned_read,
+    )
+
+    n = 60_000
+    df = spark.range(0, n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 99), F.lit(1000)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zt")
+    zorder_layout(df, ["x", "y"], out_partitions=32, sample_fraction=1.0).write.parquet(
+        path
+    )
+
+    stats = collect_file_stats(spark, path, ["x", "y"]).cache()
+    n_files = stats.select("file").distinct().count()
+    assert n_files >= 30  # one per output partition (± empty splits)
+    # stats rows: one per (file, col); num_rows totals the dataset
+    assert stats.count() == 2 * n_files
+    total_rows = (
+        stats.filter(F.col("col") == "x").agg(F.sum("num_rows")).collect()[0][0]
+    )
+    assert total_rows == n
+
+    box = {"x": (100.0, 200.0), "y": (700.0, 800.0)}
+    kept = prune_files(stats, box)
+    assert 0 < len(kept) < n_files / 2  # real skipping, not a no-op
+
+    got = pruned_read(spark, path, stats, box)
+    want = df.filter(
+        F.col("x").between(100, 200) & F.col("y").between(700, 800)
+    )
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+    assert want.count() > 0
+
+    # a box outside the data domain prunes everything and returns empty
+    empty = pruned_read(spark, path, stats, {"x": (5000.0, 6000.0)})
+    assert empty.count() == 0
+    assert empty.schema == got.schema
+    stats.unpersist()

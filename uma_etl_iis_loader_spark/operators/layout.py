@@ -30,7 +30,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_layout"]
+__all__ = [
+    "collect_file_stats",
+    "prune_files",
+    "pruned_read",
+    "zorder_key",
+    "zorder_layout",
+]
 
 # 8 bits per column: 256 rank buckets per dimension saturate min-max
 # skipping long before real file counts reach that granularity (a 256 x
@@ -132,3 +138,119 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level pruning: a persisted min-max file-stats table
+# ---------------------------------------------------------------------------
+#
+# Footer-stats skipping (above) still LISTS and OPENS every file to read
+# its footer; at 10^5-10^6 files that metadata round-trip dominates
+# selective queries. Table formats fix it with a manifest (Iceberg) /
+# transaction-log stats (Delta); the bare-directory equivalent is a tiny
+# persisted stats table — one row per (file, column) with min/max/nulls —
+# consulted BEFORE the scan, so the reader passes Spark an explicit,
+# already-pruned file list.
+
+
+def collect_file_stats(
+    spark, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """(file, col, min_val, max_val, null_count, num_rows) per data file
+    under ``path``, extracted from parquet footers — computed on the
+    EXECUTORS (one footer read per file via mapInPandas + pyarrow), so
+    stats collection for a million-file table parallelizes instead of
+    serializing through the driver. min/max land as doubles (numeric /
+    date / timestamp columns — the zorder-able types); persist the result
+    next to the data and refresh it per landed batch.
+    """
+    files = spark.read.parquet(path).inputFiles()
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for uri in pdf["file"]:
+                local = uri.removeprefix("file:")
+                md = pq.ParquetFile(local).metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                agg = {
+                    c: [None, None, 0]  # min, max, nulls
+                    for c in cols
+                }
+                rows = 0
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    rows += g.num_rows
+                    for c in cols:
+                        st = g.column(names.index(c)).statistics
+                        if st is None:
+                            continue
+                        mn, mx, nc = agg[c]
+                        if st.has_min_max:
+                            smin, smax = float(st.min), float(st.max)
+                            mn = smin if mn is None else min(mn, smin)
+                            mx = smax if mx is None else max(mx, smax)
+                        agg[c] = [mn, mx, nc + (st.null_count or 0)]
+                for c in cols:
+                    mn, mx, nc = agg[c]
+                    out.append((uri, c, mn, mx, nc, rows))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "col", "min_val", "max_val", "null_count", "num_rows"
+                ],
+            )
+
+    schema = (
+        "file string, col string, min_val double, max_val double, "
+        "null_count long, num_rows long"
+    )
+    return (
+        spark.createDataFrame([(f,) for f in files], "file string")
+        .repartition(max(len(files) // 64, 1))
+        .mapInPandas(read_footers, schema)
+    )
+
+
+def prune_files(
+    stats: DataFrame, predicates: dict[str, tuple[float, float]]
+) -> list[str]:
+    """Files whose [min, max] stats overlap EVERY (lo, hi) range in
+    ``predicates`` — the only files a conjunctive box query can match.
+    Files with no stats for a predicate column are conservatively KEPT.
+    The stats table is tiny (rows = files × tracked columns); the
+    collect ships file paths only, never data."""
+    pred = None
+    for col, (lo, hi) in predicates.items():
+        drop = (
+            (F.col("col") == col)
+            & F.col("min_val").isNotNull()
+            & ((F.col("max_val") < F.lit(float(lo))) | (F.col("min_val") > F.lit(float(hi))))
+        )
+        pred = drop if pred is None else (pred | drop)
+    excluded = stats.filter(pred).select("file").distinct()
+    kept = stats.select("file").distinct().join(excluded, "file", "left_anti")
+    return [r.file for r in kept.collect()]
+
+
+def pruned_read(
+    spark,
+    path: str,
+    stats: DataFrame,
+    predicates: dict[str, tuple[float, float]],
+) -> DataFrame:
+    """Read only the files that can match the box ``predicates`` (per the
+    stats table), with the predicate re-applied exactly — pruning is a
+    superset optimization, never a semantic change. An empty prune result
+    returns an empty frame with the table's schema."""
+    kept = prune_files(stats, predicates)
+    base = spark.read.parquet(path)
+    cond = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
+    if not kept:
+        return base.filter(F.lit(False))
+    return spark.read.schema(base.schema).parquet(*kept).filter(cond)
