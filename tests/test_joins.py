@@ -179,3 +179,53 @@ def test_fuzzy_lookup_exact_beats_fuzzy_tiebreak(spark):
     facts = spark.createDataFrame([("cart",)], "ref string")
     out = fuzzy_lookup(facts, dim, "ref", "id", "name", max_dist=1).collect()
     assert out[0].resolved_id == 2
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_filter — explicit pre-join runtime filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_no_false_negatives_and_composes(spark):
+    """Every true match survives the bloom pre-filter (superset
+    semantics), so the downstream join result is IDENTICAL with and
+    without it — and on disjoint keys the filter actually prunes."""
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    bloom = build_bloom(dim, "k", num_bits=1 << 16, num_hashes=5)
+    filtered = bloom_semi_filter(probe, bloom, "k", num_bits=1 << 16, num_hashes=5)
+
+    want = {(r.k, r.v) for r in probe.join(dim, "k").collect()}
+    got = {(r.k, r.v) for r in filtered.join(dim, "k").collect()}
+    assert got == want and len(want) == 500
+
+    # pruning is real: probe keys 1500..20000 are all non-members; at
+    # 2^16 bits / 1500 distinct member keys the fp rate is a few percent
+    n_kept = filtered.count()
+    assert n_kept < 3000, n_kept  # vs 20_000 unfiltered
+    # and every true member was kept
+    member_keys = {r.k for r in filtered.collect()}
+    assert {r.k for r in dim.collect() if r.k < 20_000} <= member_keys
+
+
+def test_bloom_filter_keeps_nulls(spark):
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (None,), (999,)], "k long")
+    bloom = build_bloom(dim, "k", num_bits=1 << 10, num_hashes=3)
+    kept = {
+        r.k for r in bloom_semi_filter(probe, bloom, "k", 1 << 10, 3).collect()
+    }
+    assert None in kept and 1 in kept

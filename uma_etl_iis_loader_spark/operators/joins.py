@@ -259,3 +259,97 @@ def fuzzy_lookup(
     if dist_col is not None:
         out = out.withColumn(dist_col, F.col("__dist"))
     return out.drop(norm_fact, "__dist")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-join pruning (explicit runtime filter)
+# ---------------------------------------------------------------------------
+#
+# Before a shuffle join where most probe-side rows have NO match (FK
+# filtering against a selective dim, incremental syncs, log⋈entity), the
+# dominant cost is shuffling rows that the join will discard. Spark's own
+# InjectRuntimeFilter fires only under narrow conditions (and never
+# across a checkpoint/stage boundary you control); this is the explicit
+# form: build a bloom filter over the build side's keys (one small agg),
+# broadcast it (~1 MB for 8M bits), and drop probe rows map-side BEFORE
+# the shuffle. No false negatives by construction — the same
+# xxhash64(key, seed_i) family computes both sides, entirely JVM-side.
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """ONE-row DataFrame ``(bits: array<bigint>)`` — a bloom filter over
+    ``keys[key_col]`` as a dense little-endian word array of
+    ``num_bits/64`` longs. Build shape: explode ``num_hashes`` positions
+    per key (narrow), ``bit_or`` by word index (one shuffle over ≤
+    num_bits/64 groups with map-side partial OR), then assemble the
+    dense array via a sorted collect into the single output row.
+    num_bits=2^23 / 5 hashes holds ~1M keys at ≲3% false-positive rate;
+    size num_bits ≈ 10×|keys| for ~1%."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    num_words = num_bits // 64
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    pos = keys.select(
+        F.explode(seeds).alias("__seed"), F.col(key_col).alias("__k")
+    ).select(
+        F.pmod(F.xxhash64("__k", "__seed"), F.lit(num_bits)).alias("__pos")
+    )
+    sparse = pos.select(
+        F.expr("__pos DIV 64").alias("__word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+            "__bit"
+        ),
+    ).groupBy("__word").agg(F.bit_or("__bit").alias("__bits"))
+    # dense array: one row per word index (zeros included via range left
+    # join), sorted collect into the single output row, bits extracted in
+    # order — O(num_words log num_words) once, all JVM
+    dense = (
+        keys.sparkSession.range(num_words)
+        .select(F.col("id").alias("__word"))
+        .join(sparse, "__word", "left")
+        .select("__word", F.coalesce("__bits", F.lit(0).cast("long")).alias("__bits"))
+    )
+    packed = dense.agg(
+        F.array_sort(F.collect_list(F.struct("__word", "__bits"))).alias("__sp")
+    )
+    return packed.select(
+        F.transform(F.col("__sp"), lambda s: s.getField("__bits")).alias("bits")
+    )
+
+
+def bloom_semi_filter(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Drop probe rows whose key is definitely NOT in the bloom filter
+    (``bloom`` = the one-row frame from :func:`build_bloom`, broadcast).
+    Superset semantics: every true match survives (no false negatives);
+    false positives pass through and are removed by the real join that
+    follows — so this composes with ANY downstream join without changing
+    its result, it only shrinks what gets shuffled. NULL keys are kept
+    (their join behavior is the downstream operator's business).
+
+    The probe key column must have the SAME data type as the build-side
+    key: xxhash64 hashes by type, so an int-vs-bigint mismatch silently
+    hashes differently and breaks the no-false-negative guarantee — cast
+    one side before calling (the joined columns would need that cast
+    anyway)."""
+    f = probe.crossJoin(F.broadcast(bloom))
+    cond = F.col(key_col).isNull()
+    member = None
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64(`{key_col}`, {i}), {num_bits})"
+        hit = F.expr(
+            f"(element_at(bits, CAST({p} DIV 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+        )
+        member = hit if member is None else (member & hit)
+    return f.filter(cond | member).drop("bits")
