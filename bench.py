@@ -206,6 +206,11 @@ def main() -> None:
                 scale_step = json.load(fh)
         except (OSError, ValueError):
             scale_step = None
+
+    # "extras": operators OUTSIDE the 50-slot registry (pytest-pinned, no
+    # driver adjudication slot) still get a recorded timing here so the
+    # round artifact shows they run at sf0.1, not just on toy test data.
+    extras = _run_extras(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -219,9 +224,107 @@ def main() -> None:
                 "fixture_setup_s": fixture_setup_s,
                 "sf": float(sf),
                 "scale_step_sf1": scale_step,
+                "extras": extras,
             }
         )
     )
+
+
+def _run_extras(spark, sf_dir: str) -> dict[str, float]:
+    """Time the non-registry operators on the sf fixtures (full action
+    each; tmp outputs under /tmp, removed after)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.graph import pagerank
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+    from uma_etl_iis_loader_spark.operators.layout import (
+        collect_file_stats,
+        pruned_read,
+        zorder_layout,
+    )
+    from uma_etl_iis_loader_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+
+    times: dict[str, float] = {}
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    tmp = tempfile.mkdtemp(prefix="bench_extras_")
+    try:
+        # z-order lineitem on (orderkey, partkey) + write, then a
+        # stats-pruned box read over the layout
+        t0 = time.time()
+        zpath = os.path.join(tmp, "li_z")
+        zorder_layout(
+            lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+            ["l_orderkey", "l_partkey"],
+            out_partitions=32,
+        ).write.parquet(zpath)
+        times["zorder_layout_lineitem"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        stats = collect_file_stats(spark, zpath, ["l_orderkey", "l_partkey"])
+        mx_o = lineitem.agg(F.max("l_orderkey")).collect()[0][0]
+        mx_p = lineitem.agg(F.max("l_partkey")).collect()[0][0]
+        pruned_read(
+            spark,
+            zpath,
+            stats,
+            {
+                "l_orderkey": (0.0, mx_o * 0.1),
+                "l_partkey": (0.0, mx_p * 0.1),
+            },
+        ).count()
+        times["manifest_pruned_read"] = round(time.time() - t0, 3)
+
+        # bloom pre-filter: orders probed against the customers of one
+        # nation (selective build side), then the real join
+        t0 = time.time()
+        build_keys = customer.filter(F.col("c_nationkey") < 3).select(
+            F.col("c_custkey").alias("k")
+        )
+        bloom = build_bloom(build_keys, "k", num_bits=1 << 21, num_hashes=5)
+        probe = orders.select(F.col("o_custkey").alias("k"), "o_orderkey")
+        bloom_semi_filter(probe, bloom, "k", num_bits=1 << 21, num_hashes=5).join(
+            build_keys, "k"
+        ).count()
+        times["bloom_prejoin_filter"] = round(time.time() - t0, 3)
+
+        # PageRank over the user->event_type bipartite graph (type nodes
+        # offset into their own id space), fixed 8 rounds
+        t0 = time.time()
+        edges = events.select(
+            F.col("user_id").alias("src"),
+            (F.xxhash64("event_type") % 1000 + 10_000_000).alias("dst"),
+        )
+        pagerank(edges, max_iter=8, tol=0.0).count()
+        times["pagerank_events_8r"] = round(time.time() - t0, 3)
+
+        # quality classifier: weak-label from the heuristic, fit, score
+        # the whole documents table
+        t0 = time.time()
+        from uma_etl_iis_loader_spark.functions.text import quality_score
+
+        labeled = documents.select(
+            "text", (quality_score("text") >= 0.6).cast("double").alias("label")
+        )
+        model = train_quality_model(labeled, max_iter=10)
+        score_quality(documents, model).agg(F.avg("quality_prob")).collect()
+        times["quality_model_fit_score"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return times
 
 
 if __name__ == "__main__":
