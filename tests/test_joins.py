@@ -229,3 +229,44 @@ def test_bloom_filter_keeps_nulls(spark):
         r.k for r in bloom_semi_filter(probe, bloom, "k", 1 << 10, 3).collect()
     }
     assert None in kept and 1 in kept
+
+
+def _fuzzy_property_check(spark, names, fact_keys, d):
+    from uma_etl_iis_loader_spark.operators.joins import fuzzy_lookup
+
+    dim = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    facts = spark.createDataFrame([(k,) for k in fact_keys], "ref string")
+    out = fuzzy_lookup(facts, dim, "ref", "id", "name", max_dist=d, dist_col="d")
+    got = {r.ref: (r.d, r.resolved_id) for r in out.collect()}
+    want = _brute_resolve(fact_keys, [(n, i) for i, n in enumerate(names)], d)
+    for k in fact_keys:
+        if not k.strip():
+            assert got[k] == (None, None)
+        else:
+            assert got[k] == (want.get(k) or (None, None)), (d, k, got[k], want.get(k))
+
+
+def test_fuzzy_lookup_property_random_corpora(spark):
+    """Hypothesis: over random short alphabets (dense accidental
+    neighborhoods), the blocked plan equals the brute-force levenshtein
+    definition for d in {1, 2} — completeness (SymSpell guarantee),
+    soundness (verify step), and tie-break."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=0, max_size=5)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        names=st.lists(word.filter(lambda s: s.strip()), min_size=1, max_size=6),
+        fact_keys=st.lists(word, min_size=1, max_size=6, unique=True),
+        d=st.sampled_from([1, 2]),
+    )
+    def inner(names, fact_keys, d):
+        _fuzzy_property_check(spark, names, fact_keys, d)
+
+    inner()
