@@ -309,3 +309,61 @@ def test_repeated_passages_hashed_path_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final df-count
     assert "xxhash64" in plan  # hashed keys reach the plan
+
+
+def test_bloom_filter_probe_side_has_no_exchange(spark):
+    """The bloom pre-filter must stay map-side: the probe plan's only
+    join is the broadcast of the ONE-row bits frame, and there is no
+    shuffle exchange anywhere above the probe scan."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    bloom = build_bloom(dim, "k", num_bits=1 << 12, num_hashes=3)
+    # pin the built filter so the probe plan is just scan→broadcast→filter
+    bloom = bloom.localCheckpoint(eager=True)
+    out = bloom_semi_filter(probe, bloom, "k", num_bits=1 << 12, num_hashes=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bits broadcast
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.layout import zorder_layout
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 97).alias("y")
+    )
+    out = zorder_layout(df, ["x", "y"], out_partitions=8, sample_fraction=1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the range repartition on the curve key
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    # the interleave stays in codegen (no Python/Arrow eval in the plan)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fuzzy_lookup_broadcasts_dim_variants(spark):
+    from uma_etl_iis_loader_spark.operators.joins import fuzzy_lookup
+
+    dim = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "id long, name string"
+    )
+    facts = spark.createDataFrame([(f"name{i}x",) for i in range(100)], "ref string")
+    out = fuzzy_lookup(facts, dim, "ref", "id", "name", max_dist=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # candidate generation joins the broadcast exploded dim; the ONLY
+    # shuffle join allowed is facts ⋈ resolution-map at the end (the map
+    # scales with distinct fact keys, so it may legitimately sort-merge —
+    # AQE downgrades it to broadcast when small). Never a cartesian.
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
