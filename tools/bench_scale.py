@@ -68,6 +68,17 @@ def workloads(spark, sf_dir: str, base_dir: str):
         emb = read_fixture(spark, sf_dir, "embeddings", split=False)
         return ivf_topk(emb, fixed_queries(), k=10, nlist=16, nprobe=8)
 
+    def knn_ivf_scaled_nlist():
+        # the production scaling recipe SCALE.md names: nlist grows with
+        # the corpus so CELL SIZE stays constant; nprobe fixed → probed
+        # vector count (and per-query cost) stays ~flat across the 10x
+        # step, unlike the fixed-nlist run whose cells grow 10x. (A cost
+        # demonstration — recall at scaled nlist is the index-build
+        # tuning question, measured in test_similarity.py.)
+        emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+        nlist = 16 if sf_dir == base_dir else 160
+        return ivf_topk(emb, fixed_queries(), k=10, nlist=nlist, nprobe=8)
+
     def passages_hashed():
         # the PRODUCTION path (8-byte xxhash64 shuffle keys) — the
         # registered query is the string-key oracle variant and would
@@ -99,6 +110,47 @@ def workloads(spark, sf_dir: str, base_dir: str):
             refine_corpus=emb, refine_factor=4,
         )
 
+    def pagerank_events():
+        from uma_etl_iis_loader_spark.operators.graph import pagerank
+
+        events = read_fixture(spark, sf_dir, "events")
+        edges = events.select(
+            F.col("user_id").alias("src"),
+            (F.xxhash64("event_type") % 1000 + 10_000_000).alias("dst"),
+        )
+        return pagerank(edges, max_iter=8, tol=0.0)
+
+    def bloom_prejoin():
+        from uma_etl_iis_loader_spark.operators.joins import (
+            bloom_semi_filter,
+            build_bloom,
+        )
+
+        customer = read_fixture(spark, sf_dir, "customer")
+        orders = read_fixture(spark, sf_dir, "orders")
+        build_keys = customer.filter(F.col("c_nationkey") < 3).select(
+            F.col("c_custkey").alias("k")
+        )
+        bloom = build_bloom(build_keys, "k", num_bits=1 << 21, num_hashes=5)
+        probe = orders.select(F.col("o_custkey").alias("k"), "o_orderkey")
+        return bloom_semi_filter(
+            probe, bloom, "k", num_bits=1 << 21, num_hashes=5
+        ).join(build_keys, "k")
+
+    def quality_fit_score():
+        from uma_etl_iis_loader_spark.functions.text import quality_score
+        from uma_etl_iis_loader_spark.operators.quality_model import (
+            score_quality,
+            train_quality_model,
+        )
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        labeled = docs.select(
+            "text", (quality_score("text") >= 0.6).cast("double").alias("label")
+        )
+        model = train_quality_model(labeled, max_iter=10)
+        return score_quality(docs, model).select("doc_id", "quality_prob")
+
     return {
         "flagship_occupancy": from_registry("flagship_occupancy"),
         "etl_job_sync": from_registry("etl_job_sync"),
@@ -106,6 +158,7 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "dedup_minhash_lsh": lsh_pairs,
         "knn_brute_force_fixed_q": knn_brute,
         "knn_ivf_fixed_q": knn_ivf,
+        "knn_ivf_scaled_nlist": knn_ivf_scaled_nlist,
         "pq_fixed_q": pq_fixed,
         "repeated_passages_hashed": passages_hashed,
         "bm25_rank": from_registry("bm25_rank"),
@@ -113,6 +166,10 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "llm_prep_ops": from_registry("llm_prep_ops"),
         "corpus_stats_ops": from_registry("corpus_stats_ops"),
         "stream_windowed_counts": from_registry("stream_windowed_counts"),
+        "fuzzy_lookup_supplier": from_registry("normalized_key_lookup"),
+        "pagerank_events_8r": pagerank_events,
+        "bloom_prejoin_filter": bloom_prejoin,
+        "quality_model_fit_score": quality_fit_score,
     }
 
 
