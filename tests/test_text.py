@@ -231,3 +231,82 @@ def test_ru_stem_parity_vs_snowball_reference():
     assert snowball_ru("длинный") == "длин"
     assert light("оса") == "оса"  # ≥3-char stem guard keeps short words
     assert snowball_ru("оса") == "ос"  # snowball strips to a 2-char stem
+
+
+# ---------------------------------------------------------------------------
+# web-corpus cleaning: strip_html / normalize_unicode_udf
+# ---------------------------------------------------------------------------
+
+
+def test_strip_html_goldens(spark):
+    from uma_etl_iis_loader_spark.functions.text import strip_html
+
+    html = (
+        "<html><head><style>p { color: red }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- nav -->"
+        "<h1>Title</h1><p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Item&nbsp;one <b>bold</b> text.</div>"
+        "<ul><li>a</li><li>b</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "text string")
+    out = df.select(strip_html("text").alias("t")).collect()[0].t
+    assert out.split("\n") == [
+        "Title",
+        "First & second <para>.",
+        "Item one bold text.",
+        "a",
+        "b",
+    ]
+    # script/style contents are gone, not just the tags
+    assert "not text" not in out and "color" not in out
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    from uma_etl_iis_loader_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [("already clean, 2 < 3 stays",), (None,)], "text string"
+    )
+    rows = df.select(strip_html("text").alias("t")).collect()
+    # note: a bare '<' with no closing '>' on the same run is left alone
+    assert rows[0].t == "already clean, 2 < 3 stays"
+    assert rows[1].t is None
+
+
+def test_normalize_unicode_nfkc_and_mojibake(spark):
+    from uma_etl_iis_loader_spark.functions.text import normalize_unicode_udf
+    from pyspark.sql import functions as F
+
+    norm = normalize_unicode_udf()
+    # REAL mojibake: utf-8 bytes mis-decoded as cp1252 (not hand-typed —
+    # 'à' becomes 'Ã' + nbsp, which a literal space would get wrong)
+    mojibake = "Café déjà vu".encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [
+            ("ﬁne ﬂow",),          # ligatures
+            ("Ｆｕｌｌｗｉｄｔｈ １２３",),  # full-width forms
+            (mojibake,),
+            ("plain ascii",),
+            (None,),
+        ],
+        "text string",
+    )
+    got = [r.t for r in df.select(norm(F.col("text")).alias("t")).collect()]
+    assert got[0] == "fine flow"
+    assert got[1] == "Fullwidth 123"
+    assert got[2] == "Café déjà vu"
+    assert got[3] == "plain ascii"
+    assert got[4] is None
+
+
+def test_normalize_unicode_repair_never_corrupts(spark):
+    """Text that LOOKS like mojibake but isn't valid double-encoding must
+    pass through un-'repaired' (the strict encode/decode gate)."""
+    from uma_etl_iis_loader_spark.functions.text import normalize_unicode_udf
+    from pyspark.sql import functions as F
+
+    norm = normalize_unicode_udf()
+    s = "Ã is a real letter here"  # cp1252 bytes Ã + space → invalid utf-8
+    df = spark.createDataFrame([(s,)], "text string")
+    assert df.select(norm(F.col("text")).alias("t")).collect()[0].t == s

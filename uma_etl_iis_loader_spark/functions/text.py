@@ -402,3 +402,85 @@ def redact_pii(col: Column | str) -> Column:
     for k in _PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[k], f"<{k.upper()}>")
     return out
+
+
+# ---------------------------------------------------------------------------
+# web-corpus cleaning: HTML boilerplate strip + unicode normalization
+# ---------------------------------------------------------------------------
+
+# the entities that actually dominate crawled text; anything rarer passes
+# through literally (a conservative, deterministic choice — no external
+# entity table)
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+]
+
+
+def strip_html(col: Column | str) -> Column:
+    """Markup → text: drop <script>/<style> blocks WITH their contents,
+    turn block-level tags into newlines (paragraph structure survives for
+    downstream chunking), strip remaining tags, decode the common
+    entities, collapse runs of blanks. Pure JVM regexp chain — codegen'd,
+    zero Python, linear per byte; the 100 TB boilerplate-removal
+    front-door (finer extraction — readability scoring, DOM weighting —
+    is a different, parser-based operator).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot matches newline
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # trim() strips spaces only — newlines at the edges need the regexp
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def normalize_unicode_udf(form: str = "NFKC", fix_mojibake: bool = True):
+    """Arrow-batched unicode normalizer: ``unicodedata.normalize(form)``
+    (ligatures, full-width forms, compatibility chars) plus an optional
+    ftfy-style single-pass mojibake repair (UTF-8 bytes mis-decoded as
+    latin-1/cp1252 — 'Ã©' → 'é'): re-encode and re-decode, keep the
+    repair only if it strictly reduces the suspect-character count. JVM
+    has no NFKC builtin, so this is a documented Python rung — stdlib
+    only, vectorized per Arrow batch, no per-row Python round-trips
+    beyond the string ops themselves.
+    """
+    import unicodedata
+
+    suspects = set("ÃÂâ€™œ¢")
+
+    def _fix(s: str) -> str:
+        if s is None:
+            return None
+        t = s
+        if fix_mojibake and any(ch in suspects for ch in t):
+            try:
+                repaired = t.encode("cp1252", errors="strict").decode(
+                    "utf-8", errors="strict"
+                )
+                if sum(ch in suspects for ch in repaired) < sum(
+                    ch in suspects for ch in t
+                ):
+                    t = repaired
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                pass
+        return unicodedata.normalize(form, t)
+
+    @F.pandas_udf("string")
+    def norm(texts: pd.Series) -> pd.Series:
+        return texts.map(_fix, na_action="ignore")
+
+    return norm
