@@ -310,3 +310,28 @@ def test_normalize_unicode_repair_never_corrupts(spark):
     s = "Ã is a real letter here"  # cp1252 bytes Ã + space → invalid utf-8
     df = spark.createDataFrame([(s,)], "text string")
     assert df.select(norm(F.col("text")).alias("t")).collect()[0].t == s
+
+
+def test_extract_domain(spark):
+    from uma_etl_iis_loader_spark.functions.text import extract_domain
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.Example.com/path?q=1",),
+            ("http://sub.site.org:8080/x",),
+            ("example.com/page",),
+            ("www.only-host.net",),
+            ("",),
+            (None,),
+        ],
+        "url string",
+    )
+    got = [r.d for r in df.select(extract_domain("url").alias("d")).collect()]
+    assert got == [
+        "example.com",
+        "sub.site.org",
+        "example.com",
+        "only-host.net",
+        None,
+        None,
+    ]

@@ -484,3 +484,21 @@ def normalize_unicode_udf(form: str = "NFKC", fix_mojibake: bool = True):
         return texts.map(_fix, na_action="ignore")
 
     return norm
+
+
+def extract_domain(col: Column | str, strip_www: bool = True) -> Column:
+    """Registrable domain-ish host of a URL (the mixture/cap/dedup
+    grouping key of web-corpus pipelines): ``parse_url(..., 'HOST')`` —
+    JVM built-in — lowercased, optional leading ``www.`` stripped.
+    Schemeless inputs ('example.com/page') get an ``http://`` prefix
+    first so HOST still resolves; NULL/unparseable → NULL. (True eTLD+1
+    needs the public-suffix list — a lookup-table join, not a parser
+    change; HOST is the deterministic, dependency-free default.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    with_scheme = F.when(
+        c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c
+    ).otherwise(F.concat(F.lit("http://"), c))
+    host = F.lower(F.parse_url(with_scheme, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(c.isNull() | (F.trim(c) == ""), F.lit(None)).otherwise(host)
