@@ -153,3 +153,17 @@ def test_file_stats_pruned_read_roundtrip(spark, tmp_path):
     assert empty.count() == 0
     assert empty.schema == got.schema
     stats.unpersist()
+
+
+def test_zorder_key_supports_date_columns(spark):
+    """DATE columns rank-bucket via unix_date (a straight double cast is
+    a Spark type error) — mixed date+numeric clustering works."""
+    df = spark.range(0, 1000).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        (F.col("id") % 97).alias("x"),
+        F.col("id").alias("payload"),
+    )
+    out = zorder_layout(df, ["d", "x"], out_partitions=4, sample_fraction=1.0)
+    assert sorted(r.payload for r in out.collect()) == list(range(1000))
+    keyed = df.withColumn("z", zorder_key(df, ["d", "x"], sample_fraction=1.0))
+    assert keyed.select("z").distinct().count() > 100

@@ -60,7 +60,18 @@ def _rank_tree(c: Column, uniq: list[float], lo: int, hi: int) -> Column:
     ).otherwise(_rank_tree(c, uniq, lo, mid))
 
 
-def _bucket_expr(col: str, boundaries: list[float]) -> Column:
+def _as_double(df: DataFrame, col: str) -> Column:
+    """Rank-comparable double view of a column: DATE goes through
+    unix_date (a straight CAST(date AS DOUBLE) is a type error),
+    everything else (numerics, timestamps) casts directly."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype == "date":
+        return F.unix_date(c).cast("double")
+    return c.cast("double")
+
+
+def _bucket_expr(df: DataFrame, col: str, boundaries: list[float]) -> Column:
     """Rank bucket of ``col`` against sampled quantile ``boundaries``:
     a bigint in [0, 2**_BITS). Quantile samples repeat on skewed data,
     so boundaries are deduped (equal-valued rows are one min-max point —
@@ -70,7 +81,7 @@ def _bucket_expr(col: str, boundaries: list[float]) -> Column:
     uniq = sorted(set(boundaries))
     if not uniq:
         return F.lit(0).cast("bigint")
-    rank = _rank_tree(F.col(col).cast("double"), uniq, 0, len(uniq))
+    rank = _rank_tree(_as_double(df, col), uniq, 0, len(uniq))
     scale = (2**_BITS - 1) / len(uniq)
     return F.least(
         F.floor(rank.cast("bigint") * F.lit(scale)).cast("bigint"),
@@ -98,11 +109,11 @@ def zorder_key(
         if sample_fraction < 1.0
         else df
     )
-    casted = sampled.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    casted = sampled.select(*[_as_double(df, c).alias(c) for c in cols])
     bounds = casted.approxQuantile(list(cols), probs, 0.001)
     key = F.lit(0).cast("bigint")
     for ci, c in enumerate(cols):
-        bucket = _bucket_expr(c, bounds[ci])
+        bucket = _bucket_expr(df, c, bounds[ci])
         for bit in range(_BITS):
             key = key.bitwiseOR(
                 F.shiftleft(
