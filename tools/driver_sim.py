@@ -36,10 +36,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = []
+    n_run = 0
     qs = entrymod.queries()
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -51,7 +53,7 @@ def main() -> int:
         except Exception as e:
             print(f"  {name}: FAIL {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} driver-sim pass at {SF_DIR}")
+    print(f"\n{n_run - len(failures)}/{n_run} driver-sim pass at {SF_DIR}")
     return 1 if failures else 0
 
 
