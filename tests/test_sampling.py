@@ -165,3 +165,61 @@ def test_temperature_rate_laws(counts, budget, alpha):
         if n_small == n_big:
             continue
         assert rates[s_big] <= rates[s_small] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# negative_sample — deterministic contrastive negatives
+# ---------------------------------------------------------------------------
+
+
+def test_negative_sample_contract(spark):
+    """k distinct negatives per anchor, no positives, deterministic
+    across recomputation and repartitioning."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import negative_sample
+
+    corpus = spark.range(0, 2000).select(F.col("id").alias("item_id"))
+    anchors = spark.range(0, 50).select(F.col("id").alias("anchor_id"))
+    positives = spark.range(0, 50).select(
+        F.col("id").alias("anchor_id"), (F.col("id") * 3).alias("item_id")
+    )
+    out = negative_sample(
+        anchors, corpus, k=5, positives=positives, buckets=200
+    )
+    rows = [(r.anchor_id, r.item_id) for r in out.collect()]
+    per_anchor = {}
+    for a, i in rows:
+        per_anchor.setdefault(a, []).append(i)
+    assert set(per_anchor) == set(range(50))
+    for a, items in per_anchor.items():
+        assert len(items) == 5, (a, items)
+        assert len(set(items)) == 5  # distinct buckets -> distinct items
+        assert a * 3 not in items    # positive excluded
+
+    # determinism: recompute + repartition the inputs
+    out2 = negative_sample(
+        anchors.repartition(7), corpus.repartition(13), k=5,
+        positives=positives, buckets=200,
+    )
+    assert set(rows) == {(r.anchor_id, r.item_id) for r in out2.collect()}
+
+
+def test_negative_sample_spread(spark):
+    """No item dominates: with many anchors the sample frequency of any
+    single item stays within a small multiple of the mean (hash buckets
+    are balanced; per-bucket choice varies by anchor)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import negative_sample
+
+    corpus = spark.range(0, 500).select(F.col("id").alias("item_id"))
+    anchors = spark.range(0, 400).select(F.col("id").alias("anchor_id"))
+    out = negative_sample(anchors, corpus, k=4, buckets=100)
+    counts = Counter(r.item_id for r in out.collect())
+    mean = (400 * 4) / 500
+    assert max(counts.values()) <= mean * 15  # loose, catches degeneracy
+    # a healthy fraction of the corpus gets sampled at all
+    assert len(counts) > 150

@@ -242,6 +242,8 @@ def prune_files(
             & ((F.col("max_val") < F.lit(float(lo))) | (F.col("min_val") > F.lit(float(hi))))
         )
         pred = drop if pred is None else (pred | drop)
+    if pred is None:  # no predicates → nothing can be excluded
+        return [r.file for r in stats.select("file").distinct().collect()]
     excluded = stats.filter(pred).select("file").distinct()
     kept = stats.select("file").distinct().join(excluded, "file", "left_anti")
     return [r.file for r in kept.collect()]

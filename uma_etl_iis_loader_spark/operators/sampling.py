@@ -144,3 +144,71 @@ def temperature_rates(
     return {
         s: min(1.0, (budget * w / z) / counts[s]) for s, w in weights.items()
     }
+
+
+def negative_sample(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    anchor_id: str = "anchor_id",
+    item_id: str = "item_id",
+    positives: DataFrame | None = None,
+    buckets: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """k pseudo-random negatives per anchor for contrastive training
+    pairs — deterministic (same inputs → same samples, any partitioning)
+    and scale-safe (no per-anchor corpus scan, no driver-side sampling).
+
+    Scheme: corpus items hash into ``buckets`` groups; anchor ``a``
+    draws the k CONSECUTIVE buckets starting at ``hash(a) % buckets``
+    (k distinct buckets → k distinct items, no within-anchor dupes) and
+    takes, per drawn bucket, the item minimizing ``xxhash64(item, a)``
+    (so two anchors drawing the same bucket still pick independently).
+    ``positives`` (anchor_id, item_id pairs) are anti-joined out of the
+    candidates BEFORE the min, so exclusion never costs a sample while
+    any non-positive remains in the bucket.
+
+    Cost shape: candidates = k × |corpus|/buckets rows per anchor —
+    size ``buckets`` so corpus/buckets is a small constant (e.g. 10-100
+    items per bucket); one shuffle each for the bucket join, the
+    positives anti-join, and the per-(anchor, draw) min. Sampling is
+    approximately uniform (hash buckets are balanced by construction);
+    it is NOT a perfect uniform-without-replacement draw — documented
+    trade for determinism without a global shuffle. Buckets beyond the
+    corpus size come back empty (fewer than k rows for some anchors):
+    keep buckets ≤ |corpus|/10.
+    """
+    if k > buckets:
+        raise ValueError(f"k={k} must be <= buckets={buckets}")
+    a = anchors.select(anchor_id).distinct()
+    draws = a.select(
+        anchor_id, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
+    ).withColumn(
+        "__b",
+        F.pmod(
+            F.pmod(F.xxhash64(F.col(anchor_id), F.lit(seed)), F.lit(buckets))
+            + F.col("__j"),
+            F.lit(buckets),
+        ),
+    )
+    items = corpus.select(
+        F.col(item_id),
+        F.pmod(F.xxhash64(F.col(item_id), F.lit(seed)), F.lit(buckets)).alias("__b"),
+    )
+    cand = draws.join(items, "__b")
+    if positives is not None:
+        cand = cand.join(
+            positives.select(anchor_id, item_id), [anchor_id, item_id], "left_anti"
+        )
+    out = (
+        cand.groupBy(anchor_id, "__j")
+        .agg(
+            F.min_by(
+                F.col(item_id),
+                F.xxhash64(F.col(item_id), F.col(anchor_id), F.lit(seed + 1)),
+            ).alias(item_id)
+        )
+        .select(anchor_id, item_id)
+    )
+    return out
