@@ -52,6 +52,7 @@ HEADLINE = [
     "stream_windowed_counts",
     "stream_sessionize",
     "window_lag_running_total",
+    "funnel_events",  # ordered-event conversion funnel
     "grouping_analytics",  # cube + grouping-sets rows
     "sampling_ops",  # split + contamination + stratified-sample rows
     "bm25_rank",

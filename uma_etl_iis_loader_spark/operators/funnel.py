@@ -1,0 +1,74 @@
+"""Ordered-event funnel analysis: per-key earliest strictly-ordered
+step chain (view → click → purchase), the conversion primitive of
+event analytics.
+
+Semantics: ``t_1`` = earliest step-1 event per key; ``t_i`` = earliest
+step-i event STRICTLY after ``t_{i-1}`` (and, with ``max_gap_s``,
+within that many seconds of it). A key appears in the output iff it
+reached step 1 (the funnel cohort); unreached steps are NULL and
+``depth`` counts the reached prefix. Deterministic: every step picks a
+``min`` timestamp — no scan-order dependence.
+
+Scale shape: the input is filtered to the step events once (narrow),
+then each step is one keyed join + min-aggregation over (key, ts)
+PAIRS only — shuffle volume is step-event counts, never the raw event
+stream; hot keys reduce through partial min. Steps are a fixed small
+list (funnels are 3-6 steps), so the chain length is bounded and each
+round's state is one row per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    key: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """(key, t_1..t_n timestamp, depth int) for every key that reached
+    ``steps[0]``. See module docstring for semantics."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    relevant = events.filter(F.col(event_col).isin(list(steps))).select(
+        key, event_col, ts_col
+    )
+    out = (
+        relevant.filter(F.col(event_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        nxt = relevant.filter(F.col(event_col) == step).select(
+            key, F.col(ts_col).alias("__nt")
+        )
+        cond = F.col("__nt") > F.col(prev)
+        if max_gap_s is not None:
+            cond = cond & (
+                F.col("__nt")
+                <= F.col(prev) + F.expr(f"INTERVAL {int(max_gap_s)} SECONDS")
+            )
+        prior = [f"t_{j}" for j in range(1, i)]
+        out = (
+            out.join(nxt, key, "left")
+            .groupBy(key)
+            .agg(
+                # priors are constant per key — min() re-emits them
+                *[F.min(c).alias(c) for c in prior],
+                F.min(F.when(cond, F.col("__nt"))).alias(f"t_{i}"),
+            )
+        )
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t_{i}").isNotNull().cast("int")
+    return out.withColumn("depth", depth.cast("int"))

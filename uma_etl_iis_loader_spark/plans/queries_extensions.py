@@ -2070,3 +2070,52 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_word").cast("long").alias("v2"),
     )
     return stats.unionByName(spans)
+
+
+# ---------------------------------------------------------------------------
+# ordered-event funnel (conversion analysis)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS ts1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS ts2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.ts1 GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS ts3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.ts2 GROUP BY 1
+)
+SELECT s1.user_id,
+       CAST(floor(epoch(s1.ts1)) AS BIGINT) AS t1,
+       CAST(floor(epoch(s2.ts2)) AS BIGINT) AS t2,
+       CAST(floor(epoch(s3.ts3)) AS BIGINT) AS t3,
+       CAST(1 + CASE WHEN s2.ts2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.ts3 IS NULL THEN 0 ELSE 1 END AS INT) AS depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@register("funnel_events", _FUNNEL_ORACLE)
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel over the events stream: per-user
+    earliest STRICTLY-ordered chain (t_i = min step-i time after
+    t_{i-1}), cohort = users who viewed; depth counts the reached
+    prefix. The oracle recomputes the chain with correlated min-joins —
+    the blocked per-step min-aggregation plan is driver-adjudicated
+    against the declarative definition. Timestamps exported as epoch
+    seconds (exact integers on both engines)."""
+    from ..operators.funnel import funnel_steps
+
+    events = read_fixture(spark, sf_dir, "events")
+    out = funnel_steps(events, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_timestamp("t_1").alias("t1"),
+        F.unix_timestamp("t_2").alias("t2"),
+        F.unix_timestamp("t_3").alias("t3"),
+        "depth",
+    )

@@ -843,12 +843,8 @@ _PARSE_SQL = """CASE WHEN regexp_matches(t, '^\\s*\\d{1,2}:\\d{2}\\s*$')
      THEN TRY_CAST(split_part(trim(t), ':', 1) AS INT) * 3600
           + TRY_CAST(split_part(trim(t), ':', 2) AS INT) * 60 END"""
 
-_LESSON_TIME_ORACLE = f"""
-WITH src AS (SELECT event_id, {_TIME_STR_SQL} AS t FROM events)
-SELECT event_id, secs AS start_time FROM (
-    SELECT event_id, {_PARSE_SQL} AS secs FROM src
-) WHERE secs IS NOT NULL
-"""
+# (the standalone time-parse oracle merged into _SCALAR_KIT_ORACLE's
+# method='time_parse' branch — one registry slot adjudicates both)
 
 # the end-to-end shred oracle computes the EXPECTED output relation
 # directly from the same fixture arithmetic (no JSON in DuckDB — the
@@ -918,9 +914,12 @@ def _time_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", t.alias("t"))
 
 
-@register("time_parse_lesson", _LESSON_TIME_ORACLE)
 def q_time_parse_lesson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 lesson branch: invalid time → row dropped (`iis_etl/logic.py:331-333`)."""
+    """X7 lesson branch: invalid time → row dropped
+    (`iis_etl/logic.py:331-333`). Driver-adjudicated as the
+    method='time_parse' rows of `day_case_and_truncate` (merged to free
+    a registry slot; this helper keeps the operator individually
+    callable and pytest/plan-addressable)."""
     from ..functions.timeparse import hhmm_to_seconds
 
     src = _time_strings(spark, sf_dir)
@@ -1102,22 +1101,34 @@ WITH src AS (
            CAST(datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1 AS INT) AS day_of_week,
            o_orderpriority
     FROM orders
-)
-SELECT o_orderkey,
+), tsrc AS (SELECT event_id, {_TIME_STR_SQL} AS t FROM events)
+SELECT 'day_case' AS method, o_orderkey AS id,
        {_DAY_CASE_SQL} AS day_name,
        CASE {_DAY_CASE_SQL}
             WHEN 'Понедельник' THEN 1 WHEN 'Вторник' THEN 2 WHEN 'Среда' THEN 3
             WHEN 'Четверг' THEN 4 WHEN 'Пятница' THEN 5 WHEN 'Суббота' THEN 6
             WHEN 'Воскресенье' THEN 7 END AS day_roundtrip,
-       substr(o_orderpriority, 1, 3) AS prio_short
+       substr(o_orderpriority, 1, 3) AS prio_short,
+       CAST(NULL AS INT) AS start_time
 FROM src
+UNION ALL
+SELECT 'time_parse', event_id, NULL, NULL, NULL, secs FROM (
+    SELECT event_id, {_PARSE_SQL} AS secs FROM tsrc
+) WHERE secs IS NOT NULL
 """
 
 
 @register("day_case_and_truncate", _SCALAR_KIT_ORACLE)
 def q_day_case_and_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9: int↔Russian day name CASE (`iis_etl/logic.py:324-327,454-457`)
-    + `str(x)[:n]` truncation (`iis_etl/logic.py:91,259`)."""
+    """§2.9 scalar kit, method-tagged (merged so both adjudicate in one
+    registry slot):
+
+    - 'day_case' rows: int↔Russian day name CASE
+      (`iis_etl/logic.py:324-327,454-457`) + `str(x)[:n]` truncation
+      (`iis_etl/logic.py:91,259`).
+    - 'time_parse' rows: X7 lesson-branch HH:mm parse, invalid time →
+      row dropped (`iis_etl/logic.py:331-333`) — `q_time_parse_lesson`.
+    """
     from ..functions.normalize import day_int_expr, day_name_expr, truncate
     from .fixtures import day_of_week_expr
 
@@ -1127,12 +1138,23 @@ def q_day_case_and_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_of_week_expr(F.col("o_orderdate")).alias("day_of_week"),
         "o_orderpriority",
     )
-    return src.select(
-        "o_orderkey",
+    day_case = src.select(
+        F.lit("day_case").alias("method"),
+        F.col("o_orderkey").alias("id"),
         day_name_expr(F.col("day_of_week")).alias("day_name"),
         day_int_expr(day_name_expr(F.col("day_of_week"))).alias("day_roundtrip"),
         truncate(F.col("o_orderpriority"), 3).alias("prio_short"),
+        F.lit(None).cast("int").alias("start_time"),
     )
+    time_parse = q_time_parse_lesson(spark, sf_dir).select(
+        F.lit("time_parse").alias("method"),
+        F.col("event_id").alias("id"),
+        F.lit(None).cast("string").alias("day_name"),
+        F.lit(None).cast("int").alias("day_roundtrip"),
+        F.lit(None).cast("string").alias("prio_short"),
+        F.col("start_time").cast("int").alias("start_time"),
+    )
+    return day_case.unionByName(time_parse)
 
 
 # ---------------------------------------------------------------------------
