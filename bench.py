@@ -315,12 +315,21 @@ def _run_extras(spark, sf_dir: str) -> dict[str, float]:
         model = train_quality_model(labeled, max_iter=10)
         score_quality(documents, model).agg(F.avg("quality_prob")).collect()
 
+    def resample_events():
+        # per-user daily grid + forward fill over the event stream
+        from uma_etl_iis_loader_spark.operators.timeseries import (
+            resample_ffill,
+        )
+
+        resample_ffill(events, "user_id", "ts", ["value"], step_s=86_400).count()
+
     extras = [
         ("zorder_layout_lineitem", zorder_lineitem),
         ("manifest_pruned_read", manifest_pruned),
         ("bloom_prejoin_filter", bloom_prejoin),
         ("pagerank_events_8r", pagerank_events),
         ("quality_model_fit_score", quality_fit_score),
+        ("resample_ffill_events_1d", resample_events),
     ]
     try:
         for name, thunk in extras:
