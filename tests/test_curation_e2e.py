@@ -109,3 +109,12 @@ def test_web_corpus_curation_end_to_end(spark):
     assert s1 == s2
     assert {s for _, s in s1} <= {"train", "val", "test"}
     assert len(s1) == len(ids)
+
+    # 6. landing layout: the README's final step runs as written —
+    # z-order on (quality_prob, doc_id) is a pure permutation
+    from uma_etl_iis_loader_spark.operators.layout import zorder_layout
+
+    landed = zorder_layout(
+        split1, ["quality_prob", "doc_id"], out_partitions=4, sample_fraction=1.0
+    )
+    assert landed.count() == len(ids)

@@ -40,7 +40,8 @@ def test_funnel_golden(spark):
     }
     assert set(out) == {1, 2, 3, 5}
     assert out[1] == (3, _ts(0), _ts(5), _ts(9))
-    # u2: purchase after the view counts even though the click didn't
+    # u2: the chain is STRICT — with no valid click (t_2 NULL), the
+    # purchase at t=3 cannot count either, so depth stays 1
     assert out[2] == (1, _ts(2), None, None)
     assert out[3] == (1, _ts(4), None, None)
     assert out[5] == (1, _ts(7), None, None)

@@ -167,3 +167,41 @@ def test_zorder_key_supports_date_columns(spark):
     assert sorted(r.payload for r in out.collect()) == list(range(1000))
     keyed = df.withColumn("z", zorder_key(df, ["d", "x"], sample_fraction=1.0))
     assert keyed.select("z").distinct().count() > 100
+
+
+def test_file_stats_date_column_pruning(spark, tmp_path):
+    """DATE columns: footer stats convert to days-since-epoch (pyarrow
+    returns datetime.date objects — a bare float() would crash), and
+    pruned_read filters them consistently with the recorded scale."""
+    from uma_etl_iis_loader_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+        pruned_read,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 300).cast("int")
+        ).alias("d"),
+        (F.col("id") % 500).alias("x"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "dated")
+    df.repartitionByRange(16, "d").sortWithinPartitions("d").write.parquet(path)
+
+    stats = collect_file_stats(spark, path, ["d", "x"])
+    # days since epoch for 2024-02-01 .. 2024-03-01
+    lo = (19724 + 31)  # 2024-01-01 is day 19723; +1+31 window start
+    box = {"d": (float(lo), float(lo + 29))}
+    kept = prune_files(stats, box)
+    n_files = stats.select("file").distinct().count()
+    assert 0 < len(kept) < n_files  # date stats actually prune
+
+    got = pruned_read(spark, path, stats, box)
+    want = df.filter(
+        F.unix_date(F.col("d")).between(lo, lo + 29)
+    )
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+    assert want.count() > 0

@@ -335,3 +335,16 @@ def test_extract_domain(spark):
         None,
         None,
     ]
+
+
+def test_strip_html_escaped_entities_not_double_decoded(spark):
+    """'&amp;lt;' is the AUTHOR-escaped literal '&lt;' — it must decode
+    exactly once (to '&lt;'), never cascade to '<' (the &amp; rule runs
+    last for this reason)."""
+    from uma_etl_iis_loader_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [("<p>use &amp;lt;b&amp;gt; for bold &amp; more</p>",)], "text string"
+    )
+    out = df.select(strip_html("text").alias("t")).collect()[0].t
+    assert out == "use &lt;b&gt; for bold & more"

@@ -55,3 +55,16 @@ def test_resample_ffill_deterministic_and_complete(spark):
     # every grid point carries a value (first point is an observation
     # bucket by construction, everything after is filled)
     assert all(v is not None for _, _, v in a)
+
+
+def test_resample_ffill_subsecond_recency(spark):
+    """Two observations inside the same SECOND: the later (by
+    microseconds) must win, even when its value is smaller — fractional
+    epoch ordering, not unix_timestamp truncation."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 1, 100_000), 5.0),
+        (1, datetime(2024, 1, 1, 0, 0, 1, 900_000), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = resample_ffill(df, "k", "ts", ["v"], step_s=10).collect()
+    assert len(out) == 1 and out[0].v == 3.0

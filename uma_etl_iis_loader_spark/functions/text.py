@@ -410,15 +410,18 @@ def redact_pii(col: Column | str) -> Column:
 
 # the entities that actually dominate crawled text; anything rarer passes
 # through literally (a conservative, deterministic choice — no external
-# entity table)
+# entity table). &amp; MUST decode LAST: decoding it earlier would turn
+# the escaped-markup sequence '&amp;lt;' into '&lt;' in time for the
+# &lt; rule to double-decode it to '<' — text the author explicitly
+# escaped would become pseudo-markup.
 _HTML_ENTITIES = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 ]
 
 

@@ -17,9 +17,13 @@ Per-round shuffle structure (the 100 TB shape):
 - dangling mass: one tiny agg over ranks anti-joined to out-degrees,
   broadcast back as a literal.
 - Lineage is truncated every round with ``localCheckpoint(eager=True)``
-  (iterative self-joins otherwise stack plans geometrically), and
-  convergence is driver-checked from the SAME action that materializes
-  the round (one job per iteration, no extra passes).
+  (iterative self-joins otherwise stack plans geometrically). Each round
+  runs three bounded driver actions — the dangling-mass scalar, the
+  eager checkpoint of the new ranks, and the L1-delta scalar (the two
+  scalars aggregate already-materialized (node, rank) frames, so their
+  cost is one pass over rank pairs, never the edge set). Superseded
+  checkpoint blocks are released by Spark's context cleaner as the loop
+  drops their references.
 """
 
 from __future__ import annotations
@@ -73,16 +77,19 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        with_deg = ranks.join(outdeg, "node", "left")
-        # mass on dangling nodes (deg null), redistributed uniformly
+        # mass on dangling nodes (no out-edges), redistributed uniformly.
+        # A left-ANTI join against the (small) outdeg table — NOT a
+        # reusable ranks⋈outdeg left join, which (evaluated once here and
+        # once under contribs) would run twice per round: Spark plans are
+        # trees, shared subframes re-execute unless materialized.
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
+            ranks.join(outdeg.select("node"), "node", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )
         contribs = (
             e.join(
-                with_deg.filter(F.col("deg").isNotNull()).select(
+                ranks.join(outdeg, "node").select(
                     F.col("node").alias("src"),
                     (F.col("rank") / F.col("deg")).alias("share"),
                 ),

@@ -164,16 +164,46 @@ def zorder_layout(
 # already-pruned file list.
 
 
+def _stat_to_double(v):
+    """Parquet footer min/max → the same double scale Spark-side rank /
+    predicate expressions use: dates as days since epoch (unix_date),
+    naive timestamps as UTC epoch seconds, numerics as-is. Returns None
+    for types with no meaningful double order (strings/binary) — the
+    pruner keeps those files conservatively."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return float((v - datetime.date(1970, 1, 1)).days)
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return float(v)
+    return None
+
+
 def collect_file_stats(
-    spark, path: str, cols: Sequence[str]
+    spark, path: str, cols: Sequence[str], open_file=None
 ) -> DataFrame:
     """(file, col, min_val, max_val, null_count, num_rows) per data file
     under ``path``, extracted from parquet footers — computed on the
     EXECUTORS (one footer read per file via mapInPandas + pyarrow), so
     stats collection for a million-file table parallelizes instead of
-    serializing through the driver. min/max land as doubles (numeric /
-    date / timestamp columns — the zorder-able types); persist the result
-    next to the data and refresh it per landed batch.
+    serializing through the driver. min/max land as doubles on the same
+    scale the pruning predicates use (numerics as-is, DATE as days since
+    epoch, naive timestamps as UTC epoch seconds); string/binary columns
+    yield NULL stats (conservatively unprunable). Persist the result
+    next to the data and refresh it per landed batch (new files only —
+    footer stats are immutable).
+
+    Default file access handles local ``file:`` URIs only; for object
+    stores pass ``open_file(uri) -> file-like`` (e.g. an fsspec /
+    pyarrow-filesystem ``open``) — it is invoked per file on the
+    executors, so it must be a serializable top-level callable.
     """
     files = spark.read.parquet(path).inputFiles()
 
@@ -184,8 +214,8 @@ def collect_file_stats(
         for pdf in batches:
             out = []
             for uri in pdf["file"]:
-                local = uri.removeprefix("file:")
-                md = pq.ParquetFile(local).metadata
+                src = open_file(uri) if open_file else uri.removeprefix("file:")
+                md = pq.ParquetFile(src).metadata
                 names = [md.schema.column(i).name for i in range(md.num_columns)]
                 agg = {
                     c: [None, None, 0]  # min, max, nulls
@@ -201,9 +231,12 @@ def collect_file_stats(
                             continue
                         mn, mx, nc = agg[c]
                         if st.has_min_max:
-                            smin, smax = float(st.min), float(st.max)
-                            mn = smin if mn is None else min(mn, smin)
-                            mx = smax if mx is None else max(mx, smax)
+                            smin = _stat_to_double(st.min)
+                            smax = _stat_to_double(st.max)
+                            if smin is not None:
+                                mn = smin if mn is None else min(mn, smin)
+                            if smax is not None:
+                                mx = smax if mx is None else max(mx, smax)
                         agg[c] = [mn, mx, nc + (st.null_count or 0)]
                 for c in cols:
                     mn, mx, nc = agg[c]
@@ -257,13 +290,27 @@ def pruned_read(
 ) -> DataFrame:
     """Read only the files that can match the box ``predicates`` (per the
     stats table), with the predicate re-applied exactly — pruning is a
-    superset optimization, never a semantic change. An empty prune result
-    returns an empty frame with the table's schema."""
+    superset optimization, never a semantic change. Predicates are (lo,
+    hi) DOUBLES on the stats scale (see ``_stat_to_double``: dates in
+    days since epoch, timestamps in UTC epoch seconds) and are re-applied
+    through the same coercion, so date/timestamp columns filter
+    consistently with how their footer stats were recorded. An empty
+    prune result returns an empty frame with the table's schema."""
     kept = prune_files(stats, predicates)
     base = spark.read.parquet(path)
-    cond = F.lit(True)
-    for col, (lo, hi) in predicates.items():
-        cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
     if not kept:
         return base.filter(F.lit(False))
-    return spark.read.schema(base.schema).parquet(*kept).filter(cond)
+    out = spark.read.schema(base.schema).parquet(*kept)
+    dtypes = dict(out.dtypes)
+    cond = F.lit(True)
+    for col, (lo, hi) in predicates.items():
+        if dtypes.get(col) == "date" or dtypes.get(col, "").startswith("timestamp"):
+            # temporal: compare on the stats scale (cast blocks scan
+            # pushdown, but the file-level prune already did that job)
+            cond = cond & _as_double(out, col).between(
+                F.lit(float(lo)), F.lit(float(hi))
+            )
+        else:
+            # numeric: direct comparison stays pushdown-able to the scan
+            cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
+    return out.filter(cond)

@@ -47,8 +47,12 @@ def resample_ffill(
     Grid arithmetic is integer epoch seconds (exact, engine-portable);
     ``grid_ts`` is returned as a timestamp.
     """
-    epoch = F.unix_timestamp(F.col(ts_col))
-    bucket = F.floor(epoch / step_s) * step_s
+    # fractional epoch (cast to double keeps microseconds) —
+    # unix_timestamp would TRUNCATE to whole seconds, making two
+    # sub-second observations tie and the struct-max pick by value
+    # instead of recency
+    epoch = F.col(ts_col).cast("double")
+    bucket = (F.floor(epoch / step_s) * step_s).cast("long")
 
     obs = df.select(
         F.col(key),
