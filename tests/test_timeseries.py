@@ -68,3 +68,18 @@ def test_resample_ffill_subsecond_recency(spark):
     df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
     out = resample_ffill(df, "k", "ts", ["v"], step_s=10).collect()
     assert len(out) == 1 and out[0].v == 3.0
+
+
+def test_resample_ffill_timestamp_ntz(spark):
+    """TIMESTAMP_NTZ inputs (what a bare parquet read often yields) work —
+    the epoch path routes through a TIMESTAMP cast (NTZ has no direct
+    double cast)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 10.0), (1, "2024-01-01 00:00:25", 20.0)],
+        "k long, s string, v double",
+    ).select("k", F.col("s").cast("timestamp_ntz").alias("ts"), "v")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = {r.grid_ts.second: r.v for r in resample_ffill(df, "k", "ts", ["v"], 10).collect()}
+    assert out == {0: 10.0, 10: 10.0, 20: 20.0}

@@ -62,12 +62,15 @@ def _rank_tree(c: Column, uniq: list[float], lo: int, hi: int) -> Column:
 
 def _as_double(df: DataFrame, col: str) -> Column:
     """Rank-comparable double view of a column: DATE goes through
-    unix_date (a straight CAST(date AS DOUBLE) is a type error),
-    everything else (numerics, timestamps) casts directly."""
+    unix_date and TIMESTAMP_NTZ through a TIMESTAMP cast (both direct
+    double casts are type errors; the session tz is pinned UTC, so ntz
+    values read as UTC instants), everything else casts directly."""
     dtype = dict(df.dtypes)[col]
     c = F.col(col)
     if dtype == "date":
         return F.unix_date(c).cast("double")
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
     return c.cast("double")
 
 

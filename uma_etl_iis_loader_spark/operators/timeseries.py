@@ -50,8 +50,10 @@ def resample_ffill(
     # fractional epoch (cast to double keeps microseconds) —
     # unix_timestamp would TRUNCATE to whole seconds, making two
     # sub-second observations tie and the struct-max pick by value
-    # instead of recency
-    epoch = F.col(ts_col).cast("double")
+    # instead of recency. TIMESTAMP_NTZ has no direct double cast: route
+    # through TIMESTAMP (session tz is pinned UTC, so ntz values read as
+    # UTC instants; a no-op for ltz inputs).
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
     bucket = (F.floor(epoch / step_s) * step_s).cast("long")
 
     obs = df.select(
