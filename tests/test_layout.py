@@ -205,3 +205,42 @@ def test_file_stats_date_column_pruning(spark, tmp_path):
         r.payload for r in want.collect()
     )
     assert want.count() > 0
+
+
+def test_file_stats_incremental_refresh_law(spark, tmp_path):
+    """Footer stats are per-file and immutable, so the incremental
+    refresh is a pure union: stats(all files) == stats(before append) ∪
+    stats(new files only) — no rebuild over the old files."""
+    from uma_etl_iis_loader_spark.operators.layout import collect_file_stats
+
+    path = str(tmp_path / "inc")
+    spark.range(0, 5000).selectExpr("id as x", "id % 97 as y").repartition(
+        4
+    ).write.parquet(path)
+    before = collect_file_stats(spark, path, ["x", "y"])
+    old_files = {r.file for r in before.select("file").distinct().collect()}
+
+    spark.range(5000, 9000).selectExpr("id as x", "id % 97 as y").repartition(
+        3
+    ).write.mode("append").parquet(path)
+    full = collect_file_stats(spark, path, ["x", "y"])
+    new_files = {
+        r.file for r in full.select("file").distinct().collect()
+    } - old_files
+    assert new_files  # the append added files
+
+    # stats over ONLY the new files (what an incremental refresh reads)
+    import pandas as pd
+
+    full_pd = full.toPandas().sort_values(["file", "col"]).reset_index(drop=True)
+    union_pd = (
+        pd.concat(
+            [
+                before.toPandas(),
+                full.toPandas()[lambda d: d["file"].isin(new_files)],
+            ]
+        )
+        .sort_values(["file", "col"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full_pd, union_pd)

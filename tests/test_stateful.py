@@ -139,3 +139,80 @@ def test_pack_stream_position_survives_checkpointed_restart(spark, sf_dir):
         for r in pack_sequences(full, budget=512).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_funnel_stream_matches_batch_across_restarts(spark, sf_dir):
+    """Streaming funnel == batch funnel when shards land in event-time
+    order: early half streamed (one availableNow run), late half added,
+    second run resumes from the checkpoint — final per-key chains equal
+    funnel_steps over the full fixture."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    events = read_fixture(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(steps)
+    )
+    cut = events.select(
+        F.expr("CAST(percentile(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE), 0.5) AS TIMESTAMP)")
+    ).collect()[0][0]
+
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    ckpt = tempfile.mkdtemp(prefix="funnel_ckpt_")
+    try:
+        events.filter(F.col("ts") <= F.lit(cut)).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        def run(name):
+            # foreachBatch (memory sinks cannot recover from a
+            # checkpoint); each availableNow run appends its emissions
+            emitted = []
+
+            def sink(batch_df, _batch_id):
+                emitted.extend(batch_df.collect())
+
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            q = (
+                funnel_stream(stream, steps)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            out = {}
+            for r in emitted:  # later emissions (deeper chains) win
+                cur = out.get(r.user_id)
+                if cur is None or r.depth >= cur[0]:
+                    out[r.user_id] = (r.depth, r.t_1, r.t_2, r.t_3)
+            return out
+
+        first = run("funnel_run1")
+        # late shard lands (strictly after the cut — in-order delivery)
+        late_dir = tempfile.mkdtemp(prefix="funnel_late_")
+        events.filter(F.col("ts") > F.lit(cut)).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(late_dir)
+        for f in os.listdir(late_dir):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(late_dir, f), os.path.join(src, "late_" + f))
+        second = run("funnel_run2")
+        assert second  # the late shard really extended/emitted chains
+
+        merged = {**first, **second}
+        want = {
+            r.user_id: (r.depth, r.t_1, r.t_2, r.t_3)
+            for r in funnel_steps(events, steps).collect()
+        }
+        assert merged == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -143,3 +143,95 @@ def pack_sequences_stream(docs: DataFrame, budget: int = 512) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel — ordered per-key chain state
+# ---------------------------------------------------------------------------
+
+
+def _make_funnel_updater(steps, key_col, event_col, ts_col):
+    n = len(steps)
+
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout in practice
+            state.remove()
+            return
+        chain = list(state.get) if state.exists else [None] * n
+        parts = list(pdfs)
+        pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+        # event-time order within the batch (stable sort: equal
+        # timestamps keep arrival order; the strict > guard makes the
+        # outcome identical either way)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        for ev, t in zip(pdf[event_col], pdf[ts_col]):
+            # first unset step this event can advance (a scan, not a
+            # dict: funnels may repeat a step name, e.g. view -> view)
+            for j in range(n):
+                if steps[j] != ev or chain[j] is not None:
+                    continue
+                if j == 0:
+                    chain[0] = t
+                elif chain[j - 1] is not None and t > chain[j - 1]:
+                    chain[j] = t
+                break
+        if chain[0] is None:
+            return  # not in the cohort yet — keep no state
+        state.update(tuple(chain))
+        row = {key_col: key[0]}
+        for j in range(n):
+            row[f"t_{j + 1}"] = chain[j]
+        row["depth"] = sum(1 for v in chain if v is not None)
+        yield pd.DataFrame([row])
+
+    return _update
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps,
+    key: str = "user_id",
+    event_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming face of ``operators.funnel.funnel_steps``: the per-key
+    chain (t_1..t_n, depth) maintained incrementally as events land —
+    update-mode emissions re-state a key's current chain whenever one of
+    its step events arrives.
+
+    Exactness contract: equal to the batch funnel when delivery is
+    event-time ordered ACROSS micro-batches (within a batch, events are
+    sorted before applying). A chain anchor already set is never
+    revisited, so a late out-of-order event that would have LOWERED an
+    anchor (an earlier view arriving after a click was accepted) is not
+    applied retroactively — the documented trade for O(steps) state per
+    key; exact late-tolerant funnels re-run the batch operator over
+    landed data behind the watermark. State: n nullable timestamps per
+    key, no timeout (funnels are usually bounded cohorts; add an
+    event-time timeout for unbounded key spaces).
+
+    Batch inputs delegate to the batch operator (same output schema
+    modulo column order).
+    """
+    steps = list(steps)
+    if not events.isStreaming:
+        from ..operators.funnel import funnel_steps
+
+        return funnel_steps(events, steps, key=key, event_col=event_col, ts_col=ts_col)
+    out_schema = (
+        f"{key} long, "
+        + ", ".join(f"t_{j + 1} timestamp" for j in range(len(steps)))
+        + ", depth int"
+    )
+    state_schema = ", ".join(f"t_{j + 1} timestamp" for j in range(len(steps)))
+    return (
+        events.filter(F.col(event_col).isin(steps))
+        .groupBy(key)
+        .applyInPandasWithState(
+            _make_funnel_updater(steps, key, event_col, ts_col),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
