@@ -94,3 +94,136 @@ def test_funnel_deterministic_under_repartition(spark):
         ).collect()
     }
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_golden(spark):
+    from uma_etl_iis_loader_spark.operators.funnel import cohort_retention
+
+    def _sec(s):
+        return datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    # epoch bucket base for 2024-01-01 00:00 (UTC), period = 60 s
+    base = 1_704_067_200
+    # users 1,2 start in period 0; user 3 starts period 1
+    rows = [
+        (1, _sec(5)), (1, _sec(65)),    # active periods 0, 1
+        (2, _sec(10)),                  # active period 0 only
+        (3, _sec(70)), (3, _sec(190)),  # starts period 1, back at rel 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort - base, r.period): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(df, period_s=60).collect()
+    }
+    assert out == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (1, 2, 0.5),
+        (60, 0): (1, 1, 1.0),
+        (60, 2): (1, 1, 1.0),
+    }
+
+
+def test_cohort_retention_matches_brute_force(spark):
+    """Random activity vs a python recomputation of the matrix; period-0
+    retention is always 1.0 and max_periods bounds the output."""
+    import random
+    from collections import defaultdict
+
+    from uma_etl_iis_loader_spark.operators.funnel import cohort_retention
+
+    rng = random.Random(9)
+    # random second in [0, 600)
+    rows = [
+        (u, datetime(2024, 1, 1, 0, rng.randrange(0, 10), rng.randrange(0, 60)))
+        for u in range(60)
+        for _ in range(5)
+    ]
+    period = 120
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort, r.period): (r.n_active, r.n_cohort)
+        for r in cohort_retention(df, period_s=period, max_periods=3).collect()
+    }
+
+    base = datetime(1970, 1, 1)
+    per_user = defaultdict(set)
+    for u, t in rows:
+        per_user[u].add(int((t - base).total_seconds()) // period * period)
+    firsts = {u: min(ps) for u, ps in per_user.items()}
+    cohort_n = defaultdict(int)
+    for u, c in firsts.items():
+        cohort_n[c] += 1
+    want = defaultdict(int)
+    for u, ps in per_user.items():
+        c = firsts[u]
+        for p in ps:
+            rel = (p - c) // period
+            if rel <= 3:
+                want[(c, rel)] += 1
+    expected = {k: (n, cohort_n[k[0]]) for k, n in want.items()}
+    assert got == expected
+    for (c, p), (n_active, n_cohort) in got.items():
+        if p == 0:
+            assert n_active == n_cohort
+        assert p <= 3
+
+
+def test_funnel_property_matches_python_reference(spark):
+    """Hypothesis: for arbitrary small event sets, funnel_steps equals a
+    direct python evaluation of the chain definition."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    event = st.tuples(
+        st.integers(min_value=1, max_value=4),               # user
+        st.sampled_from(["view", "click", "purchase", "x"]),  # type
+        st.integers(min_value=0, max_value=30),              # minute
+    )
+
+    def reference(rows, steps):
+        out = {}
+        users = {u for u, e, _ in rows if e == steps[0]}
+        for u in users:
+            chain = []
+            prev = None
+            for s in steps:
+                cand = [
+                    m for uu, e, m in rows
+                    if uu == u and e == s and (prev is None or m > prev)
+                ]
+                if not cand:
+                    break
+                prev = min(cand)
+                chain.append(prev)
+            if chain:
+                out[u] = (len(chain), chain + [None] * (len(steps) - len(chain)))
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(event, min_size=1, max_size=20))
+    def inner(rows):
+        steps = ["view", "click", "purchase"]
+        df = spark.createDataFrame(
+            [(u, e, _ts(m)) for u, e, m in rows],
+            "user_id long, event_type string, ts timestamp",
+        )
+        got = {
+            r.user_id: (r.depth, [r.t_1, r.t_2, r.t_3])
+            for r in funnel_steps(df, steps).collect()
+        }
+        want = {
+            u: (d, [(_ts(m) if m is not None else None) for m in chain])
+            for u, (d, chain) in reference(rows, steps).items()
+        }
+        assert got == want
+
+    inner()

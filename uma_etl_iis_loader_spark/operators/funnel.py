@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps"]
+__all__ = ["cohort_retention", "funnel_steps"]
 
 
 def funnel_steps(
@@ -72,3 +72,55 @@ def funnel_steps(
     for i in range(2, len(steps) + 1):
         depth = depth + F.col(f"t_{i}").isNotNull().cast("int")
     return out.withColumn("depth", depth.cast("int"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86_400,
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: (cohort bigint, period int, n_active
+    bigint, n_cohort bigint, retention double) — cohort = the period
+    (epoch-seconds bucket of ``period_s``) of a key's FIRST activity,
+    ``n_active`` = distinct keys of that cohort active again exactly
+    ``period`` periods later (period 0 = the cohort size itself,
+    retention 1.0 by construction).
+
+    Plan shape: one min-agg for first-activity (map-side partial), one
+    distinct over (key, period-bucket) — activity collapses to ≤
+    max_periods+1 rows per key BEFORE the join — then a broadcast-size
+    cohort join and one count agg. Shuffles scale with distinct
+    (key, period) pairs, never raw events; ``max_periods`` bounds the
+    matrix (later activity is simply not reported, not wrong).
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    bucket = (F.floor(epoch / period_s) * period_s).cast("long")
+    activity = events.select(F.col(key), bucket.alias("__p")).distinct()
+    firsts = activity.groupBy(key).agg(F.min("__p").alias("cohort"))
+    cohort_sizes = firsts.groupBy("cohort").agg(
+        F.count("*").alias("n_cohort")
+    )
+    joined = (
+        activity.join(firsts, key)
+        .select(
+            "cohort",
+            ((F.col("__p") - F.col("cohort")) / period_s).cast("int").alias("period"),
+            F.col(key),
+        )
+        .filter(F.col("period") <= max_periods)
+        .distinct()
+    )
+    return (
+        joined.groupBy("cohort", "period")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort")
+        .select(
+            "cohort",
+            "period",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )
