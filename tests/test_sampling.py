@@ -223,3 +223,59 @@ def test_negative_sample_spread(spark):
     assert max(counts.values()) <= mean * 15  # loose, catches degeneracy
     # a healthy fraction of the corpus gets sampled at all
     assert len(counts) > 150
+
+
+def test_weighted_sample_contract(spark):
+    """Exactly k rows, deterministic under repartition, zero/NULL weights
+    excluded, and the plan is a TakeOrdered top-k (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("item_id"),
+        F.when(F.col("id") == 0, F.lit(None).cast("double"))
+        .when(F.col("id") == 1, F.lit(0.0))
+        .otherwise((F.col("id") % 7 + 1).cast("double"))
+        .alias("w"),
+    )
+    s1 = {r.item_id for r in weighted_sample(df, "item_id", "w", 50).collect()}
+    s2 = {
+        r.item_id
+        for r in weighted_sample(df.repartition(11), "item_id", "w", 50).collect()
+    }
+    assert s1 == s2 and len(s1) == 50
+    assert 0 not in s1 and 1 not in s1  # NULL and zero weight excluded
+    plan = (
+        weighted_sample(df, "item_id", "w", 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_respects_weights(spark):
+    """Across seeds, heavy items (w=9) are sampled ~9x as often as light
+    items (w=1) — the A-Res inclusion-probability property (loose bound,
+    catches inverted or ignored weights)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("item_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(9.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    heavy = light = 0
+    for seed in range(12):
+        for r in weighted_sample(df, "item_id", "w", 40, seed=seed).collect():
+            if r.item_id % 2 == 0:
+                heavy += 1
+            else:
+                light += 1
+    assert heavy + light == 12 * 40
+    ratio = heavy / max(light, 1)
+    assert ratio > 3.0, (heavy, light)  # ~9 expected; 3 is a loose floor

@@ -212,3 +212,38 @@ def negative_sample(
         .select(anchor_id, item_id)
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """k-item weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): each row draws ``key = u^(1/w)`` with ``u`` uniform in (0,1)
+    and the k largest keys win — inclusion odds proportional to weight,
+    exactly the quality-weighted corpus-selection recipe (w = a quality
+    score) without ever materializing a cumulative distribution.
+
+    Deterministic: ``u`` derives from ``xxhash64(id, seed)`` — same
+    inputs, same sample, any partitioning; vary ``seed`` for fresh
+    draws. Rows with weight <= 0 or NULL are excluded (zero weight =
+    never sampled). Scale shape: the sort-limit compiles to
+    TakeOrderedAndProject — partition-local top-k then a k-row merge on
+    the driver side of the exchange, never a global sort.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31)) + 0.5
+    ) / F.lit(float(1 << 31))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"))
+        .limit(k)
+        .drop("__wkey")
+    )
