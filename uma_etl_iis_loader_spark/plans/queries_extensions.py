@@ -2076,7 +2076,9 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordered-event funnel (conversion analysis)
 # ---------------------------------------------------------------------------
 
-_FUNNEL_ORACLE = """
+_RETENTION_PERIOD_S = 7 * 86_400  # weekly cohorts
+
+_FUNNEL_ORACLE = f"""
 WITH s1 AS (
     SELECT user_id, min(ts) AS ts1 FROM events
     WHERE event_type = 'view' GROUP BY 1
@@ -2088,34 +2090,73 @@ WITH s1 AS (
     SELECT e.user_id, min(e.ts) AS ts3
     FROM events e JOIN s2 USING (user_id)
     WHERE e.event_type = 'purchase' AND e.ts > s2.ts2 GROUP BY 1
+), act AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(floor(epoch(ts)) / {_RETENTION_PERIOD_S})
+                * {_RETENTION_PERIOD_S} AS BIGINT) AS p
+    FROM events
+), firsts AS (
+    SELECT user_id, min(p) AS cohort FROM act GROUP BY 1
+), sizes AS (
+    SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY 1
+), rel AS (
+    SELECT DISTINCT f.cohort,
+           CAST((a.p - f.cohort) / {_RETENTION_PERIOD_S} AS BIGINT) AS period,
+           a.user_id
+    FROM act a JOIN firsts f USING (user_id)
+    WHERE (a.p - f.cohort) / {_RETENTION_PERIOD_S} <= 12
 )
-SELECT s1.user_id,
-       CAST(floor(epoch(s1.ts1)) AS BIGINT) AS t1,
-       CAST(floor(epoch(s2.ts2)) AS BIGINT) AS t2,
-       CAST(floor(epoch(s3.ts3)) AS BIGINT) AS t3,
+SELECT 'funnel' AS method, s1.user_id AS id,
+       CAST(floor(epoch(s1.ts1)) AS BIGINT) AS v1,
+       CAST(floor(epoch(s2.ts2)) AS BIGINT) AS v2,
+       CAST(floor(epoch(s3.ts3)) AS BIGINT) AS v3,
        CAST(1 + CASE WHEN s2.ts2 IS NULL THEN 0 ELSE 1 END
-              + CASE WHEN s3.ts3 IS NULL THEN 0 ELSE 1 END AS INT) AS depth
+              + CASE WHEN s3.ts3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS v4
 FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+UNION ALL
+SELECT 'retention', r.cohort, r.period, count(*), s.n_cohort, NULL
+FROM rel r JOIN sizes s USING (cohort)
+GROUP BY r.cohort, r.period, s.n_cohort
 """
 
 
 @register("funnel_events", _FUNNEL_ORACLE)
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """view → click → purchase funnel over the events stream: per-user
-    earliest STRICTLY-ordered chain (t_i = min step-i time after
-    t_{i-1}), cohort = users who viewed; depth counts the reached
-    prefix. The oracle recomputes the chain with correlated min-joins —
-    the blocked per-step min-aggregation plan is driver-adjudicated
-    against the declarative definition. Timestamps exported as epoch
-    seconds (exact integers on both engines)."""
-    from ..operators.funnel import funnel_steps
+    """Event analytics over the events stream, method-tagged (one slot
+    adjudicates both operators):
+
+    - 'funnel' rows: view → click → purchase, per-user earliest
+      STRICTLY-ordered chain (t_i = min step-i time after t_{i-1}),
+      cohort = users who viewed; v1-v3 = step epochs, v4 = depth. The
+      oracle recomputes the chain with correlated min-joins — the
+      blocked per-step min-aggregation plan is adjudicated against the
+      declarative definition.
+    - 'retention' rows: weekly cohort retention
+      (`operators.funnel.cohort_retention`): id = cohort period, v1 =
+      relative period, v2 = distinct active users, v3 = cohort size
+      (v4 NULL; the retention ratio is v2/v3, not exported — engine
+      float division stays out of the hash).
+
+    Epochs as floor()'d integer seconds — exact on both engines."""
+    from ..operators.funnel import cohort_retention, funnel_steps
 
     events = read_fixture(spark, sf_dir, "events")
-    out = funnel_steps(events, ["view", "click", "purchase"])
-    return out.select(
-        "user_id",
-        F.unix_timestamp("t_1").alias("t1"),
-        F.unix_timestamp("t_2").alias("t2"),
-        F.unix_timestamp("t_3").alias("t3"),
-        "depth",
+    funnel = funnel_steps(events, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("method"),
+        F.col("user_id").alias("id"),
+        F.unix_timestamp("t_1").alias("v1"),
+        F.unix_timestamp("t_2").alias("v2"),
+        F.unix_timestamp("t_3").alias("v3"),
+        F.col("depth").cast("long").alias("v4"),
     )
+    retention = cohort_retention(
+        events, period_s=_RETENTION_PERIOD_S, max_periods=12
+    ).select(
+        F.lit("retention").alias("method"),
+        F.col("cohort").alias("id"),
+        F.col("period").cast("long").alias("v1"),
+        F.col("n_active").alias("v2"),
+        F.col("n_cohort").alias("v3"),
+        F.lit(None).cast("long").alias("v4"),
+    )
+    return funnel.unionByName(retention)
