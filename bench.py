@@ -212,23 +212,55 @@ def main() -> None:
     # driver adjudication slot) still get a recorded timing here so the
     # round artifact shows they run at sf0.1, not just on toy test data.
     extras = _run_extras(spark, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total + setup_total + fixture_setup_s, 3),
-                "unit": "sec",
-                "queries": times,
-                "setup": setups,
-                "setup_total_s": round(setup_total, 3),
-                "query_total_s": round(total, 3),
-                "fixture_setup_s": fixture_setup_s,
-                "sf": float(sf),
-                "scale_step_sf1": scale_step,
-                "extras": extras,
-            }
-        )
+
+    # Full detail goes to a sidecar file (committed to the repo): per-query
+    # setup split, extras timings, and the embedded 10x scale-step. The
+    # driver's artifact capture keeps only the last ~2,000 chars of stdout,
+    # so the FINAL stdout line must be a compact JSON that fits — totals +
+    # the per-query map only. (Rounds 4-5 lost the per-query evidence to
+    # tail truncation when everything was inlined in one giant line.)
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total + setup_total + fixture_setup_s, 3),
+        "unit": "sec",
+        "queries": times,
+        "setup": setups,
+        "setup_total_s": round(setup_total, 3),
+        "query_total_s": round(total, 3),
+        "fixture_setup_s": fixture_setup_s,
+        "sf": float(sf),
+        "scale_step_sf1": scale_step,
+        "extras": extras,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:  # read-only checkout: detail is best-effort
+        print(f"could not write {detail_path}: {e}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total + setup_total + fixture_setup_s, 3),
+        "unit": "sec",
+        "queries": times,
+        "setup_total_s": round(setup_total, 3),
+        "query_total_s": round(total, 3),
+        "fixture_setup_s": fixture_setup_s,
+        "sf": float(sf),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # hard fallback so the artifact ALWAYS parses: drop the per-query
+        # map (it stays in BENCH_DETAIL.json) rather than risk truncation
+        compact.pop("queries")
+        compact["queries_dropped_see_detail"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _run_extras(spark, sf_dir: str) -> dict[str, float]:

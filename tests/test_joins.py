@@ -270,3 +270,71 @@ def test_fuzzy_lookup_property_random_corpora(spark):
         _fuzzy_property_check(spark, names, fact_keys, d)
 
     inner()
+
+
+def test_bloom_filter_params_from_frame_override_mismatch(spark):
+    """The bloom frame carries num_bits/num_hashes, so a caller passing
+    WRONG fallback parameters still gets zero false negatives — the
+    embedded build-time parameters win (ADVICE r5)."""
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 300).select((F.col("id") * 2).alias("k"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bloom = build_bloom(dim, "k", num_bits=1 << 14, num_hashes=4)
+    assert {"bits", "num_bits", "num_hashes"} <= set(bloom.columns)
+    # deliberately mismatched fallback args — must be ignored
+    kept = {
+        r.k
+        for r in bloom_semi_filter(
+            probe, bloom, "k", num_bits=1 << 20, num_hashes=7
+        ).collect()
+    }
+    members = {r.k for r in dim.collect() if r.k < 2000}
+    assert members <= kept  # superset guarantee survives the mismatch
+
+
+def test_bloom_filter_probe_with_bits_column(spark):
+    """A probe frame that already owns a `bits` column passes through
+    untouched — the broadcast filter columns use collision-safe internal
+    names (ADVICE r5)."""
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame(
+        [(1, "a"), (999, "b")], "k long, bits string"
+    )
+    bloom = build_bloom(dim, "k", num_bits=1 << 10, num_hashes=3)
+    rows = bloom_semi_filter(probe, bloom, "k").collect()
+    assert {r.k: r.bits for r in rows}[1] == "a"
+    assert "bits" in bloom_semi_filter(probe, bloom, "k").columns
+
+
+def test_bloom_filter_missing_meta_requires_params(spark):
+    """Legacy bloom frames (bits only) need explicit fallback params;
+    omitting them is a loud error, not a silent wrong answer."""
+    import pytest
+
+    from uma_etl_iis_loader_spark.operators.joins import (
+        bloom_semi_filter,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (999,)], "k long")
+    legacy = build_bloom(dim, "k", num_bits=1 << 10, num_hashes=3).select("bits")
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_semi_filter(probe, legacy, "k")
+    kept = {
+        r.k
+        for r in bloom_semi_filter(
+            probe, legacy, "k", num_bits=1 << 10, num_hashes=3
+        ).collect()
+    }
+    assert 1 in kept

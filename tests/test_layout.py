@@ -244,3 +244,36 @@ def test_file_stats_incremental_refresh_law(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(full_pd, union_pd)
+
+
+def test_file_stats_tolerates_missing_column(spark, tmp_path):
+    """Schema drift across the file set: a file missing a tracked column
+    yields NULL stats for that column (conservatively unprunable)
+    instead of failing the executor task (ADVICE r5)."""
+    from uma_etl_iis_loader_spark.operators.layout import (
+        collect_file_stats,
+        prune_files,
+    )
+
+    path = str(tmp_path / "drift")
+    spark.range(0, 100).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+    ).coalesce(1).write.parquet(path)
+    # a second file WITHOUT column y (mergeSchema read still works)
+    spark.range(100, 200).select(F.col("id").alias("x")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    stats = collect_file_stats(spark, path, ["x", "y"]).cache()
+    # every file reports both tracked columns; y is NULL where absent
+    per_file = {
+        (r.file, r.col): (r.min_val, r.max_val) for r in stats.collect()
+    }
+    files = {f for f, _ in per_file}
+    assert len(files) == 2
+    y_stats = [per_file[(f, "y")] for f in files]
+    assert any(mn is None and mx is None for mn, mx in y_stats)
+    assert any(mn is not None for mn, mx in y_stats)
+    # NULL-stats file is unprunable on y: a y-box keeps it
+    kept = prune_files(stats, {"y": (1e9, 2e9)})
+    assert any(per_file[(f, "y")] == (None, None) for f in kept)

@@ -216,3 +216,59 @@ def test_funnel_stream_matches_batch_across_restarts(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_funnel_stream_string_key(spark):
+    """The streaming funnel derives the key column's output type from the
+    input schema — string user ids work end-to-end (ADVICE r5: the type
+    was hardcoded `long`)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click"]
+    rows = [
+        ("alice", "view", "2024-01-01 10:00:00"),
+        ("alice", "click", "2024-01-01 10:05:00"),
+        ("bob", "view", "2024-01-01 11:00:00"),
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = tempfile.mkdtemp(prefix="funnel_str_src_")
+    ckpt = tempfile.mkdtemp(prefix="funnel_str_ckpt_")
+    try:
+        batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+        emitted = []
+
+        def sink(bdf, _bid):
+            emitted.extend(bdf.collect())
+
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            funnel_stream(stream, steps)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {}
+        for r in emitted:
+            cur = got.get(r.user_id)
+            if cur is None or r.depth >= cur[0]:
+                got[r.user_id] = (r.depth, r.t_1, r.t_2)
+        want = {
+            r.user_id: (r.depth, r.t_1, r.t_2)
+            for r in funnel_steps(batch_df, steps).collect()
+        }
+        assert got == want and got["alice"][0] == 2 and got["bob"][0] == 1
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

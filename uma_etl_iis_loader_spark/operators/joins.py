@@ -200,6 +200,15 @@ def fuzzy_lookup(
     ``dim_id`` — an exact (distance-0) match always beats a fuzzy one.
     Unmatched facts keep ``NULL``.
 
+    Empty-key policy (documented divergence from the raw cross-product
+    definition): fact keys that normalize to ``""`` (and dim names that
+    do) are EXCLUDED and resolve to NULL, even though a brute-force
+    ``levenshtein('', name) <= max_dist`` would match any dim name of
+    length ≤ max_dist. An absent key carries no linkage signal — "match
+    the empty string to whichever 1-character code has the smallest id"
+    is a record-linkage bug, not a resolution. Callers who want the
+    literal levenshtein semantics can pre-substitute a sentinel key.
+
     Scale shape (no all-pairs): candidates come from the SymSpell
     deletion-neighborhood block — both sides explode their ≤max_dist
     deletion variants and equi-join on ``xxhash64(variant)`` (8-byte
@@ -282,14 +291,18 @@ def build_bloom(
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
 ) -> DataFrame:
-    """ONE-row DataFrame ``(bits: array<bigint>)`` — a bloom filter over
-    ``keys[key_col]`` as a dense little-endian word array of
-    ``num_bits/64`` longs. Build shape: explode ``num_hashes`` positions
-    per key (narrow), ``bit_or`` by word index (one shuffle over ≤
-    num_bits/64 groups with map-side partial OR), then assemble the
-    dense array via a sorted collect into the single output row.
-    num_bits=2^23 / 5 hashes holds ~1M keys at ≲3% false-positive rate;
-    size num_bits ≈ 10×|keys| for ~1%."""
+    """ONE-row DataFrame ``(bits: array<bigint>, num_bits: bigint,
+    num_hashes: int)`` — a bloom filter over ``keys[key_col]`` as a dense
+    little-endian word array of ``num_bits/64`` longs, with the sizing
+    parameters carried IN the frame so :func:`bloom_semi_filter` always
+    probes with the exact parameters the filter was built with (a
+    caller-supplied mismatch would silently produce false negatives).
+    Build shape: explode ``num_hashes`` positions per key (narrow),
+    ``bit_or`` by word index (one shuffle over ≤ num_bits/64 groups with
+    map-side partial OR), then assemble the dense array via a sorted
+    collect into the single output row. num_bits=2^23 / 5 hashes holds
+    ~1M keys at ≲3% false-positive rate; size num_bits ≈ 10×|keys| for
+    ~1%."""
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
     num_words = num_bits // 64
@@ -318,7 +331,9 @@ def build_bloom(
         F.array_sort(F.collect_list(F.struct("__word", "__bits"))).alias("__sp")
     )
     return packed.select(
-        F.transform(F.col("__sp"), lambda s: s.getField("__bits")).alias("bits")
+        F.transform(F.col("__sp"), lambda s: s.getField("__bits")).alias("bits"),
+        F.lit(num_bits).cast("bigint").alias("num_bits"),
+        F.lit(num_hashes).cast("int").alias("num_hashes"),
     )
 
 
@@ -326,8 +341,8 @@ def bloom_semi_filter(
     probe: DataFrame,
     bloom: DataFrame,
     key_col: str,
-    num_bits: int = 1 << 23,
-    num_hashes: int = 5,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Drop probe rows whose key is definitely NOT in the bloom filter
     (``bloom`` = the one-row frame from :func:`build_bloom`, broadcast).
@@ -337,19 +352,51 @@ def bloom_semi_filter(
     its result, it only shrinks what gets shuffled. NULL keys are kept
     (their join behavior is the downstream operator's business).
 
+    Probe parameters come FROM the bloom frame's ``num_bits``/
+    ``num_hashes`` columns (written by :func:`build_bloom`), so a
+    mismatched probe configuration — which would silently drop matching
+    rows — cannot happen. The ``num_bits``/``num_hashes`` arguments are
+    only a fallback for bloom frames persisted before the parameters were
+    embedded; when both the columns and the arguments are present the
+    columns win. The membership test is a ``forall`` over
+    ``sequence(0, num_hashes - 1)``, entirely JVM-side, evaluated against
+    the broadcast one-row frame — no per-parameter literals baked into
+    the plan.
+
     The probe key column must have the SAME data type as the build-side
     key: xxhash64 hashes by type, so an int-vs-bigint mismatch silently
     hashes differently and breaks the no-false-negative guarantee — cast
     one side before calling (the joined columns would need that cast
     anyway)."""
-    f = probe.crossJoin(F.broadcast(bloom))
-    cond = F.col(key_col).isNull()
-    member = None
-    for i in range(num_hashes):
-        p = f"pmod(xxhash64(`{key_col}`, {i}), {num_bits})"
-        hit = F.expr(
-            f"(element_at(bits, CAST({p} DIV 64 AS INT) + 1) & "
-            f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+    have_meta = "num_bits" in bloom.columns and "num_hashes" in bloom.columns
+    if have_meta:
+        b = bloom.select(
+            F.col("bits").alias("__bloom_bits"),
+            F.col("num_bits").cast("bigint").alias("__bloom_nbits"),
+            F.col("num_hashes").cast("int").alias("__bloom_nh"),
         )
-        member = hit if member is None else (member & hit)
-    return f.filter(cond | member).drop("bits")
+    else:
+        if num_bits is None or num_hashes is None:
+            raise ValueError(
+                "bloom frame lacks num_bits/num_hashes columns and no "
+                "fallback parameters were passed — rebuild with build_bloom "
+                "or pass the exact build-time num_bits/num_hashes"
+            )
+        b = bloom.select(
+            F.col("bits").alias("__bloom_bits"),
+            F.lit(num_bits).cast("bigint").alias("__bloom_nbits"),
+            F.lit(num_hashes).cast("int").alias("__bloom_nh"),
+        )
+    f = probe.crossJoin(F.broadcast(b))
+    # one bit test per seed; seeds are INT (matching build_bloom's
+    # explode(sequence(...)) seed type so xxhash64 agrees bit-for-bit)
+    member = F.expr(
+        f"forall(sequence(0, __bloom_nh - 1), i -> "
+        f"(element_at(__bloom_bits, "
+        f"CAST(pmod(xxhash64(`{key_col}`, i), __bloom_nbits) DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(pmod(xxhash64(`{key_col}`, i), __bloom_nbits) % 64 AS INT))) != 0)"
+    )
+    return f.filter(F.col(key_col).isNull() | member).drop(
+        "__bloom_bits", "__bloom_nbits", "__bloom_nh"
+    )

@@ -229,6 +229,13 @@ def collect_file_stats(
                     g = md.row_group(rg)
                     rows += g.num_rows
                     for c in cols:
+                        # a file missing a tracked column (schema drift
+                        # across the file set) keeps NULL stats for it —
+                        # prune_files treats NULL min/max as unprunable,
+                        # so the read stays conservative instead of the
+                        # task dying on names.index()
+                        if c not in names:
+                            continue
                         st = g.column(names.index(c)).statistics
                         if st is None:
                             continue

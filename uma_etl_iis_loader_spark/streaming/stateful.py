@@ -218,8 +218,11 @@ def funnel_stream(
         from ..operators.funnel import funnel_steps
 
         return funnel_steps(events, steps, key=key, event_col=event_col, ts_col=ts_col)
+    # the key column keeps the input's type (string user ids are as
+    # common as longs); hardcoding `long` here crashed non-long keys
+    key_ddl = events.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} long, "
+        f"{key} {key_ddl}, "
         + ", ".join(f"t_{j + 1} timestamp" for j in range(len(steps)))
         + ", depth int"
     )
