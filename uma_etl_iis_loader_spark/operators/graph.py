@@ -110,13 +110,19 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "node")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
-        if delta < tol:
-            break
+        # tol<=0 means "run exactly max_iter rounds" — skip the L1-delta
+        # action entirely (one fewer job per round; at small scale the
+        # per-round cost is job overhead, not data)
+        if tol > 0:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

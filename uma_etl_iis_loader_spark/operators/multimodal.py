@@ -107,12 +107,138 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1].copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PNG — stdlib only
+    (struct + zlib): IHDR (8-bit, color type 2 truecolor,
+    non-interlaced), one zlib-compressed IDAT of filter-0 scanlines,
+    IEND, with correct per-chunk CRC32s per the public PNG spec."""
+    import struct
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects an (h, w, 3) uint8 array")
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, channels) uint8 array — the stdlib
+    compressed-format rung (zlib inflate + per-scanline unfilter).
+    Supports 8-bit non-interlaced grayscale (1ch), gray+alpha (2ch),
+    RGB (3ch) and RGBA (4ch), with ALL five scanline filters (None /
+    Sub / Up / Average / Paeth) reconstructed per the PNG spec; chunk
+    CRCs are verified. Raises ``ValueError`` on anything else (palette,
+    16-bit, interlaced, truncated, corrupt) — corrupt media fails loudly
+    at the decode boundary.
+
+    Filter-0 rows reconstruct vectorized; Sub/Average/Paeth rows fall to
+    a per-byte loop (their recurrence is serial in the pixel index) —
+    fine for the metadata/stats kernels this rung feeds; filter-heavy
+    high-res corpora should use the PIL/torchvision rung."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); 8-bit non-interlaced "
+            f"gray/gray+alpha/RGB/RGBA only"
+        )
+    if w == 0 or h == 0:
+        raise ValueError("degenerate PNG dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for r in range(h):
+        f = int(arr[r, 0])
+        line = arr[r, 1:].astype(np.int64)
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            rec = line
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[r] = rec
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
 def decode_image(payload: bytes):
-    """Real image decode, two rungs:
+    """Real image decode, three rungs:
 
     - uncompressed 24-bit BMP → stdlib byte slicing (:func:`decode_bmp`),
       returns an (h, w, 3) uint8 RGB numpy array — executes in this
       codec-less container, so the real-decode path is tested here.
+    - 8-bit non-interlaced PNG → stdlib zlib + unfilter
+      (:func:`decode_png`), (h, w, channels) uint8 — the real
+      COMPRESSED-format rung, also codec-less.
     - anything else → PIL when importable (production rung), else
       ``NotImplementedError``.
 
@@ -130,12 +256,21 @@ def decode_image(payload: bytes):
             # payload PIL could decode
             if _try_import_pillow() is None:
                 raise
+    if payload[:8] == _PNG_SIG:
+        try:
+            return decode_png(payload)
+        except ValueError:
+            # a PNG class outside the stdlib rung (palette, 16-bit,
+            # interlaced): fall through to PIL when available
+            if _try_import_pillow() is None:
+                raise
     pillow = _try_import_pillow()
     if pillow is None:
         raise NotImplementedError(
-            "decoding non-BMP images requires a codec library (PIL) not "
-            "present in this container; use encode_bmp/decode_bmp or "
-            "fake_decode_features for plumbing tests"
+            "decoding non-BMP/PNG images requires a codec library (PIL) "
+            "not present in this container; use encode_bmp/decode_bmp, "
+            "encode_png/decode_png, or fake_decode_features for plumbing "
+            "tests"
         )
     import io as _io
 
@@ -193,35 +328,51 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_bmp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
-    """Deterministic synthetic BMP per id (the fixture corpus has no real
-    image bytes): dims w = 4 + id % 5, h = 3 + id % 4; channel values are
-    fixed affine functions of (id, row, col) mod 256 — so pixel sums are
-    reproducible in ANSI SQL and the decode path is oracle-adjudicable.
-    Encoding runs through the real :func:`encode_bmp`."""
+def _synthetic_pixels(i: int) -> np.ndarray:
+    """Deterministic synthetic image for id ``i``: dims w = 4 + i % 5,
+    h = 3 + i % 4; channel values are fixed affine functions of
+    (id, row, col) mod 256 — so pixel sums are reproducible in ANSI SQL
+    and decode paths are oracle-adjudicable."""
+    w, h = 4 + i % 5, 3 + i % 4
+    r_idx = np.arange(h, dtype=np.int64)[:, None]
+    c_idx = np.arange(w, dtype=np.int64)[None, :]
+    return np.stack(
+        [
+            (i + 11 * r_idx + 13 * c_idx) % 256,  # R
+            (i + 5 * r_idx + 7 * c_idx) % 256,  # G
+            (i + 2 * r_idx + 3 * c_idx) % 256,  # B
+        ],
+        axis=2,
+    ).astype(np.uint8)
 
+
+def _synthesize_assets(ids: DataFrame, id_col: str, encoder) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, rr in pdf.iterrows():
-                i = int(rr[id_col])
-                w, h = 4 + i % 5, 3 + i % 4
-                r_idx = np.arange(h, dtype=np.int64)[:, None]
-                c_idx = np.arange(w, dtype=np.int64)[None, :]
-                px = np.stack(
-                    [
-                        (i + 11 * r_idx + 13 * c_idx) % 256,  # R
-                        (i + 5 * r_idx + 7 * c_idx) % 256,  # G
-                        (i + 2 * r_idx + 3 * c_idx) % 256,  # B
-                    ],
-                    axis=2,
-                ).astype(np.uint8)
-                out.append((i, encode_bmp(px)))
+            out = [
+                (int(rr[id_col]), encoder(_synthetic_pixels(int(rr[id_col]))))
+                for _, rr in pdf.iterrows()
+            ]
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         synth, "asset_id long, payload binary"
     )
+
+
+def synthesize_bmp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic synthetic BMP per id (see :func:`_synthetic_pixels`
+    for the oracle-reproducible pixel formula). Encoding runs through the
+    real :func:`encode_bmp`."""
+    return _synthesize_assets(ids, id_col, encode_bmp)
+
+
+def synthesize_png_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic synthetic PNG per id — same pixel formula as the BMP
+    synth, encoded through the real :func:`encode_png` (zlib-compressed),
+    so the compressed-format decode rung is exercised end-to-end with
+    oracle-recomputable pixel sums."""
+    return _synthesize_assets(ids, id_col, encode_png)
 
 
 def fake_decode_features(docs: DataFrame, n_features: int = 16) -> DataFrame:

@@ -138,21 +138,57 @@ def _assign_centroid(
     return df.mapInPandas(kernel, schema)
 
 
-def _ivf_centroids(c: DataFrame, nlist: int):
-    """Deterministic centroid matrix (nlist × d, L2-normalized): the nlist
-    lowest hash-of-id corpus vectors. orderBy+limit executes as a
-    distributed top-k (no global sort); nlist rows are driver-sized by
-    construction — collect and ship as a closure matrix. No randomness:
-    reruns, the persisted index, and oracles all agree."""
+def _ivf_centroids(
+    c: DataFrame, nlist: int, refine_iters: int = 3, sample_mult: int = 64
+):
+    """Deterministic centroid matrix (nlist × d, L2-normalized).
+
+    Init: the ``nlist`` lowest hash-of-id corpus vectors (orderBy+limit
+    executes as a distributed top-k — no global sort). Refinement:
+    ``refine_iters`` spherical-Lloyd iterations over a deterministic
+    driver-sized sample (the ``nlist*sample_mult`` lowest-hash vectors,
+    capped) computed in numpy on the driver — raising centroid quality
+    lifts worst-query recall (an arbitrary-vector init leaves some cells
+    huge and neighbors straddling many cells). Fully deterministic, no
+    randomness anywhere: the sample is hash-ordered, rows are processed
+    in sorted-id order, assignment ties break toward the lowest centroid
+    id (the SAME rule as the distributed assignment kernel's stable
+    argsort), an emptied cluster keeps its previous centroid, and
+    centroids re-normalize to the sphere each round (assignment is by
+    max cosine). Reruns, the persisted index, and oracles all agree."""
     import numpy as np
 
+    n_sample = min(max(nlist * sample_mult, nlist), 65_536)
     sample = (
-        c.orderBy(F.xxhash64("neighbor_id"), "neighbor_id").limit(nlist).collect()
+        c.select("neighbor_id", "cvec", F.xxhash64("neighbor_id").alias("__h"))
+        .orderBy("__h", "neighbor_id")
+        .limit(n_sample)
+        .collect()
     )
-    sample.sort(key=lambda r: r.neighbor_id)
-    cent_mat = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in sample])
+    init = sorted(sample, key=lambda r: (r["__h"], r["neighbor_id"]))[:nlist]
+    init.sort(key=lambda r: r["neighbor_id"])
+    cent_mat = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in init])
     cnorm = np.linalg.norm(cent_mat, axis=1)
-    return cent_mat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
+    cent_mat = cent_mat / np.where(cnorm == 0, 1.0, cnorm)[:, None]
+
+    if refine_iters > 0 and len(sample) > nlist:
+        rows = sorted(sample, key=lambda r: r["neighbor_id"])
+        x = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in rows])
+        xn = np.linalg.norm(x, axis=1)
+        x = x / np.where(xn == 0, 1.0, xn)[:, None]
+        for _ in range(refine_iters):
+            sims = x @ cent_mat.T
+            assign = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            new_c = cent_mat.copy()
+            for j in range(cent_mat.shape[0]):
+                members = x[assign == j]
+                if len(members):
+                    v = members.mean(axis=0)
+                    norm = np.linalg.norm(v)
+                    if norm > 0:
+                        new_c[j] = v / norm
+            cent_mat = new_c
+    return cent_mat
 
 
 def ivf_topk(

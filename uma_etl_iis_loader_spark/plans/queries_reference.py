@@ -1537,8 +1537,61 @@ def q_window_lag_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # CUBE and explicit GROUPING SETS adjudicated under ONE op-tagged query
-# (the driver checks at most 50 registered queries).
-_GROUPING_ANALYTICS_ORACLE = """
+# (the driver checks at most 50 registered queries). Round 6 folds two
+# more operator families into the same slot: PageRank (8 fixed
+# power-iteration rounds, unrolled as CTEs below, ranks quantized to
+# micro-units — summation-order float drift is ~1e-13 absolute vs a 5e-7
+# quantization half-step, so the hash compare is stable) and the bloom
+# pre-join runtime filter (adjudicated END-TO-END: bloom-filter → real
+# join must equal the plain join — a single false negative changes the
+# grouped counts and fails the hash).
+
+
+def _pagerank_unrolled_ctes(n_iters: int, damping: str = "0.85") -> str:
+    """DuckDB CTE chain r1..r{n} replaying operators.graph.pagerank's
+    recurrence exactly: rank = (1-d)/N + d*(Σ in-contribs + dangling/N),
+    dangling = rank mass on nodes with no out-edges. All arithmetic
+    forced to DOUBLE so both engines execute identical IEEE ops."""
+    blocks = []
+    prev = "r0"
+    for k in range(1, n_iters + 1):
+        cur = f"r{k}"
+        blocks.append(f"""
+{cur} AS MATERIALIZED (
+    SELECT n.node,
+           (CAST(1 AS DOUBLE) - CAST({damping} AS DOUBLE)) / (SELECT n FROM nn)
+           + CAST({damping} AS DOUBLE) * (
+                coalesce(c.contrib, CAST(0 AS DOUBLE))
+                + (SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE))
+                   FROM {prev} r LEFT JOIN deg d ON r.node = d.node
+                   WHERE d.node IS NULL) / (SELECT n FROM nn)
+             ) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+        FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY e.dst
+    ) c ON n.node = c.node
+)""")
+        prev = cur
+    return ",".join(blocks)
+
+
+_PAGERANK_ITERS = 8
+
+_GROUPING_ANALYTICS_ORACLE = f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS src, 10000000 + (o_orderkey % 97) AS dst
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+), nodes AS MATERIALIZED (
+    SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS MATERIALIZED (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS MATERIALIZED (
+    SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+), r0 AS MATERIALIZED (
+    SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),{_pagerank_unrolled_ctes(_PAGERANK_ITERS)}
 SELECT 'cube' AS op,
        coalesce(o_orderstatus, '<all>') AS status,
        coalesce(o_orderpriority, '<all>') AS dim2,
@@ -1554,6 +1607,16 @@ SELECT 'grouping_sets',
        CAST(NULL AS DOUBLE)
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (strftime(o_orderdate, '%Y')))
+UNION ALL
+SELECT 'pagerank', CAST(node AS VARCHAR), '<hub97>',
+       CAST(round(rank * 1000000) AS BIGINT), CAST(NULL AS DOUBLE)
+FROM r{_PAGERANK_ITERS}
+UNION ALL
+SELECT 'bloom_join', CAST(o_custkey AS VARCHAR), '<all>',
+       count(*), round(sum(o_totalprice), 2)
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey < 3
+GROUP BY o_custkey
 """
 
 
@@ -1569,6 +1632,19 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       hand-rolled alternative is two aggregations plus a union that
       re-scans the input). Native DataFrame groupingSets (Spark 4), no
       temp-view state.
+    - 'pagerank' rows (status = node id, n_orders = rank in integer
+      micro-units): `operators.graph.pagerank` over the customer→order-
+      bucket bipartite graph (dst = 10M + o_orderkey % 97), EXACTLY 8
+      power-iteration rounds (tol=0 → no early stop) — adjudicated
+      against an unrolled 8-CTE recurrence in the oracle, including the
+      dangling-mass redistribution (all 97 hub nodes are sinks).
+    - 'bloom_join' rows: the explicit bloom pre-join runtime filter's
+      superset guarantee END-TO-END — orders pre-filtered through a
+      bloom built on nation<3 customers, then really joined and grouped;
+      equals the oracle's plain join, so ONE false negative (a dropped
+      matching order) fails the hash. False positives are invisible by
+      construction (the real join removes them) — exactly the
+      composition contract the operator documents.
     """
     orders = read_fixture(spark, sf_dir, "orders")
     cube = (
@@ -1602,4 +1678,44 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("total_price"),
         )
     )
-    return cube.unionByName(gsets)
+
+    from ..operators.graph import pagerank
+    from ..operators.joins import bloom_semi_filter, build_bloom
+
+    edges = orders.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 97 + F.lit(10_000_000)).alias("dst"),
+    )
+    pr = pagerank(edges, max_iter=_PAGERANK_ITERS, tol=0.0).select(
+        F.lit("pagerank").alias("op"),
+        F.col("node").cast("string").alias("status"),
+        F.lit("<hub97>").alias("dim2"),
+        F.round(F.col("rank") * 1e6).cast("long").alias("n_orders"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+
+    customer = read_fixture(spark, sf_dir, "customer")
+    build_keys = customer.filter(F.col("c_nationkey") < 3).select(
+        F.col("c_custkey").alias("k")
+    )
+    bloom = build_bloom(build_keys, "k", num_bits=1 << 20, num_hashes=5)
+    probe = orders.select(F.col("o_custkey").alias("k"), "o_totalprice")
+    bj = (
+        bloom_semi_filter(probe, bloom, "k")
+        .join(build_keys, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.lit("bloom_join").alias("op"),
+            F.col("k").cast("string").alias("status"),
+            F.lit("<all>").alias("dim2"),
+            "n_orders",
+            "total_price",
+        )
+    )
+    return cube.unionByName(gsets).unionByName(pr).unionByName(bj)
