@@ -151,6 +151,89 @@ def workloads(spark, sf_dir: str, base_dir: str):
         model = train_quality_model(labeled, max_iter=10)
         return score_quality(docs, model).select("doc_id", "quality_prob")
 
+    def funnel_batch():
+        from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+
+        events = read_fixture(spark, sf_dir, "events")
+        return funnel_steps(events, ["view", "click", "purchase"])
+
+    def retention_weekly():
+        from uma_etl_iis_loader_spark.operators.funnel import cohort_retention
+
+        events = read_fixture(spark, sf_dir, "events")
+        return cohort_retention(events, period_s=7 * 86_400, max_periods=12)
+
+    def resample_daily():
+        from uma_etl_iis_loader_spark.operators.timeseries import resample_ffill
+
+        events = read_fixture(spark, sf_dir, "events")
+        return resample_ffill(events, "user_id", "ts", ["value"], step_s=86_400)
+
+    def negative_sampling():
+        # buckets scale with the corpus (the operator's documented
+        # recipe: keep |corpus|/buckets a small constant) — with FIXED
+        # buckets the candidate set grows as anchors × corpus and the
+        # 10x step measures ~70x, the scale-killer the recipe exists to
+        # avoid (same fixed-vs-scaled story as knn_ivf_scaled_nlist)
+        from uma_etl_iis_loader_spark.operators.sampling import negative_sample
+
+        events = read_fixture(spark, sf_dir, "events")
+        anchors = events.select(F.col("user_id").alias("anchor_id")).distinct()
+        corpus = events.select(F.col("event_id").alias("item_id")).distinct()
+        buckets = 256 if sf_dir == base_dir else 2560
+        return negative_sample(anchors, corpus, k=8, buckets=buckets)
+
+    def weighted_sampling():
+        from uma_etl_iis_loader_spark.operators.sampling import weighted_sample
+
+        orders = read_fixture(spark, sf_dir, "orders")
+        return weighted_sample(orders, "o_orderkey", "o_totalprice", k=1000)
+
+    def zorder_prune():
+        # one shuffle z-order write + footer-stats collect + pruned box
+        # read — the full layout lifecycle; work ∝ rows written + files
+        # statted, no global sort
+        import shutil
+        import tempfile
+
+        from uma_etl_iis_loader_spark.operators.layout import (
+            collect_file_stats,
+            pruned_read,
+            zorder_layout,
+        )
+
+        lineitem = read_fixture(spark, sf_dir, "lineitem")
+        tmp = tempfile.mkdtemp(prefix="scale_z_")
+        path = tmp + "/z"
+
+        class _Lazy:
+            def count(self):
+                try:
+                    zorder_layout(
+                        lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+                        ["l_orderkey", "l_partkey"],
+                        out_partitions=32,
+                    ).write.parquet(path)
+                    stats = collect_file_stats(
+                        spark, path, ["l_orderkey", "l_partkey"]
+                    )
+                    mx = lineitem.agg(
+                        F.max("l_orderkey"), F.max("l_partkey")
+                    ).collect()[0]
+                    return pruned_read(
+                        spark,
+                        path,
+                        stats,
+                        {
+                            "l_orderkey": (0.0, mx[0] * 0.1),
+                            "l_partkey": (0.0, mx[1] * 0.1),
+                        },
+                    ).count()
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+
+        return _Lazy()
+
     return {
         "flagship_occupancy": from_registry("flagship_occupancy"),
         "etl_job_sync": from_registry("etl_job_sync"),
@@ -170,6 +253,12 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "pagerank_events_8r": pagerank_events,
         "bloom_prejoin_filter": bloom_prejoin,
         "quality_model_fit_score": quality_fit_score,
+        "funnel_steps": funnel_batch,
+        "cohort_retention_weekly": retention_weekly,
+        "resample_ffill_daily": resample_daily,
+        "negative_sample_k8": negative_sampling,
+        "weighted_sample_top1k": weighted_sampling,
+        "zorder_write_prune_read": zorder_prune,
     }
 
 

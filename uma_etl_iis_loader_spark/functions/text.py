@@ -62,10 +62,14 @@ def tokenize(col: Column | str, ascii_only: bool = False) -> Column:
 # (`iis_etl/logic.py:394-404`) is MEASURED, not guessed:
 # tests/test_text.py checks token-level agreement against a pure-Python
 # reference implementation of the published algorithm
-# (tests/snowball_ru_reference.py) on a golden paradigm corpus — see
-# COVERAGE.md for the current number. Remaining deviations: no ≤2-char
-# stems (deliberate precision guard Snowball lacks), no -ость
-# derivational pass, no нн-undoubling, no superlative pass.
+# (tests/snowball_ru_reference.py) on a golden paradigm corpus AND on a
+# generated stem×ending stress corpus (≥4k tokens) — see COVERAGE.md for
+# the current numbers. The single-suffix strip is followed by the
+# regex-expressible Snowball tail passes (below): reflexive pre-strip,
+# the step-2 и removal, the R2-gated -ость/-ост derivational pass, the
+# superlative pass, and нн-undoubling. Remaining deviation: the ≥3-char
+# stem guard on the MAIN pattern (deliberate precision device Snowball
+# lacks — visible only on 1-2 char stems).
 # Engine-portable (Java regex AND RE2): lazy-prefix `.{2,}?`/`.{3,}?`
 # fixes the split position (both engines try shortest prefix = longest
 # suffix first), no lookarounds, no backreferences in the match.
@@ -78,7 +82,7 @@ RU_STEM_PATTERN = (
     r"ила|ыла|или|ыли|ило|ыло|ена|ено|ены|ишь|ить|ыть|ует|уют|"
     r"ах|ях|ам|ям|ов|ев|ой|ей|ый|ий|ая|яя|ую|юю|ое|ее|ие|ые|"
     r"ом|ем|им|ым|их|ых|ою|ею|ия|ья|ью|ии|ию|"
-    r"ен|ил|ыл|ит|ят|"
+    r"ен|ил|ыл|ит|ят|ив|ыв|"
     r"а|я|о|е|и|й|ы|у|ю|ь"
     r"))$"
 )
@@ -87,16 +91,44 @@ RU_STEM_PATTERN = (
 RU_STEM_REPLACEMENT_JAVA = "$1$2"
 RU_STEM_REPLACEMENT_RE2 = r"\1\2"
 
+# Snowball tail passes, each a single engine-portable regex (RV = the
+# ending lies after the word's first vowel ⟺ the kept prefix contains a
+# vowel; R2 = the ending starts after the second vowel→consonant
+# transition ⟺ the kept prefix completes two such transitions):
+#   reflexive ся/сь BEFORE the main strip (Snowball removes it first,
+#   then runs the adjectival/verb/noun step on the remainder);
+#   step-2 terminal и, the R2-gated derivational -ость/-ост, the
+#   superlative -ейше/-ейш, and нн → н — AFTER the main strip, in
+#   Snowball's step order.
+RU_REFLEX_PATTERN = r"^(.*?[аеиоуыэюя].*?)(?:ся|сь)$"
+RU_I_PATTERN = r"^(.*?[аеиоуыэюя].*?)и$"
+RU_DERIV_PATTERN = r"^((?:.*?[аеиоуыэюя][^аеиоуыэюя]){2}.*?)(?:ость|ост)$"
+RU_SUPER_PATTERN = r"^(.*?[аеиоуыэюя].*?)(?:ейше|ейш)$"
+RU_NN_PATTERN = r"^(.*н)н$"
+
+# (pattern, needs-$2) chain applied in order by ru_light_stem and
+# replayed identically (RE2 \1 replacements) by the DuckDB oracle
+RU_STEM_CHAIN = (
+    (RU_REFLEX_PATTERN, False),
+    (RU_STEM_PATTERN, True),
+    (RU_I_PATTERN, False),
+    (RU_DERIV_PATTERN, False),
+    (RU_SUPER_PATTERN, False),
+    (RU_NN_PATTERN, False),
+)
+
 
 def ru_light_stem(col: Column | str) -> Column:
-    """Stem one lowercase Russian token (JVM-side regexp, no UDF).
+    """Stem one lowercase Russian token (JVM-side regexp chain, no UDF).
     Non-Cyrillic tokens pass through unchanged (the suffix alternatives
     are all Cyrillic)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(
-        F.regexp_replace(c, "ё", "е"), RU_STEM_PATTERN,
-        RU_STEM_REPLACEMENT_JAVA,
-    )
+    out = F.regexp_replace(c, "ё", "е")
+    for pattern, two_groups in RU_STEM_CHAIN:
+        out = F.regexp_replace(
+            out, pattern, RU_STEM_REPLACEMENT_JAVA if two_groups else "$1"
+        )
+    return out
 
 
 def tokenize_stemmed(col: Column | str) -> Column:

@@ -1183,7 +1183,12 @@ _RU_SRC_SQL = """
 )
 
 def _tokenize_oracle() -> str:
-    from ..functions.text import RU_STEM_PATTERN
+    from ..functions.text import RU_STEM_CHAIN
+
+    stem_expr = "regexp_replace(t, 'ё', 'е', 'g')"
+    for pattern, two_groups in RU_STEM_CHAIN:
+        repl = r"\1\2" if two_groups else r"\1"
+        stem_expr = f"regexp_replace({stem_expr}, '{pattern}', '{repl}')"
 
     return f"""
 WITH src AS ({_RU_SRC_SQL})
@@ -1206,8 +1211,7 @@ SELECT 'ru_stem', o_orderkey,
                regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
                x -> x <> ''
            ),
-           t -> regexp_replace(regexp_replace(t, 'ё', 'е', 'g'),
-                               '{RU_STEM_PATTERN}', '\\1\\2')
+           t -> {stem_expr}
        ))), '|')
 FROM src
 """
