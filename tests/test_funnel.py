@@ -227,3 +227,81 @@ def test_funnel_property_matches_python_reference(spark):
         assert got == want
 
     inner()
+
+
+def test_funnel_same_ts_policy(spark):
+    """'inclusive' accepts an equal-timestamp progression the strict
+    default rejects; on distinct timestamps both policies agree."""
+    rows = [
+        # u1: click co-timestamped with the view (coarse logger)
+        (1, "view", 0), (1, "click", 0), (1, "purchase", 5),
+        # u2: distinct timestamps throughout
+        (2, "view", 1), (2, "click", 2), (2, "purchase", 3),
+    ]
+    df = _events(spark, rows)
+    steps = ["view", "click", "purchase"]
+    strict = {r.user_id: r.depth for r in funnel_steps(df, steps).collect()}
+    incl = {
+        r.user_id: r.depth
+        for r in funnel_steps(df, steps, same_ts_policy="inclusive").collect()
+    }
+    assert strict[1] == 1  # click at t_1 not strictly after
+    assert incl[1] == 3  # inclusive: co-timestamped click counts
+    assert strict[2] == incl[2] == 3  # distinct timestamps: identical
+
+    # distinct-timestamp equivalence over the whole fixture slice
+    rows2 = [(u, e, u * 7 + m) for u, e, m in rows if u == 2] + [
+        (3, "view", 10), (3, "click", 12), (3, "x", 13),
+    ]
+    df2 = _events(spark, rows2)
+    a = {(r.user_id, r.depth) for r in funnel_steps(df2, steps).collect()}
+    b = {
+        (r.user_id, r.depth)
+        for r in funnel_steps(df2, steps, same_ts_policy="inclusive").collect()
+    }
+    assert a == b
+
+
+def test_funnel_window_from_first(spark):
+    """'first' bounds the WHOLE funnel within max_gap_s of t_1 (the
+    conversion-window definition); 'prev' bounds each hop. A chain whose
+    hops are each short but whose total exceeds the window converts
+    under 'prev' and not under 'first'."""
+    rows = [
+        # u1: hops of 4 min each — total 8 min from entry
+        (1, "view", 0), (1, "click", 4), (1, "purchase", 8),
+        # u2: converts fully inside 5 min of entry
+        (2, "view", 0), (2, "click", 2), (2, "purchase", 4),
+    ]
+    df = _events(spark, rows)
+    steps = ["view", "click", "purchase"]
+    per_hop = {
+        r.user_id: r.depth
+        for r in funnel_steps(df, steps, max_gap_s=300).collect()
+    }
+    window = {
+        r.user_id: r.depth
+        for r in funnel_steps(
+            df, steps, max_gap_s=300, window_from="first"
+        ).collect()
+    }
+    assert per_hop[1] == 3  # each hop 4 min <= 5 min
+    assert window[1] == 2  # purchase at +8 min falls out of the window
+    assert per_hop[2] == window[2] == 3
+    # no max_gap_s -> the flag is inert
+    x = {
+        (r.user_id, r.depth)
+        for r in funnel_steps(df, steps, window_from="first").collect()
+    }
+    y = {(r.user_id, r.depth) for r in funnel_steps(df, steps).collect()}
+    assert x == y
+
+
+def test_funnel_policy_validation(spark):
+    import pytest
+
+    df = _events(spark, [(1, "view", 0), (1, "click", 1)])
+    with pytest.raises(ValueError, match="same_ts_policy"):
+        funnel_steps(df, ["view", "click"], same_ts_policy="loose")
+    with pytest.raises(ValueError, match="window_from"):
+        funnel_steps(df, ["view", "click"], window_from="entry")

@@ -34,11 +34,34 @@ def funnel_steps(
     event_col: str = "event_type",
     ts_col: str = "ts",
     max_gap_s: int | None = None,
+    same_ts_policy: str = "strict",
+    window_from: str = "prev",
 ) -> DataFrame:
     """(key, t_1..t_n timestamp, depth int) for every key that reached
-    ``steps[0]``. See module docstring for semantics."""
+    ``steps[0]``. See module docstring for semantics.
+
+    Policy flags (the two axes real funnel tools disagree on):
+
+    - ``same_ts_policy``: ``"strict"`` (default) requires step i
+      STRICTLY after step i-1 (``>``); ``"inclusive"`` accepts an
+      equal timestamp (``>=``) — the convention of systems whose event
+      time is coarse (second-granularity loggers emit co-timestamped
+      view+click pairs that strict ordering would reject). On data with
+      distinct timestamps the two are identical (property-pinned).
+    - ``window_from``: with ``max_gap_s``, ``"prev"`` (default) bounds
+      each step's gap FROM THE PREVIOUS step (per-hop timeout);
+      ``"first"`` bounds every step within ``max_gap_s`` of ``t_1`` —
+      the "conversion window" definition (complete the whole funnel
+      within N days of entering it). ``"first"`` is never more
+      permissive per-hop than ``"prev"`` with the same gap is from
+      step 1's side; with no ``max_gap_s`` the flag is inert.
+    """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if same_ts_policy not in ("strict", "inclusive"):
+        raise ValueError(f"same_ts_policy must be strict|inclusive, got {same_ts_policy}")
+    if window_from not in ("prev", "first"):
+        raise ValueError(f"window_from must be prev|first, got {window_from}")
     relevant = events.filter(F.col(event_col).isin(list(steps))).select(
         key, event_col, ts_col
     )
@@ -52,11 +75,15 @@ def funnel_steps(
         nxt = relevant.filter(F.col(event_col) == step).select(
             key, F.col(ts_col).alias("__nt")
         )
-        cond = F.col("__nt") > F.col(prev)
+        if same_ts_policy == "strict":
+            cond = F.col("__nt") > F.col(prev)
+        else:
+            cond = F.col("__nt") >= F.col(prev)
         if max_gap_s is not None:
+            anchor = "t_1" if window_from == "first" else prev
             cond = cond & (
                 F.col("__nt")
-                <= F.col(prev) + F.expr(f"INTERVAL {int(max_gap_s)} SECONDS")
+                <= F.col(anchor) + F.expr(f"INTERVAL {int(max_gap_s)} SECONDS")
             )
         prior = [f"t_{j}" for j in range(1, i)]
         out = (
