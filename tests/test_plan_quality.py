@@ -50,11 +50,22 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 def test_cube_and_grouping_sets_single_shuffle(spark, sf_dir):
     # Expand + one aggregation exchange per sub-plan — NOT one
     # scan/shuffle per grouping combination (cube alone would be 4 scans
-    # hand-rolled; grouping sets 2). The consolidated query unions the
-    # two sub-plans, so exactly 2 scans total.
-    plan = _plan(spark, "grouping_analytics", sf_dir)
+    # hand-rolled; grouping sets 2). Planned on the cube+gsets sub-union
+    # (the full grouping_analytics slot also unions the pagerank and
+    # bloom adjudication members, whose scans are their own tests'
+    # business).
+    from uma_etl_iis_loader_spark.plans.queries_reference import (
+        cube_and_grouping_sets,
+    )
+
+    df = cube_and_grouping_sets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Expand") == 2
     assert plan.count("Scan parquet") == 2
+    # and the full slot still carries exactly the two Expands (the added
+    # members aggregate without grouping-set expansion)
+    full = _plan(spark, "grouping_analytics", sf_dir)
+    assert full.count("Expand") == 2
 
 
 def test_window_sorts_within_single_partition_exchange(spark, sf_dir):

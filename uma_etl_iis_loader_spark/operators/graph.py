@@ -15,15 +15,17 @@ Per-round shuffle structure (the 100 TB shape):
   (celebrity pages) reduce through partial sums, not a single reducer
   row; hot src fan-out is a map-side explode of one joined row.
 - dangling mass: one tiny agg over ranks anti-joined to out-degrees,
-  broadcast back as a literal.
+  reduced to a one-row frame and broadcast-crossJoined into the round's
+  plan — it evaluates inside the round's single job, never as its own
+  driver action.
 - Lineage is truncated every round with ``localCheckpoint(eager=True)``
   (iterative self-joins otherwise stack plans geometrically). Each round
-  runs three bounded driver actions — the dangling-mass scalar, the
-  eager checkpoint of the new ranks, and the L1-delta scalar (the two
-  scalars aggregate already-materialized (node, rank) frames, so their
-  cost is one pass over rank pairs, never the edge set). Superseded
-  checkpoint blocks are released by Spark's context cleaner as the loop
-  drops their references.
+  runs ONE bounded driver action — the eager checkpoint of the new
+  ranks — plus, only when ``tol > 0``, the L1-delta scalar (aggregating
+  already-materialized (node, rank) frames: one pass over rank pairs,
+  never the edge set; ``tol=0`` = fixed-round mode skips it entirely).
+  Superseded checkpoint blocks are released by Spark's context cleaner
+  as the loop drops their references.
 """
 
 from __future__ import annotations
@@ -78,14 +80,17 @@ def pagerank(
 
     for _ in range(max_iter):
         # mass on dangling nodes (no out-edges), redistributed uniformly.
-        # A left-ANTI join against the (small) outdeg table — NOT a
+        # A left-ANTI join against the (small) outdeg table, reduced to a
+        # ONE-ROW frame and broadcast-crossJoined into the round's plan —
+        # no separate driver action (the scalar evaluates inside the
+        # round's single checkpoint job; both it and contribs read the
+        # MATERIALIZED previous ranks, so nothing re-executes). NOT a
         # reusable ranks⋈outdeg left join, which (evaluated once here and
         # once under contribs) would run twice per round: Spark plans are
         # trees, shared subframes re-execute unless materialized.
-        dangling = (
+        dangling_df = (
             ranks.join(outdeg.select("node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         contribs = (
             e.join(
@@ -100,12 +105,16 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

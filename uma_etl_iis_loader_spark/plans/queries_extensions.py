@@ -322,6 +322,10 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     rung; width/height/file-size/pixel-sum are recomputed by the
 #     oracle from the same arithmetic, so a broken header parse, row
 #     flip, padding slice, or channel order flips a hashed value.
+#   - 'decode_png': the same pixels through the COMPRESSED rung — real
+#     zlib encode (encode_png) + the stdlib zlib/unfilter decoder;
+#     width/height/pixel-sum oracle-recomputed (n_bytes NULL: a zlib
+#     stream's length is not SQL-expressible).
 _MM_OPS_ORACLE = """
 WITH meta AS (
     SELECT doc_id AS asset_id,

@@ -1651,37 +1651,7 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       composition contract the operator documents.
     """
     orders = read_fixture(spark, sf_dir, "orders")
-    cube = (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        )
-        .select(
-            F.lit("cube").alias("op"),
-            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("dim2"),
-            "n_orders",
-            "total_price",
-        )
-    )
-    src = orders.select(
-        "o_orderstatus",
-        F.date_format("o_orderdate", "yyyy").alias("order_year"),
-    )
-    gsets = (
-        src.groupingSets(
-            [["o_orderstatus"], ["order_year"]], "o_orderstatus", "order_year"
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(
-            F.lit("grouping_sets").alias("op"),
-            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
-            F.coalesce(F.col("order_year"), F.lit("<all>")).alias("dim2"),
-            "n_orders",
-            F.lit(None).cast("double").alias("total_price"),
-        )
-    )
+    combined = cube_and_grouping_sets(spark, sf_dir)
 
     from ..operators.graph import pagerank
     from ..operators.joins import bloom_semi_filter, build_bloom
@@ -1722,4 +1692,45 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
-    return cube.unionByName(gsets).unionByName(pr).unionByName(bj)
+    return combined.unionByName(pr).unionByName(bj)
+
+
+def cube_and_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cube + grouping-sets sub-plan of ``grouping_analytics`` —
+    separate so tests/test_plan_quality.py can pin its shape (2 Expands,
+    2 scans — one aggregation exchange per sub-plan, never one scan per
+    grouping combination) without the pagerank/bloom union members'
+    plans in the way."""
+    orders = read_fixture(spark, sf_dir, "orders")
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.lit("cube").alias("op"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("dim2"),
+            "n_orders",
+            "total_price",
+        )
+    )
+    src = orders.select(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy").alias("order_year"),
+    )
+    gsets = (
+        src.groupingSets(
+            [["o_orderstatus"], ["order_year"]], "o_orderstatus", "order_year"
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.lit("grouping_sets").alias("op"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("order_year"), F.lit("<all>")).alias("dim2"),
+            "n_orders",
+            F.lit(None).cast("double").alias("total_price"),
+        )
+    )
+    return cube.unionByName(gsets)
