@@ -394,3 +394,48 @@ def test_png_decode_image_dispatch_and_spark_stats(spark):
         assert r.decode_error is None
         assert (r.width, r.height) == (px.shape[1], px.shape[0])
         assert r.pixel_sum == int(px.astype(np.int64).sum())
+
+
+def test_real_resize_stdlib_codec_rung(spark):
+    """BMP/PNG payloads resize through the REAL decode → nearest-neighbor
+    → PNG re-encode path in this codec-less container (no PIL, no
+    stride fallback): output payloads are valid PNGs of the target
+    dimensions whose pixels are the exact nearest-neighbor index map of
+    the source."""
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        _synthetic_pixels,
+        decode_png,
+        resize_images,
+        synthesize_bmp_assets,
+        synthesize_png_assets,
+    )
+
+    ids = spark.range(0, 12).selectExpr("id AS asset_id")
+    for synth in (synthesize_bmp_assets, synthesize_png_assets):
+        rows = resize_images(synth(ids), target_w=6, target_h=5).collect()
+        assert len(rows) == 12
+        for r in rows:
+            px = decode_png(bytes(r.payload))  # valid stdlib PNG out
+            assert px.shape == (5, 6, 3)
+            src = _synthetic_pixels(r.asset_id)
+            h, w = src.shape[:2]
+            ri = (np.arange(5) * h) // 5
+            ci = (np.arange(6) * w) // 6
+            assert (px == src[ri][:, ci]).all(), r.asset_id
+
+
+def test_resize_text_payload_keeps_stride_fallback(spark):
+    """Non-image payloads (no BMP/PNG magic) still take the stride
+    fallback — the multimodal_ops 'resize' oracle contract (n_bytes ==
+    w*h) is unchanged."""
+    from uma_etl_iis_loader_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [(1, b"BM not actually a bitmap"), (2, b"plain text payload")],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in resize_images(assets, 4, 4).collect()}
+    assert len(rows[1].payload) == 16  # malformed BMP → stride, not crash
+    assert len(rows[2].payload) == 16

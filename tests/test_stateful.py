@@ -272,3 +272,62 @@ def test_funnel_stream_string_key(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_funnel_stream_inclusive_policy(spark):
+    """same_ts_policy forwards through the streaming face: a
+    co-timestamped view+click chain converts under 'inclusive' and the
+    result equals the batch operator under the same policy."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click"]
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:00:00"),  # same second (coarse logger)
+        (2, "view", "2024-01-01 11:00:00"),
+        (2, "click", "2024-01-01 11:00:05"),
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = tempfile.mkdtemp(prefix="funnel_incl_src_")
+    ckpt = tempfile.mkdtemp(prefix="funnel_incl_ckpt_")
+    try:
+        batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+        emitted = []
+
+        def sink(bdf, _bid):
+            emitted.extend(bdf.collect())
+
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            funnel_stream(stream, steps, same_ts_policy="inclusive")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {}
+        for r in emitted:
+            cur = got.get(r.user_id)
+            if cur is None or r.depth >= cur[0]:
+                got[r.user_id] = (r.depth, r.t_1, r.t_2)
+        want = {
+            r.user_id: (r.depth, r.t_1, r.t_2)
+            for r in funnel_steps(
+                batch_df, steps, same_ts_policy="inclusive"
+            ).collect()
+        }
+        assert got == want and got[1][0] == 2 and got[2][0] == 2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -450,14 +450,21 @@ def resize_images(
     """Image resize kernel: (asset_id, width, height, payload) with the
     payload re-encoded at target dimensions.
 
-    With a codec (PIL) present, payloads that decode as images go through
-    a real `Image.resize` (PNG re-encode); payloads that don't (and every
-    payload in this codec-less container) fall back per-row to a
-    deterministic byte-stride downsample — payload strided to exactly
-    target_w*target_h bytes (cycled when the source is smaller) — so the
-    Spark plumbing (binary in/out through Arrow, metadata column rewrite,
-    per-partition batching) is identical to production and fully testable
-    on any host.
+    Rungs, best-first per row:
+
+    - payloads the stdlib codecs decode (24-bit BMP, 8-bit PNG) get a
+      REAL nearest-neighbor resample (index-map in numpy — the
+      deterministic resampling a GPU/vision pipeline would replace with
+      area/bilinear kernels) and re-encode through the stdlib PNG
+      encoder — executes in this codec-less container;
+    - other decodable images via PIL when importable (`Image.resize`,
+      PNG re-encode);
+    - non-image payloads fall back per-row to a deterministic
+      byte-stride downsample — payload strided to exactly
+      target_w*target_h bytes (cycled when the source is smaller) — so
+      the Spark plumbing (binary in/out through Arrow, metadata column
+      rewrite, per-partition batching) is identical to production and
+      fully testable on any host.
     """
     pillow = _try_import_pillow()
 
@@ -468,7 +475,28 @@ def resize_images(
             for _, r in pdf.iterrows():
                 buf = r["payload"] or b""
                 resized = None
-                if pillow is not None and len(buf) > 0:
+                if len(buf) > 0 and (
+                    buf[:2] == b"BM" or bytes(buf[:8]) == _PNG_SIG
+                ):
+                    try:
+                        px = (
+                            decode_bmp(bytes(buf))
+                            if buf[:2] == b"BM"
+                            else decode_png(bytes(buf))
+                        )
+                        h, w = px.shape[:2]
+                        if px.shape[2] < 3:  # gray / gray+alpha → RGB
+                            px = np.repeat(px[:, :, :1], 3, axis=2)
+                        elif px.shape[2] > 3:  # RGBA → drop alpha
+                            px = px[:, :, :3]
+                        ri = (np.arange(target_h) * h) // target_h
+                        ci = (np.arange(target_w) * w) // target_w
+                        resized = encode_png(
+                            np.ascontiguousarray(px[ri][:, ci])
+                        )
+                    except ValueError:
+                        resized = None  # unsupported variant → next rung
+                if resized is None and pillow is not None and len(buf) > 0:
                     import io as _io
 
                     try:

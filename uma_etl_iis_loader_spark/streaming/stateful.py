@@ -150,7 +150,7 @@ def pack_sequences_stream(docs: DataFrame, budget: int = 512) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _make_funnel_updater(steps, key_col, event_col, ts_col):
+def _make_funnel_updater(steps, key_col, event_col, ts_col, strict=True):
     n = len(steps)
 
     def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -172,7 +172,9 @@ def _make_funnel_updater(steps, key_col, event_col, ts_col):
                     continue
                 if j == 0:
                     chain[0] = t
-                elif chain[j - 1] is not None and t > chain[j - 1]:
+                elif chain[j - 1] is not None and (
+                    t > chain[j - 1] or (not strict and t >= chain[j - 1])
+                ):
                     chain[j] = t
                 break
         if chain[0] is None:
@@ -193,6 +195,7 @@ def funnel_stream(
     key: str = "user_id",
     event_col: str = "event_type",
     ts_col: str = "ts",
+    same_ts_policy: str = "strict",
 ) -> DataFrame:
     """Streaming face of ``operators.funnel.funnel_steps``: the per-key
     chain (t_1..t_n, depth) maintained incrementally as events land —
@@ -214,10 +217,17 @@ def funnel_stream(
     modulo column order).
     """
     steps = list(steps)
+    if same_ts_policy not in ("strict", "inclusive"):
+        raise ValueError(
+            f"same_ts_policy must be strict|inclusive, got {same_ts_policy}"
+        )
     if not events.isStreaming:
         from ..operators.funnel import funnel_steps
 
-        return funnel_steps(events, steps, key=key, event_col=event_col, ts_col=ts_col)
+        return funnel_steps(
+            events, steps, key=key, event_col=event_col, ts_col=ts_col,
+            same_ts_policy=same_ts_policy,
+        )
     # the key column keeps the input's type (string user ids are as
     # common as longs); hardcoding `long` here crashed non-long keys
     key_ddl = events.schema[key].dataType.simpleString()
@@ -231,7 +241,10 @@ def funnel_stream(
         events.filter(F.col(event_col).isin(steps))
         .groupBy(key)
         .applyInPandasWithState(
-            _make_funnel_updater(steps, key, event_col, ts_col),
+            _make_funnel_updater(
+                steps, key, event_col, ts_col,
+                strict=same_ts_policy == "strict",
+            ),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
