@@ -405,3 +405,54 @@ def test_compact_ivf_index_preserves_results_and_prunes(spark, sf_dir, tmp_path)
     assert after == before
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_compact_ivf_index_works_on_ivfpq_layout(spark, sf_dir, tmp_path):
+    """compact_ivf_index is schema-agnostic over the `vectors` table —
+    the IVF+PQ layout (codes + kept float vectors per centroid
+    partition) compacts with results preserved bit-identically."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivfpq_index,
+        compact_ivf_index,
+        ivfpq_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pqidx")
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=256)
+    # append-shaped growth: split the vectors table into extra files
+    spark.read.parquet(path + "/vectors").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(path + "/vectors")
+    # (the duplicate rows from the self-append would change results;
+    # rewrite to distinct first so the fixture is growth-shaped but
+    # content-identical)
+    import shutil
+
+    dedup = spark.read.parquet(path + "/vectors").distinct().localCheckpoint()
+    shutil.rmtree(path + "/vectors")
+    dedup.repartition(6).write.partitionBy("centroid_id").parquet(
+        path + "/vectors"
+    )
+
+    before_files = glob.glob(f"{path}/vectors/centroid_id=*/*.parquet")
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    compact_ivf_index(spark, path)
+    after_files = glob.glob(f"{path}/vectors/centroid_id=*/*.parquet")
+    assert len(after_files) < len(before_files)
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    assert after == before and len(after) > 0
