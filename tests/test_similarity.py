@@ -456,3 +456,51 @@ def test_compact_ivf_index_works_on_ivfpq_layout(spark, sf_dir, tmp_path):
         for r in ivfpq_topk(spark, path, queries, k=5, nprobe=8).collect()
     }
     assert after == before and len(after) > 0
+
+
+def test_compact_ivf_index_self_heals_crash_residue(spark, sf_dir, tmp_path):
+    """A compaction re-run after any crash point recovers: .old with no
+    live dir restores; stale .next/.old discard; results unchanged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 300), path, nlist=8)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+
+    # crash point A: between the renames — only .old holds the data
+    os.rename(path + "/vectors", path + "/vectors.old")
+    compact_ivf_index(spark, path)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    assert got == want and not os.path.isdir(path + "/vectors.old")
+
+    # crash point B: incomplete .next + leftover .old beside a live dir
+    shutil.copytree(path + "/vectors", path + "/vectors.next")
+    shutil.copytree(path + "/vectors", path + "/vectors.old")
+    compact_ivf_index(spark, path)
+    got2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    assert got2 == want
+    assert not os.path.isdir(path + "/vectors.next")
+    assert not os.path.isdir(path + "/vectors.old")

@@ -1072,6 +1072,15 @@ def compact_minhash_index(spark, path: str) -> None:
 
     for sub in ("grams", "bands"):  # grams first: see _write_index_state
         live, nxt, old = f"{path}/{sub}", f"{path}/{sub}.next", f"{path}/{sub}.old"
+        # self-heal residue of a crashed prior compaction (same protocol
+        # as similarity.compact_ivf_index): restore `.old` if the live
+        # dir is gone, discard incomplete `.next` / leftover `.old`
+        if os.path.isdir(old) and not os.path.isdir(live):
+            os.rename(old, live)
+        if os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         df = spark.read.parquet(live).distinct()
         w = df.write.mode("overwrite")
         if sub == "bands":

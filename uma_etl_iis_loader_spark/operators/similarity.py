@@ -201,9 +201,10 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: IVF bucketing with deterministic centroids
-    (every ceil(N/nlist)-th corpus vector by id — a seeded sample without
-    randomness so reruns and oracles agree).
+    """Approximate top-k: IVF bucketing with deterministic Lloyd-refined
+    centroids (hash-ordered sample init + seeded spherical k-means on
+    the driver — see :func:`_ivf_centroids`; no randomness anywhere, so
+    reruns, persisted indexes, and oracles agree).
 
     At scale the corpus assignment is written once, partitioned by
     ``centroid_id``; queries then prune all but nprobe partitions
@@ -468,6 +469,16 @@ def compact_ivf_index(
         f"{path}/vectors.next",
         f"{path}/vectors.old",
     )
+    # self-heal residue of a crashed prior compaction: between the two
+    # renames only `.old` holds the data (restore it); a leftover
+    # `.next` is incomplete (discard); a leftover `.old` beside a live
+    # dir is a completed swap whose cleanup was interrupted (discard)
+    if os.path.isdir(old) and not os.path.isdir(live):
+        os.rename(old, live)
+    if os.path.isdir(nxt):
+        shutil.rmtree(nxt)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     cell_bytes: dict[int, int] = {}
     for entry in os.listdir(live):
         if not entry.startswith("centroid_id="):
