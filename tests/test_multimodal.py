@@ -439,3 +439,46 @@ def test_resize_text_payload_keeps_stride_fallback(spark):
     rows = {r.asset_id: r for r in resize_images(assets, 4, 4).collect()}
     assert len(rows[1].payload) == 16  # malformed BMP → stride, not crash
     assert len(rows[2].payload) == 16
+
+
+def test_png_decode_bounded_against_bombs_and_bad_ihdr():
+    """Review regression: a decompression-bomb IDAT and a wrong-length
+    IHDR both raise ValueError (per-row error isolation), never OOM or
+    struct.error."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from uma_etl_iis_loader_spark.operators.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # bomb: 4x4 RGB declared, IDAT inflates to 64 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (64 << 20))
+    ) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_png(bomb)
+
+    # absurd declared dimensions reject before any allocation
+    huge = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    big = sig + chunk(b"IHDR", huge) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 16)
+    ) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="too large"):
+        decode_png(big)
+
+    # IHDR with a valid CRC but wrong length: ValueError, not struct.error
+    bad_ihdr = sig + chunk(b"IHDR", b"\x00" * 12) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 8)
+    ) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="IHDR"):
+        decode_png(bad_ihdr)

@@ -331,3 +331,77 @@ def test_funnel_stream_inclusive_policy(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_funnel_stream_inclusive_tie_order_independent(spark):
+    """Review regression: under 'inclusive', a later-step event that
+    lands BEFORE its co-timestamped prerequisite in arrival order must
+    still convert — the updater processes equal-timestamp groups to a
+    fixpoint, so shuffle-dependent arrival order can't change results.
+    Also pins inclusive event-reuse: a repeated-step funnel converts
+    from one event, matching the batch operator."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.stateful import funnel_stream
+
+    def run_stream(batch_df, steps):
+        src = tempfile.mkdtemp(prefix="funnel_tie_src_")
+        ckpt = tempfile.mkdtemp(prefix="funnel_tie_ckpt_")
+        try:
+            batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+            emitted = []
+            stream = spark.readStream.schema(batch_df.schema).parquet(src)
+            q = (
+                funnel_stream(stream, steps, same_ts_policy="inclusive")
+                .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            out = {}
+            for r in emitted:
+                cur = out.get(r.user_id)
+                if cur is None or r.depth >= cur[0]:
+                    out[r.user_id] = (r.depth,)
+            return out
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    # click listed BEFORE its co-timestamped view (adverse arrival order)
+    rows = [
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = run_stream(df, ["view", "click"])
+    want = {
+        r.user_id: (r.depth,)
+        for r in funnel_steps(
+            df, ["view", "click"], same_ts_policy="inclusive"
+        ).collect()
+    }
+    assert got == want and got[1] == (2,)
+
+    # repeated-step funnel: one view event satisfies both slots under
+    # inclusive (batch min-with-reuse semantics) on both faces
+    one = spark.createDataFrame(
+        [(7, "view", "2024-01-01 09:00:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got2 = run_stream(one, ["view", "view"])
+    want2 = {
+        r.user_id: (r.depth,)
+        for r in funnel_steps(
+            one, ["view", "view"], same_ts_policy="inclusive"
+        ).collect()
+    }
+    assert got2 == want2 and got2[7] == (2,)

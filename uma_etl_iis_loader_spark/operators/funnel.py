@@ -48,6 +48,14 @@ def funnel_steps(
       time is coarse (second-granularity loggers emit co-timestamped
       view+click pairs that strict ordering would reject). On data with
       distinct timestamps the two are identical (property-pinned).
+      Inclusive semantics are per-SLOT minimums with event REUSE: each
+      slot independently takes the earliest qualifying event, so one
+      event can satisfy several co-timestamped slots — in particular a
+      repeated-step funnel (['view','view']) reports depth 2 from a
+      single view under 'inclusive' (t_2 == t_1). Use 'strict' when
+      each step must be witnessed by a distinct later event. The
+      streaming face reproduces these semantics exactly (co-timestamped
+      groups iterate to a fixpoint in the updater).
     - ``window_from``: with ``max_gap_s``, ``"prev"`` (default) bounds
       each step's gap FROM THE PREVIOUS step (per-hop timeout);
       ``"first"`` bounds every step within ``max_gap_s`` of ``t_1`` —

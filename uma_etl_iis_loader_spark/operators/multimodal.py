@@ -177,6 +177,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if len(ihdr) != 13:
+        # struct.unpack would raise struct.error, which escapes the
+        # ValueError-only handlers at the decode boundary
+        raise ValueError(f"malformed IHDR chunk (len={len(ihdr)})")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
@@ -187,12 +191,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if w == 0 or h == 0:
         raise ValueError("degenerate PNG dimensions")
+    if w * h > 64_000_000:  # ~192 MB decoded RGB — not a stats-kernel image
+        raise ValueError(f"PNG dimensions too large ({w}x{h})")
+    stride = w * channels
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: cap the output at expected+1 bytes so a
+        # decompression-bomb IDAT (KBs inflating to GBs) raises as a
+        # per-row ValueError instead of OOMing the executor
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.int64)

@@ -155,10 +155,16 @@ def _ivf_centroids(
     id (the SAME rule as the distributed assignment kernel's stable
     argsort), an emptied cluster keeps its previous centroid, and
     centroids re-normalize to the sphere each round (assignment is by
-    max cosine). Reruns, the persisted index, and oracles all agree."""
+    max cosine). Reruns, the persisted index, and oracles all agree.
+
+    Driver-memory bound: the sample cap (16,384 rows) keeps the collect
+    at ~100 MB of float64 even for 768-dim embeddings (Row overhead
+    ~3×); at large nlist this thins the per-cell sample (16 rows/cell
+    at nlist=1024) — still a refinement over raw-vector init, and the
+    deterministic init keeps working regardless."""
     import numpy as np
 
-    n_sample = min(max(nlist * sample_mult, nlist), 65_536)
+    n_sample = min(max(nlist * sample_mult, nlist), 16_384)
     sample = (
         c.select("neighbor_id", "cvec", F.xxhash64("neighbor_id").alias("__h"))
         .orderBy("__h", "neighbor_id")
@@ -447,22 +453,31 @@ def compact_ivf_index(
     the pruning win — the same small-file growth the LSH indexes get
     ``compact_minhash_index`` for.
 
-    Per-cell output file counts come from the on-disk byte sizes
-    (ceil(cell_bytes / target_file_bytes), byte sizes read from file
-    METADATA only — no data scan); cells larger than one target file
-    split deterministically on xxhash64(neighbor_id). Results and
-    pruning are preserved exactly: rows are unchanged, the
-    ``centroid_id=K`` directory layout is unchanged, only file
-    boundaries move. Crash-safe rename-away swap (the same protocol as
+    File sizing is DETERMINISTIC: total bytes and total rows come from
+    parquet file/footer METADATA (driver-side listing, no data scan),
+    giving an average row size; the write carries
+    ``maxRecordsPerFile = target_file_bytes / avg_row_bytes``, so every
+    writer task splits its output at the same row count regardless of
+    how the shuffle distributed cells (a salt-hash repartition, the
+    obvious alternative, can collide two salt groups into one task and
+    silently emit files k× the target). Rows repartition by
+    ``centroid_id`` — typically one task per cell; hash collisions
+    merely co-locate two cells in one task, whose writer still splits
+    directories AND file sizes correctly. Results and pruning are
+    preserved exactly: rows are unchanged, the ``centroid_id=K``
+    directory layout is unchanged, only file boundaries move.
+    Crash-safe rename-away swap (the same protocol as
     ``dedup.compact_minhash_index``): a complete copy of the table
     exists on disk at every instant; a crash between the renames leaves
-    ``.old``/``.next`` for a trivial rename recovery.
+    ``.old``/``.next`` for recovery, and the next compaction run
+    self-heals any residue on entry.
 
     Local-filesystem paths (object stores: swap the two renames for the
     store's atomic-manifest commit; the Spark work is identical)."""
-    import math
     import os
     import shutil
+
+    import pyarrow.parquet as pq
 
     live, nxt, old = (
         f"{path}/vectors",
@@ -479,35 +494,29 @@ def compact_ivf_index(
         shutil.rmtree(nxt)
     if os.path.isdir(old):
         shutil.rmtree(old)
-    cell_bytes: dict[int, int] = {}
+    total_bytes = 0
+    total_rows = 0
+    n_cells = 0
     for entry in os.listdir(live):
         if not entry.startswith("centroid_id="):
             continue
+        n_cells += 1
         sub = os.path.join(live, entry)
-        cell_bytes[int(entry.split("=", 1)[1])] = sum(
-            os.path.getsize(os.path.join(sub, f))
-            for f in os.listdir(sub)
-            if f.endswith(".parquet")
-        )
-    if not cell_bytes:
+        for f in os.listdir(sub):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(sub, f)
+            total_bytes += os.path.getsize(fp)
+            total_rows += pq.ParquetFile(fp).metadata.num_rows
+    if total_rows == 0:
         return
-    n_files = {
-        c: max(1, math.ceil(b / target_file_bytes))
-        for c, b in cell_bytes.items()
-    }
-    # centroid_id → file-count map is nlist-sized (driver data by
-    # construction); shipped as a literal map expression
-    fmap = F.create_map(
-        *[F.lit(x) for c, n in sorted(n_files.items()) for x in (c, n)]
-    )
-    df = spark.read.parquet(live)
+    avg_row_bytes = max(total_bytes / total_rows, 1.0)
+    rows_per_file = max(int(target_file_bytes / avg_row_bytes), 1)
     (
-        df.withColumn(
-            "__salt", F.pmod(F.xxhash64("neighbor_id"), fmap[F.col("centroid_id")])
-        )
-        .repartition(sum(n_files.values()), "centroid_id", "__salt")
-        .drop("__salt")
+        spark.read.parquet(live)
+        .repartition(n_cells, "centroid_id")
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
         .partitionBy("centroid_id")
         .parquet(nxt)
     )

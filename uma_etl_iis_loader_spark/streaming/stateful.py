@@ -160,23 +160,33 @@ def _make_funnel_updater(steps, key_col, event_col, ts_col, strict=True):
         chain = list(state.get) if state.exists else [None] * n
         parts = list(pdfs)
         pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
-        # event-time order within the batch (stable sort: equal
-        # timestamps keep arrival order; the strict > guard makes the
-        # outcome identical either way)
+        # event-time order within the batch. Under the strict policy
+        # equal-timestamp order is irrelevant (t > chain[j-1] blocks
+        # same-ts progression), but under 'inclusive' it decides the
+        # outcome — so co-timestamped GROUPS are processed together to a
+        # fixpoint below, making arrival order (which is shuffle-
+        # dependent) immaterial and the result equal to the batch
+        # operator's per-slot min-aggregation, including its event-reuse
+        # semantics (one event may satisfy several slots at one ts).
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        for ev, t in zip(pdf[event_col], pdf[ts_col]):
-            # first unset step this event can advance (a scan, not a
-            # dict: funnels may repeat a step name, e.g. view -> view)
-            for j in range(n):
-                if steps[j] != ev or chain[j] is not None:
-                    continue
-                if j == 0:
-                    chain[0] = t
-                elif chain[j - 1] is not None and (
-                    t > chain[j - 1] or (not strict and t >= chain[j - 1])
-                ):
-                    chain[j] = t
-                break
+        for t, grp in pdf.groupby(ts_col, sort=True):
+            evs = list(grp[event_col])
+            changed = True
+            while changed:  # ≤ n rounds: each fills ≥1 slot
+                changed = False
+                for ev in evs:
+                    for j in range(n):
+                        if steps[j] != ev or chain[j] is not None:
+                            continue
+                        if j == 0 or (
+                            chain[j - 1] is not None
+                            and (
+                                t > chain[j - 1]
+                                or (not strict and t >= chain[j - 1])
+                            )
+                        ):
+                            chain[j] = t
+                            changed = True
         if chain[0] is None:
             return  # not in the cohort yet — keep no state
         state.update(tuple(chain))
