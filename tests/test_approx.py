@@ -208,3 +208,58 @@ def test_kll_merge_preserves_rank_bound(spark, sf_dir):
         for name, p in (("q50", 0.5), ("q95", 0.95)):
             rank = bisect.bisect_right(v, getattr(r, name)) / len(v)
             assert abs(rank - p) <= 0.03, (r.event_type, name, rank)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketches (point frequency / heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_bounds_and_lossless_merge(spark, sf_dir):
+    """CMS laws on the events fixture: (a) estimate >= true count for
+    every key (never underestimates); (b) estimate <= true + eps*N for
+    every key at these parameters; (c) merging per-day shard sketches
+    gives BIT-IDENTICAL estimates to one global sketch (same eps/conf/
+    seed -> counter-wise sum -> same counters)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        build_cms_sketches,
+        cms_point_estimates,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = events.withColumn("day", F.to_date("ts"))
+    per_day = build_cms_sketches(days, ["day"], "event_type", eps=0.001)
+    global_sk = build_cms_sketches(events, [], "event_type", eps=0.001)
+
+    true = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(true.values())
+    keys = sorted(true)
+
+    est_merged = cms_point_estimates(spark, per_day, keys)
+    est_global = cms_point_estimates(spark, global_sk, keys)
+    assert est_merged == est_global  # lossless merge, bit-identical
+
+    for k in keys:
+        assert est_merged[k] >= true[k], (k, est_merged[k], true[k])
+        assert est_merged[k] <= true[k] + 0.001 * n_total + 1, k
+
+
+def test_cms_empty_and_unseen_keys(spark):
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        build_cms_sketches,
+        cms_point_estimates,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    sk = build_cms_sketches(df, [], "k")
+    est = cms_point_estimates(spark, sk, ["a", "b", "zzz"])
+    assert est["a"] >= 2 and est["b"] >= 1
+    # unseen key: bounded by eps*N (tiny N -> exact 0 expected)
+    assert est["zzz"] <= 1
+    empty = build_cms_sketches(df.filter("k = 'none'"), [], "k")
+    assert cms_point_estimates(spark, empty, ["a"]) == {"a": 0}

@@ -127,3 +127,62 @@ def merge_quantile_sketches(
             for name, p in probs.items()
         ],
     )
+
+
+def build_cms_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One Count-Min sketch per group unit: (group_cols..., cms binary)
+    — the mergeable POINT-FREQUENCY / heavy-hitter primitive the
+    HLL (distincts) / Theta (set algebra) / KLL (quantiles) families
+    don't cover. Spark's built-in `count_min_sketch` aggregate (public
+    `org.apache.spark.util.sketch.CountMinSketch` format): width =
+    ceil(2/eps) counters x depth = ceil(ln(1/(1-confidence))) rows, a
+    few hundred KB at the defaults, built map-side-combining in one
+    narrow agg per shard.
+
+    Guarantees (Cormode & Muthukrishnan 2005): estimate >= true count
+    ALWAYS (no underestimates), and estimate <= true + eps*N with
+    probability >= confidence per query. Sketches built with the SAME
+    (eps, confidence, seed) merge LOSSLESSLY (counter-wise sum), so
+    per-day shards answer any rolling-window frequency question without
+    rescanning facts — pinned exactly in tests."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(
+            f"count_min_sketch({value_col}, CAST({eps} AS DOUBLE), "
+            f"CAST({confidence} AS DOUBLE), {seed})"
+        ).alias("cms")
+    )
+
+
+def merge_cms(spark, sketches: DataFrame, cms_col: str = "cms"):
+    """Merge persisted CMS binaries into ONE driver-side
+    ``CountMinSketch`` (the public Spark class). Sketch blobs are
+    KB-sized by construction and one-per-shard — a bounded driver
+    collect, the same class of driver data as IVF centroids. Returns
+    the merged JVM sketch; query with ``estimateCount`` (via
+    :func:`cms_point_estimates` for a DataFrame-shaped answer)."""
+    rows = sketches.select(cms_col).collect()
+    if not rows:
+        return None
+    jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for r in rows:
+        s = jcls.readFrom(bytearray(r[cms_col]))
+        merged = s if merged is None else merged.mergeInPlace(s)
+    return merged
+
+
+def cms_point_estimates(spark, sketches: DataFrame, keys, cms_col: str = "cms"):
+    """{key: estimated count} over the merged shard sketches for a
+    driver-sized key list (heavy-hitter candidates, a dimension's
+    domain). Estimates are deterministic given the build seed."""
+    merged = merge_cms(spark, sketches, cms_col)
+    if merged is None:
+        return {k: 0 for k in keys}
+    return {k: int(merged.estimateCount(k)) for k in keys}

@@ -1975,6 +1975,10 @@ UNION ALL
 SELECT 'kll_quantile', event_type, stat, NULL, NULL, NULL, NULL, NULL,
        rank_ok
 FROM ({_KLL_ORACLE}) k
+UNION ALL
+SELECT 'cms', event_type, NULL, CAST(count(*) AS BIGINT),
+       NULL, NULL, NULL, NULL, TRUE
+FROM events GROUP BY event_type
 """
 
 
@@ -1995,6 +1999,13 @@ def q_corpus_stats_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'kll_quantile' rows (q_kll_rolling_quantiles): key_a=event_type,
       key_b=stat, ok=the merged KLL estimate's exact rank sits within
       p ± 0.03.
+    - 'cms' rows (operators/sketches count-min family): key_a=
+      event_type, v1=exact count; ok = the merged per-day CMS point
+      estimate never underestimates (est >= true), respects the
+      eps*N overestimate bound, AND equals the single global sketch
+      bit-for-bit (the lossless-merge law). Sketch blobs are KB-sized;
+      estimates are a bounded driver computation like the centroid
+      collects.
     """
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
@@ -2042,7 +2053,49 @@ def q_corpus_stats_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("hi"),
         F.col("rank_ok").alias("ok"),
     )
-    return prof.unionByName(hll).unionByName(theta).unionByName(kll)
+
+    from ..operators.sketches import build_cms_sketches, cms_point_estimates
+
+    events = read_fixture(spark, sf_dir, "events")
+    days = events.withColumn("day", F.to_date("ts"))
+    per_day = build_cms_sketches(days, ["day"], "event_type", eps=0.001)
+    global_sk = build_cms_sketches(events, [], "event_type", eps=0.001)
+    true = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(true.values())
+    keys = sorted(true)
+    est_m = cms_point_estimates(spark, per_day, keys)
+    est_g = cms_point_estimates(spark, global_sk, keys)
+    cms = spark.createDataFrame(
+        [
+            (
+                k,
+                int(true[k]),
+                bool(
+                    est_m[k] >= true[k]
+                    and est_m[k] <= true[k] + 0.001 * n_total + 1
+                    and est_m[k] == est_g[k]
+                ),
+            )
+            for k in keys
+        ],
+        "key_a string, v1 long, ok boolean",
+    ).select(
+        F.lit("cms").alias("method"),
+        "key_a",
+        null_s.alias("key_b"),
+        "v1",
+        null_l.alias("v2"),
+        null_l.alias("v3"),
+        null_s.alias("lo"),
+        null_s.alias("hi"),
+        "ok",
+    )
+    return prof.unionByName(hll).unionByName(theta).unionByName(kll).unionByName(cms)
 
 
 # ---------------------------------------------------------------------------
