@@ -305,3 +305,23 @@ def test_funnel_policy_validation(spark):
         funnel_steps(df, ["view", "click"], same_ts_policy="loose")
     with pytest.raises(ValueError, match="window_from"):
         funnel_steps(df, ["view", "click"], window_from="entry")
+
+
+def test_funnel_ignores_null_timestamps(spark):
+    """NULL-ts events are excluded on both faces: a user whose only view
+    is timestampless is NOT in the cohort; a NULL-ts click can't
+    advance a chain."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "view", None),                      # cohort? no
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", None),                     # can't advance
+        (2, "click", "2024-01-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.user_id: r.depth for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert 1 not in got
+    assert got[2] == 2

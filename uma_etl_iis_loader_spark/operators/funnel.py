@@ -70,9 +70,13 @@ def funnel_steps(
         raise ValueError(f"same_ts_policy must be strict|inclusive, got {same_ts_policy}")
     if window_from not in ("prev", "first"):
         raise ValueError(f"window_from must be prev|first, got {window_from}")
-    relevant = events.filter(F.col(event_col).isin(list(steps))).select(
-        key, event_col, ts_col
-    )
+    # NULL-timestamp events carry no ordering signal: excluded up front
+    # (otherwise min() vs NULL-comparison semantics make a user whose
+    # ONLY step-1 events are timestampless appear with t_1 NULL in the
+    # batch face but never emit in the streaming face)
+    relevant = events.filter(
+        F.col(event_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(key, event_col, ts_col)
     out = (
         relevant.filter(F.col(event_col) == steps[0])
         .groupBy(key)

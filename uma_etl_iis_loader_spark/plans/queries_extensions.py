@@ -2178,7 +2178,7 @@ _RETENTION_PERIOD_S = 7 * 86_400  # weekly cohorts
 _FUNNEL_ORACLE = f"""
 WITH s1 AS (
     SELECT user_id, min(ts) AS ts1 FROM events
-    WHERE event_type = 'view' GROUP BY 1
+    WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
 ), s2 AS (
     SELECT e.user_id, min(e.ts) AS ts2
     FROM events e JOIN s1 USING (user_id)

@@ -248,7 +248,9 @@ def funnel_stream(
     )
     state_schema = ", ".join(f"t_{j + 1} timestamp" for j in range(len(steps)))
     return (
-        events.filter(F.col(event_col).isin(steps))
+        events.filter(
+            F.col(event_col).isin(steps) & F.col(ts_col).isNotNull()
+        )
         .groupBy(key)
         .applyInPandasWithState(
             _make_funnel_updater(
