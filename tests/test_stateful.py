@@ -405,3 +405,68 @@ def test_funnel_stream_inclusive_tie_order_independent(spark):
         ).collect()
     }
     assert got2 == want2 and got2[7] == (2,)
+
+
+def test_funnel_stream_max_gap_and_window_from(spark):
+    """max_gap_s / window_from forward through the streaming face and
+    match the batch operator: short hops convert under per-hop gaps but
+    fall out of a from-entry conversion window."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:04:00"),
+        (1, "purchase", "2024-01-01 10:08:00"),  # 8 min from entry
+        (2, "view", "2024-01-01 11:00:00"),
+        (2, "click", "2024-01-01 11:02:00"),
+        (2, "purchase", "2024-01-01 11:04:00"),  # inside 5 min of entry
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def run_stream(**kw):
+        src = tempfile.mkdtemp(prefix="funnel_gap_src_")
+        ckpt = tempfile.mkdtemp(prefix="funnel_gap_ckpt_")
+        try:
+            batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+            emitted = []
+            stream = spark.readStream.schema(batch_df.schema).parquet(src)
+            q = (
+                funnel_stream(stream, steps, **kw)
+                .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            out = {}
+            for r in emitted:
+                cur = out.get(r.user_id)
+                if cur is None or r.depth >= cur[0]:
+                    out[r.user_id] = (r.depth,)
+            return out
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    for kw in (
+        {"max_gap_s": 300},
+        {"max_gap_s": 300, "window_from": "first"},
+    ):
+        got = run_stream(**kw)
+        want = {
+            r.user_id: (r.depth,)
+            for r in funnel_steps(batch_df, steps, **kw).collect()
+        }
+        assert got == want, kw
+    assert run_stream(max_gap_s=300)[1] == (3,)  # per-hop: each 4 min
+    assert run_stream(max_gap_s=300, window_from="first")[1] == (2,)

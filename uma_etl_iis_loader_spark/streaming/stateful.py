@@ -150,8 +150,14 @@ def pack_sequences_stream(docs: DataFrame, budget: int = 512) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _make_funnel_updater(steps, key_col, event_col, ts_col, strict=True):
+def _make_funnel_updater(
+    steps, key_col, event_col, ts_col, strict=True,
+    max_gap_s=None, window_from="prev",
+):
+    import datetime as _dt
+
     n = len(steps)
+    gap = _dt.timedelta(seconds=max_gap_s) if max_gap_s is not None else None
 
     def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:  # pragma: no cover - NoTimeout in practice
@@ -178,15 +184,21 @@ def _make_funnel_updater(steps, key_col, event_col, ts_col, strict=True):
                     for j in range(n):
                         if steps[j] != ev or chain[j] is not None:
                             continue
-                        if j == 0 or (
-                            chain[j - 1] is not None
-                            and (
-                                t > chain[j - 1]
-                                or (not strict and t >= chain[j - 1])
-                            )
-                        ):
-                            chain[j] = t
+                        if j == 0:
+                            chain[0] = t
                             changed = True
+                            continue
+                        if chain[j - 1] is None or not (
+                            t > chain[j - 1]
+                            or (not strict and t >= chain[j - 1])
+                        ):
+                            continue
+                        if gap is not None:
+                            anchor = chain[0] if window_from == "first" else chain[j - 1]
+                            if t > anchor + gap:
+                                continue
+                        chain[j] = t
+                        changed = True
         if chain[0] is None:
             return  # not in the cohort yet — keep no state
         state.update(tuple(chain))
@@ -206,6 +218,8 @@ def funnel_stream(
     event_col: str = "event_type",
     ts_col: str = "ts",
     same_ts_policy: str = "strict",
+    max_gap_s: int | None = None,
+    window_from: str = "prev",
 ) -> DataFrame:
     """Streaming face of ``operators.funnel.funnel_steps``: the per-key
     chain (t_1..t_n, depth) maintained incrementally as events land —
@@ -223,6 +237,13 @@ def funnel_stream(
     key, no timeout (funnels are usually bounded cohorts; add an
     event-time timeout for unbounded key spaces).
 
+    All batch policy flags forward: ``same_ts_policy``
+    (strict/inclusive — co-timestamped groups iterate to a fixpoint so
+    arrival order can't change the result), ``max_gap_s``, and
+    ``window_from`` (per-hop vs from-entry conversion window) — see
+    ``funnel_steps`` for their semantics; stream==batch equivalence is
+    pytest-pinned per flag.
+
     Batch inputs delegate to the batch operator (same output schema
     modulo column order).
     """
@@ -231,12 +252,15 @@ def funnel_stream(
         raise ValueError(
             f"same_ts_policy must be strict|inclusive, got {same_ts_policy}"
         )
+    if window_from not in ("prev", "first"):
+        raise ValueError(f"window_from must be prev|first, got {window_from}")
     if not events.isStreaming:
         from ..operators.funnel import funnel_steps
 
         return funnel_steps(
             events, steps, key=key, event_col=event_col, ts_col=ts_col,
-            same_ts_policy=same_ts_policy,
+            max_gap_s=max_gap_s, same_ts_policy=same_ts_policy,
+            window_from=window_from,
         )
     # the key column keeps the input's type (string user ids are as
     # common as longs); hardcoding `long` here crashed non-long keys
@@ -256,6 +280,7 @@ def funnel_stream(
             _make_funnel_updater(
                 steps, key, event_col, ts_col,
                 strict=same_ts_policy == "strict",
+                max_gap_s=max_gap_s, window_from=window_from,
             ),
             outputStructType=out_schema,
             stateStructType=state_schema,
