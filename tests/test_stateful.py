@@ -470,3 +470,83 @@ def test_funnel_stream_max_gap_and_window_from(spark):
         assert got == want, kw
     assert run_stream(max_gap_s=300)[1] == (3,)  # per-hop: each 4 min
     assert run_stream(max_gap_s=300, window_from="first")[1] == (2,)
+
+
+def test_funnel_stream_evicts_idle_keys(spark):
+    """Bounded-state mode: a key idle past watermark + evict_idle_s has
+    its chain dropped — a later lone click for it produces NO emission
+    (not in the cohort anymore), while without eviction the same replay
+    re-states the old chain. Emissions already made are unaffected."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    schema = "user_id long, event_type string, ts string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    early = mk([
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 00:10:00"),
+    ])
+    # far ahead in event time: advances the watermark way past user 1's
+    # idle horizon before user 1's late click lands
+    advance = mk([(2, "view", "2024-03-01 00:00:00")])
+    late = mk([
+        (1, "click", "2024-03-01 00:05:00"),
+        (2, "click", "2024-03-01 00:06:00"),
+    ])
+
+    from uma_etl_iis_loader_spark.streaming.stateful import funnel_stream
+
+    def run(evict):
+        src = tempfile.mkdtemp(prefix="funnel_ev_src_")
+        ckpt = tempfile.mkdtemp(prefix="funnel_ev_ckpt_")
+        try:
+            kw = (
+                {"watermark": "1 minute", "evict_idle_s": 3600}
+                if evict
+                else {}
+            )
+            per_run = []
+            for i, shard in enumerate([early, advance, late]):
+                shard.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(src, f"s{i}")
+                )
+                emitted = []
+                stream = spark.readStream.schema(early.schema).option(
+                    "pathGlobFilter", "*.parquet"
+                ).parquet(src + "/*")
+                q = (
+                    funnel_stream(stream, ["view", "click"], **kw)
+                    .writeStream.foreachBatch(
+                        lambda b, _i: emitted.extend(b.collect())
+                    )
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+                per_run.append(emitted)
+            return per_run
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    runs_evict = run(True)
+    # run 1 emitted user 1's full chain before any eviction
+    assert any(r.user_id == 1 and r.depth == 2 for r in runs_evict[0])
+    # run 3: user 1 was evicted during run 2's watermark advance; the
+    # lone click can't restart a cohort -> no user-1 emission
+    assert not any(r.user_id == 1 for r in runs_evict[2])
+    assert any(r.user_id == 2 and r.depth == 2 for r in runs_evict[2])
+
+    runs_keep = run(False)
+    # without eviction the same late click re-states user 1's old chain
+    assert any(r.user_id == 1 and r.depth == 2 for r in runs_keep[2])

@@ -152,7 +152,7 @@ def pack_sequences_stream(docs: DataFrame, budget: int = 512) -> DataFrame:
 
 def _make_funnel_updater(
     steps, key_col, event_col, ts_col, strict=True,
-    max_gap_s=None, window_from="prev",
+    max_gap_s=None, window_from="prev", evict_idle_s=None,
 ):
     import datetime as _dt
 
@@ -160,7 +160,10 @@ def _make_funnel_updater(
     gap = _dt.timedelta(seconds=max_gap_s) if max_gap_s is not None else None
 
     def _update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:  # pragma: no cover - NoTimeout in practice
+        if state.hasTimedOut:
+            # idle past the horizon: drop the chain silently — every
+            # change was already emitted in update mode, so nothing is
+            # lost downstream; a later event restarts the key's funnel
             state.remove()
             return
         chain = list(state.get) if state.exists else [None] * n
@@ -202,6 +205,19 @@ def _make_funnel_updater(
         if chain[0] is None:
             return  # not in the cohort yet — keep no state
         state.update(tuple(chain))
+        if evict_idle_s is not None:
+            # horizon = the key's LAST event + idle (sessionization-gap
+            # semantics). Anchoring on the current watermark instead
+            # would evict a just-active key whenever event time jumps
+            # farther than the idle window between batches. Spark
+            # requires the timeout to sit above the watermark — clamp.
+            last_ms = int(pdf[ts_col].max().value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(
+                    last_ms + evict_idle_s * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         row = {key_col: key[0]}
         for j in range(n):
             row[f"t_{j + 1}"] = chain[j]
@@ -220,6 +236,8 @@ def funnel_stream(
     same_ts_policy: str = "strict",
     max_gap_s: int | None = None,
     window_from: str = "prev",
+    watermark: str | None = None,
+    evict_idle_s: int | None = None,
 ) -> DataFrame:
     """Streaming face of ``operators.funnel.funnel_steps``: the per-key
     chain (t_1..t_n, depth) maintained incrementally as events land —
@@ -234,8 +252,14 @@ def funnel_stream(
     applied retroactively — the documented trade for O(steps) state per
     key; exact late-tolerant funnels re-run the batch operator over
     landed data behind the watermark. State: n nullable timestamps per
-    key, no timeout (funnels are usually bounded cohorts; add an
-    event-time timeout for unbounded key spaces).
+    key — UNBOUNDED key spaces should pass ``watermark`` (an event-time
+    delay string for ``withWatermark``) plus ``evict_idle_s``: a key
+    whose chain sees no step event for that long past the watermark has
+    its state dropped (silently — every chain change was already
+    emitted in update mode), and a later event restarts its funnel from
+    scratch. That bounds state at O(active keys) for the cost of
+    re-counting a user who returns after the horizon — the standard
+    sessionization trade.
 
     All batch policy flags forward: ``same_ts_policy``
     (strict/inclusive — co-timestamped groups iterate to a fixpoint so
@@ -254,6 +278,11 @@ def funnel_stream(
         )
     if window_from not in ("prev", "first"):
         raise ValueError(f"window_from must be prev|first, got {window_from}")
+    if (evict_idle_s is None) != (watermark is None):
+        raise ValueError(
+            "evict_idle_s and watermark must be passed together (the "
+            "timeout clock is the event-time watermark)"
+        )
     if not events.isStreaming:
         from ..operators.funnel import funnel_steps
 
@@ -271,8 +300,11 @@ def funnel_stream(
         + ", depth int"
     )
     state_schema = ", ".join(f"t_{j + 1} timestamp" for j in range(len(steps)))
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
     return (
-        events.filter(
+        src.filter(
             F.col(event_col).isin(steps) & F.col(ts_col).isNotNull()
         )
         .groupBy(key)
@@ -281,10 +313,15 @@ def funnel_stream(
                 steps, key, event_col, ts_col,
                 strict=same_ts_policy == "strict",
                 max_gap_s=max_gap_s, window_from=window_from,
+                evict_idle_s=evict_idle_s,
             ),
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if evict_idle_s is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
