@@ -279,3 +279,57 @@ def test_weighted_sample_respects_weights(spark):
     assert heavy + light == 12 * 40
     ratio = heavy / max(light, 1)
     assert ratio > 3.0, (heavy, light)  # ~9 expected; 3 is a loose floor
+
+
+def test_weighted_sample_per_group(spark):
+    """Per-group A-Res: exactly min(k, group size) rows per group; the
+    kept set equals an independent per-group evaluation of the global
+    operator's key formula; deterministic under repartitioning; heavy
+    weights dominate inclusion."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+        # group 0 gets a few huge-weight rows; others weight 1
+        F.when((F.col("id") % 3 == 0) & (F.col("id") < 30), 1e6)
+        .otherwise(1.0)
+        .alias("wgt"),
+    )
+    out = weighted_sample_per_group(df, "src", "id", "wgt", k=50)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.src, set()).add(r.id)
+    assert set(per) == {"0", "1", "2"}
+    assert all(len(v) == 50 for v in per.values())
+    # group-0's huge-weight rows always survive (u^(1/1e6) ~ 1)
+    assert {i for i in range(0, 30, 3)} <= per["0"]
+    # equals the global operator applied per group
+    for g in ("0", "1", "2"):
+        want = {
+            r.id
+            for r in weighted_sample(
+                df.filter(F.col("src") == g), "id", "wgt", k=50
+            ).collect()
+        }
+        assert per[g] == want, g
+    # deterministic under repartitioning
+    again = {
+        (r.src, r.id)
+        for r in weighted_sample_per_group(
+            df.repartition(17), "src", "id", "wgt", k=50
+        ).collect()
+    }
+    assert again == {(r.src, r.id) for r in rows}
+    # small groups return all their rows
+    tiny = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 1.0), ("b", 3, 1.0)],
+        "src string, id long, wgt double",
+    )
+    assert weighted_sample_per_group(tiny, "src", "id", "wgt", k=50).count() == 3

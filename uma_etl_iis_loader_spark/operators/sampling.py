@@ -247,3 +247,45 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """k-item weighted sample WITHOUT replacement PER GROUP (the
+    per-domain/per-source face of :func:`weighted_sample`): within each
+    ``group_col`` value, the k largest Efraimidis-Spirakis keys
+    ``u^(1/w)`` win — the quality-weighted per-domain corpus-selection
+    recipe (keep the best k documents of every source) in ONE window
+    pass over the group partitioning, never a global sort and never a
+    per-group driver loop.
+
+    Deterministic like the global variant (``u`` from
+    ``xxhash64(id, seed)``; ties broken by id); weight <= 0 or NULL
+    rows are excluded. Scale shape: one shuffle on ``group_col``; a
+    group's rows sort within its partition — for groups too large for
+    one task, pre-thin with a per-partition top-k (the standard
+    two-phase rung) before the window."""
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31)) + 0.5
+    ) / F.lit(float(1 << 31))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__wkey"), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__wkey", "__rn")
+    )

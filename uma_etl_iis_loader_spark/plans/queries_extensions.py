@@ -1168,7 +1168,8 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       floor 0.45 — one discrete recall@10 step (0.1) below the observed
       min, so a single lost neighbor on the worst query flips the row.
       SRP measured min 0.80 everywhere → floor 0.7. PQ+refine4 measured
-      min 0.90 / 0.90 / 0.50 → floor 0.4.
+      min 0.90 / 0.90 / 0.50 → floor 0.45 (one discrete step below the
+      worst observed query, same rule as IVF).
     - one `avg` row per method (query_id=-1, n_results=-1): mean recall
       over all queries ≥ 0.7 for IVF (measured 0.785 / 0.850 / 0.806
       post-refinement), ≥ 0.9 for SRP (measured 0.965-0.97), ≥ 0.7 for
@@ -1234,7 +1235,7 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     floor = (
         F.when(F.col("method") == "ivf", F.lit(0.45))
-        .when(F.col("method") == "pq", F.lit(0.4))
+        .when(F.col("method") == "pq", F.lit(0.45))
         .otherwise(F.lit(0.7))
     )
     avg_floor = (
