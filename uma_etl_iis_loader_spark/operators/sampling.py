@@ -214,6 +214,16 @@ def negative_sample(
     return out
 
 
+def _ares_key(id_col: str, weight_col: str, seed: int):
+    """Efraimidis-Spirakis A-Res key ``u^(1/w)`` with ``u`` uniform in
+    (0,1) derived from ``xxhash64(id, seed)`` — shared by the global and
+    per-group faces so their documented equivalence stays bit-exact."""
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31)) + 0.5
+    ) / F.lit(float(1 << 31))
+    return F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,
@@ -236,14 +246,15 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31)) + 0.5
-    ) / F.lit(float(1 << 31))
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__wkey", key)
-        .orderBy(F.desc("__wkey"))
+        .withColumn("__wkey", _ares_key(id_col, weight_col, seed))
+        # id tie-break: u^(1/w) collides in double precision for huge
+        # weights (keys pile up within an ulp of 1.0), and a tie at the
+        # k boundary under a bare orderBy would pick a partition-order-
+        # dependent winner — breaking determinism AND the pinned
+        # per-group==global equivalence
+        .orderBy(F.desc("__wkey"), F.col(id_col).asc())
         .limit(k)
         .drop("__wkey")
     )
@@ -275,16 +286,12 @@ def weighted_sample_per_group(
 
     if k <= 0:
         raise ValueError("k must be positive")
-    u = (
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31)) + 0.5
-    ) / F.lit(float(1 << 31))
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     w = Window.partitionBy(group_col).orderBy(
         F.desc("__wkey"), F.col(id_col).asc()
     )
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__wkey", key)
+        .withColumn("__wkey", _ares_key(id_col, weight_col, seed))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__wkey", "__rn")

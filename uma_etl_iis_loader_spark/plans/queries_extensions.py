@@ -1233,11 +1233,9 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__f", F.lit(True))
     )
-    floor = (
-        F.when(F.col("method") == "ivf", F.lit(0.45))
-        .when(F.col("method") == "pq", F.lit(0.45))
-        .otherwise(F.lit(0.7))
-    )
+    floor = F.when(
+        F.col("method").isin("ivf", "pq"), F.lit(0.45)
+    ).otherwise(F.lit(0.7))
     avg_floor = (
         F.when(F.col("method") == "ivf", F.lit(0.7))
         .when(F.col("method") == "pq", F.lit(0.7))

@@ -206,12 +206,20 @@ def _make_funnel_updater(
             return  # not in the cohort yet — keep no state
         state.update(tuple(chain))
         if evict_idle_s is not None:
-            # horizon = the key's LAST event + idle (sessionization-gap
-            # semantics). Anchoring on the current watermark instead
-            # would evict a just-active key whenever event time jumps
-            # farther than the idle window between batches. Spark
-            # requires the timeout to sit above the watermark — clamp.
-            last_ms = int(pdf[ts_col].max().value // 1_000_000)
+            # horizon = the key's LAST KNOWN event + idle
+            # (sessionization-gap semantics). Two wrong anchors guarded
+            # against: the current watermark (an event-time jump between
+            # batches would evict a just-active key) and the current
+            # BATCH's max alone (Spark clears the timeout every
+            # invocation, so a late out-of-order event would SHORTEN the
+            # horizon below the key's true last event — include the
+            # chain's accepted anchors in the max). Spark requires the
+            # timeout to sit above the watermark — clamp.
+            last = pdf[ts_col].max()
+            for v in chain:
+                if v is not None and v > last:
+                    last = v
+            last_ms = int(pd.Timestamp(last).value // 1_000_000)
             state.setTimeoutTimestamp(
                 max(
                     last_ms + evict_idle_s * 1000,
