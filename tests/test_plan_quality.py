@@ -378,3 +378,84 @@ def test_fuzzy_lookup_broadcasts_dim_variants(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_resample_ffill_one_window_no_cartesian(spark, sf_dir):
+    """resample_ffill: exactly ONE window pass (the fill), grid join is
+    a real join (never cartesian), and partial aggregation runs before
+    the bounds/bucket shuffles."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.timeseries import resample_ffill
+
+    events = read_fixture(spark, sf_dir, "events")
+    plan = (
+        resample_ffill(events, "user_id", "ts", ["value"], step_s=86_400)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_funnel_steps_agg_only_no_window_no_cartesian(spark, sf_dir):
+    """funnel_steps is pure keyed joins + min-aggregations — no window
+    (which would serialize per key), no cartesian, map-side partials."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+
+    events = read_fixture(spark, sf_dir, "events")
+    plan = (
+        funnel_steps(events, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_takeordered_not_global_sort(spark, sf_dir):
+    """The A-Res top-k compiles to TakeOrderedAndProject — partition-
+    local top-k + driver-side k-row merge, never a global Sort+Exchange;
+    the per-group variant is one window over the group partitioning."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    plan = (
+        weighted_sample(orders, "o_orderkey", "o_totalprice", k=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    plan2 = (
+        weighted_sample_per_group(
+            orders, "o_orderstatus", "o_orderkey", "o_totalprice", k=100
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one Window node; the extra matches are WindowGroupLimit
+    # (Spark's partial/final top-k pushdown below the window — itself a
+    # win: each partition pre-limits to k before the rank evaluates)
+    assert plan2.count("Window [") == 1
+    assert "CartesianProduct" not in plan2
+
+
+def test_cms_build_partial_aggregation(spark, sf_dir):
+    """Per-shard CMS build aggregates map-side (ObjectHashAggregate /
+    partial) before the group shuffle — sketch bytes move, not events."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.sketches import build_cms_sketches
+
+    events = read_fixture(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    plan = (
+        build_cms_sketches(events, ["day"], "event_type")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ObjectHashAggregate" in plan or plan.count("HashAggregate") >= 2
+    assert "partial_count_min_sketch" in plan or "count_min_sketch" in plan
