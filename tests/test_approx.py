@@ -263,3 +263,55 @@ def test_cms_empty_and_unseen_keys(spark):
     assert est["zzz"] <= 1
     empty = build_cms_sketches(df.filter("k = 'none'"), [], "k")
     assert cms_point_estimates(spark, empty, ["a"]) == {"a": 0}
+
+
+def test_cms_distributed_merge_bit_equals_driver_and_global(spark, sf_dir):
+    """The partial-aggregatable distributed CMS merge must produce a blob
+    BIT-IDENTICAL to (a) the driver-side JVM mergeInPlace chain and (b)
+    one sketch built globally with the same parameters — integer counter
+    sums are exact and order-independent, so pre-sharding costs nothing.
+    Also pins the parameter guard: shards built with a different seed
+    refuse to merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        _cms_merge_blobs,
+        build_cms_sketches,
+        merge_cms,
+        merge_cms_distributed,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = events.withColumn("day", F.to_date("ts"))
+    per_day = build_cms_sketches(days, ["day"], "event_type", eps=0.01)
+    global_sk = build_cms_sketches(events, [], "event_type", eps=0.01)
+
+    dist_rows = merge_cms_distributed(per_day, partials=4).collect()
+    assert len(dist_rows) == 1
+    dist_blob = bytes(dist_rows[0].cms)
+
+    driver = merge_cms(spark, per_day)
+    buf = spark._jvm.java.io.ByteArrayOutputStream()
+    driver.writeTo(buf)
+    driver_blob = bytes(buf.toByteArray())
+    assert dist_blob == driver_blob
+
+    global_blob = bytes(global_sk.collect()[0].cms)
+    assert dist_blob == global_blob
+
+    # python merge helper agrees with the JVM merge on a pair too
+    blobs = [bytes(r.cms) for r in per_day.select("cms").collect()[:2]]
+    if len(blobs) == 2:
+        jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+        a = jcls.readFrom(bytearray(blobs[0]))
+        a.mergeInPlace(jcls.readFrom(bytearray(blobs[1])))
+        buf2 = spark._jvm.java.io.ByteArrayOutputStream()
+        a.writeTo(buf2)
+        assert _cms_merge_blobs(blobs) == bytes(buf2.toByteArray())
+
+    # different seed → different hash coefficients → guarded
+    other = build_cms_sketches(events, [], "event_type", eps=0.01, seed=7)
+    mixed = [global_blob, bytes(other.collect()[0].cms)]
+    with pytest.raises(ValueError, match="seed"):
+        _cms_merge_blobs(mixed)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from uma_etl_iis_loader_spark.streaming.cdc import Scd2StreamMaintainer
 
 SCHEMA = (
@@ -356,3 +358,119 @@ def test_passages_ingest_maintainer(spark):
     ]
     assert b1_spans == [(20, 0, 7)]  # s1's tail window found via the index
     assert m.read_output(spark, "stats").count() == n_stats + 1
+
+
+def test_funnel_compaction_late_exact(spark):
+    """The stream-then-compact law: land out-of-order micro-batches whose
+    arrival pattern makes the live streaming funnel diverge (a late event
+    that should have lowered an already-set anchor), then compact — the
+    exact table must equal the batch funnel over the same events, and
+    replayed ingest batches / repeated compactions must be no-ops."""
+    import os
+    from datetime import datetime, timezone
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.cdc import (
+        FunnelCompactionMaintainer,
+    )
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    schema = "user_id long, event_type string, ts timestamp"
+    steps = ["view", "click", "buy"]
+    base = tempfile.mkdtemp(prefix="funnel_compact_")
+    m = FunnelCompactionMaintainer(base, steps)
+
+    # batch 0: user 1's click lands BEFORE its view; user 2 completes
+    # in order; a non-step event must be filtered out
+    b0 = [(1, "click", ts(10)), (2, "view", ts(1)), (2, "click", ts(2)),
+          (2, "buy", ts(3)), (1, "scroll", ts(4))]
+    # batch 1: user 1's view arrives LATE with an EARLIER ts — the
+    # streaming funnel would anchor view=t5 but never revisit the click
+    b1 = [(1, "view", ts(5)), (3, "view", ts(20))]
+    for bid, rows in ((0, b0), (1, b1)):
+        m.apply_batch(spark.createDataFrame(rows, schema), bid)
+
+    all_events = spark.createDataFrame(b0 + b1, schema)
+    m.compact(spark)
+    want = {
+        tuple(r) for r in funnel_steps(all_events, steps).collect()
+    }
+    got = {tuple(r) for r in m.read_exact(spark).collect()}
+    assert got == want
+    # the law's teeth: user 1 must be depth 2 here (view t5 → click t10)
+    # — the live stream's no-retroactive-anchor trade would say depth 1
+    assert any(r[0] == 1 and r[-1] == 2 for r in got)
+
+    # replayed ingest batch: marker short-circuits, events unchanged
+    n_before = m.read_events(spark).count()
+    m.apply_batch(spark.createDataFrame(b0, schema), 0)
+    assert m.read_events(spark).count() == n_before
+
+    # repeated compaction: identical result, no residue dirs
+    m.compact(spark)
+    assert {tuple(r) for r in m.read_exact(spark).collect()} == want
+    assert not os.path.isdir(base + "/exact.next")
+    assert not os.path.isdir(base + "/exact.old")
+
+    # horizon: compacting behind t20 drops user 3 entirely
+    m.compact(spark, horizon=ts(15))
+    got_h = {tuple(r) for r in m.read_exact(spark).collect()}
+    want_h = {
+        tuple(r)
+        for r in funnel_steps(
+            all_events.filter(F.col("ts") <= ts(15)), steps
+        ).collect()
+    }
+    assert got_h == want_h and not any(r[0] == 3 for r in got_h)
+
+
+def test_funnel_compaction_via_stream_attach(spark):
+    """Same law through the real writeStream path (availableNow trigger),
+    plus crash-residue self-heal: a leftover exact.next/.old from a
+    crashed compaction is cleaned and the swap still lands."""
+    import os
+    import shutil
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.cdc import (
+        FunnelCompactionMaintainer,
+    )
+
+    schema = "user_id long, event_type string, ts timestamp"
+    steps = ["view", "click"]
+    from datetime import datetime
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [(1, "click", ts(9)), (1, "view", ts(4)), (2, "view", ts(1))]
+    base = tempfile.mkdtemp(prefix="funnel_stream_")
+    m = FunnelCompactionMaintainer(base, steps)
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = m.attach(stream, tempfile.mkdtemp(prefix="funnel_ckpt_")).start()
+    q.awaitTermination(120)
+
+    m.compact(spark)
+    want = {
+        tuple(r)
+        for r in funnel_steps(
+            spark.createDataFrame(rows, schema), steps
+        ).collect()
+    }
+    assert {tuple(r) for r in m.read_exact(spark).collect()} == want
+
+    # crash residue: stale .next and .old beside a live dir self-heal
+    shutil.copytree(base + "/exact", base + "/exact.next")
+    shutil.copytree(base + "/exact", base + "/exact.old")
+    m.compact(spark)
+    assert {tuple(r) for r in m.read_exact(spark).collect()} == want
+    assert not os.path.isdir(base + "/exact.next")
+    assert not os.path.isdir(base + "/exact.old")

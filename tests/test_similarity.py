@@ -504,3 +504,171 @@ def test_compact_ivf_index_self_heals_crash_residue(spark, sf_dir, tmp_path):
     assert got2 == want
     assert not os.path.isdir(path + "/vectors.next")
     assert not os.path.isdir(path + "/vectors.old")
+
+
+def test_ivfpq_distributed_matches_driver_path(spark, sf_dir, tmp_path):
+    """The co-grouped distributed query path must return EXACTLY the
+    driver path's results (same ADC math, same residual offsets, same
+    shortlist, same refine), whether forced or auto-selected."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=256)
+
+    driver = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            spark, path, queries, k=5, nprobe=2, refine_factor=4
+        ).collect()
+    }
+    dist = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            spark, path, queries, k=5, nprobe=2, refine_factor=4,
+            distributed=True,
+        ).collect()
+    }
+    assert dist == driver
+
+
+def test_ivfpq_auto_distributes_past_query_cap(spark, sf_dir, tmp_path):
+    """|Q| > max_queries must NOT raise on the default distributed='auto'
+    path — a corpus-sized query set (every vector queries the index) runs
+    as an ordinary co-grouped job, its executed plan shows the cogroup
+    kernel, and the query set is never collected (the only collects are
+    the ≤nlist-bounded cell-id / sidecar reads). distributed=False
+    restores the old hard raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    all_queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=256)
+
+    with pytest.raises(ValueError, match="distributed"):
+        ivfpq_topk(
+            spark, path, all_queries, k=3, nprobe=2, max_queries=10,
+            distributed=False,
+        )
+
+    out = ivfpq_topk(
+        spark, path, all_queries, k=3, nprobe=2, refine_factor=4,
+        max_queries=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    rows = out.collect()
+    n_q = all_queries.count()
+    import collections
+
+    per_q = collections.Counter(r.query_id for r in rows)
+    assert len(per_q) == n_q and set(per_q.values()) == {3}
+    # each query's own vector is in the index and in its probed cell:
+    # rank 1 must be the query itself
+    top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert all(q == n for q, n in top1.items())
+
+    # spot-check against the driver path on the full set (cap lifted)
+    driver = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            spark, path, all_queries, k=3, nprobe=2, refine_factor=4,
+            max_queries=100_000,
+        ).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == driver
+
+
+def test_ivf_cell_balance_bound(spark, sf_dir, tmp_path):
+    """Cell-occupancy telemetry: the Lloyd-refined centroids must not
+    collapse the fixture into a few hot cells — pin a max/mean ceiling
+    so a centroid-quality regression fails loudly, and the stats must
+    reflect appends (computed live, not a stale build sidecar)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_cell_balance,
+        ivf_cell_stats,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, nlist=16)
+
+    bal = ivf_cell_balance(spark, path, nlist=16)
+    assert bal["n_cells"] + bal["empty_cells"] == 16
+    total = int(
+        ivf_cell_stats(spark, path).agg(F.sum("n_vectors")).collect()[0][0]
+    )
+    assert total == emb.filter(F.col("vec_id") % 2 == 0).count()
+    # skew ceiling on the fixture: measured ~2-3x at nlist=16; 6x is the
+    # regression alarm, not a physics bound
+    assert 1.0 <= bal["max_over_mean"] <= 6.0, bal
+
+    # appends must show up (stats are live)
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    total2 = int(
+        ivf_cell_stats(spark, path).agg(F.sum("n_vectors")).collect()[0][0]
+    )
+    assert total2 == emb.count()
+
+
+def test_opq_rotation_laws():
+    """OPQ training laws, pure numpy (no Spark): on ANISOTROPIC data
+    (correlated dims straddling the subspace split — the case plain PQ
+    handles worst) the learned rotation must (a) be orthogonal, (b) cut
+    quantization error vs identity-rotation PQ, (c) be bitwise
+    deterministic across reruns."""
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        _pq_reconstruct,
+        _train_books_on,
+        _train_opq_on,
+    )
+
+    rng = np.random.default_rng(7)
+    # low-rank mixing smears correlated structure across all subspaces
+    base = rng.standard_normal((4000, 8))
+    mix = rng.standard_normal((8, 64))
+    vm = base @ mix + 0.05 * rng.standard_normal((4000, 64))
+    vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+
+    m, ksub = 8, 64
+    rot, books = _train_opq_on(vm, m, ksub, iters=10, opq_iters=8)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-8)
+
+    plain_books = _train_books_on(vm, m, ksub, iters=10)
+    err_plain = np.sum((vm - _pq_reconstruct(vm, plain_books)) ** 2)
+    xr = vm @ rot.T
+    err_opq = np.sum((xr - _pq_reconstruct(xr, books)) ** 2)
+    # rotation preserves norms, so the errors are directly comparable
+    assert err_opq < err_plain * 0.9, (err_opq, err_plain)
+
+    rot2, books2 = _train_opq_on(vm, m, ksub, iters=10, opq_iters=8)
+    assert np.array_equal(rot, rot2) and np.array_equal(books, books2)
+
+    # opq_iters=0 degenerates to plain PQ under the identity rotation
+    rot0, books0 = _train_opq_on(vm, m, ksub, iters=10, opq_iters=0)
+    assert np.array_equal(rot0, np.eye(64))
+    assert np.array_equal(books0, plain_books)

@@ -391,12 +391,69 @@ def test_extract_domain(spark):
     got = [r.d for r in df.select(extract_domain("url").alias("d")).collect()]
     assert got == [
         "example.com",
-        "sub.site.org",
+        "site.org",  # eTLD+1: subdomains of one site collapse
         "example.com",
         "only-host.net",
         None,
         None,
     ]
+    # psl=False restores the raw-host behavior
+    raw = [
+        r.d
+        for r in df.select(extract_domain("url", psl=False).alias("d")).collect()
+    ]
+    assert raw[1] == "sub.site.org"
+
+
+def test_extract_domain_etld1_psl_rules(spark):
+    """PSL semantics goldens: multi-label registry suffixes (co.uk),
+    private platform suffixes (github.io — each user site is its own
+    domain), wildcard (*.ck) + exception (!www.ck), default rule for
+    unknown TLDs, bare-suffix → NULL, IPv4 pass-through, and
+    user-supplied rule lists."""
+    from uma_etl_iis_loader_spark.functions.text import extract_domain
+
+    cases = [
+        # (url, expected eTLD+1)
+        ("https://a.co.uk/x", "a.co.uk"),
+        ("https://news.b.co.uk/x", "b.co.uk"),  # a.co.uk ≠ b.co.uk
+        ("http://deep.sub.example.co.uk", "example.co.uk"),
+        ("https://alice.github.io/repo", "alice.github.io"),
+        ("https://bob.github.io", "bob.github.io"),  # stays distinct
+        ("http://blog.example.com/p", "example.com"),
+        ("http://x.y.z.example.org", "example.org"),
+        ("https://foo.bar.unknowntld", "bar.unknowntld"),  # default rule
+        ("http://anything.foo.ck/", "anything.foo.ck"),  # wildcard *.ck
+        ("http://sub.www.ck/", "www.ck"),  # exception !www.ck
+        ("http://co.uk", None),  # bare public suffix: no registrable dom
+        ("http://com", None),
+        ("http://localhost", None),
+        ("http://192.168.10.1:8080/x", "192.168.10.1"),  # IPv4 key
+        ("https://shop.example.com.au", "example.com.au"),
+        ("https://page.fan.blogspot.com", "fan.blogspot.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.d for r in df.select(extract_domain("url").alias("d")).collect()
+    ]
+    assert got == [e for _, e in cases], list(
+        zip([u for u, _ in cases], got, [e for _, e in cases])
+    )
+
+    # user-supplied full-list override (PSL file syntax: comments,
+    # wildcards, exceptions)
+    rules = ["// comment", "uk", "co.uk", "*.kw", "!edu.kw"]
+    df2 = spark.createDataFrame(
+        [("http://a.b.co.uk",), ("http://x.y.kw",), ("http://z.edu.kw",)],
+        "url string",
+    )
+    got2 = [
+        r.d
+        for r in df2.select(
+            extract_domain("url", suffixes=rules).alias("d")
+        ).collect()
+    ]
+    assert got2 == ["b.co.uk", "x.y.kw", "edu.kw"]
 
 
 def test_strip_html_escaped_entities_not_double_decoded(spark):

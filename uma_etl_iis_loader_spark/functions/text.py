@@ -521,14 +521,102 @@ def normalize_unicode_udf(form: str = "NFKC", fix_mojibake: bool = True):
     return norm
 
 
-def extract_domain(col: Column | str, strip_www: bool = True) -> Column:
-    """Registrable domain-ish host of a URL (the mixture/cap/dedup
-    grouping key of web-corpus pipelines): ``parse_url(..., 'HOST')`` —
-    JVM built-in — lowercased, optional leading ``www.`` stripped.
+# Bundled snapshot of PUBLIC SUFFIX LIST rules (publicsuffix.org — public
+# content; the canonical list is maintained by Mozilla volunteers). This
+# is a curated SUBSET: the high-traffic multi-label registry suffixes
+# (ICANN section) plus the hosting platforms whose subdomains are
+# independent sites (private section) — the rules that actually change
+# per-domain cap/mixture grouping on web corpora. Single-label TLDs need
+# no entry (the PSL default rule `*` covers them). Deployments that need
+# the FULL list pass it via ``extract_domain(..., suffixes=...)`` — the
+# algorithm is rule-count-agnostic.
+_PSL_EXACT = (
+    # .uk / .au / .nz / .jp / .kr / .za / .il / .th / .ke registries
+    "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "co.za", "net.za", "org.za", "ac.za", "gov.za", "web.za",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    # Asia
+    "com.cn", "net.cn", "org.cn", "edu.cn", "gov.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "go.id", "sch.id",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    "gen.in", "firm.in", "ind.in",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np",
+    # Europe / Middle East
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.ru", "net.ru", "org.ru",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    # private section: hosting platforms whose subdomains are
+    # independently-operated sites
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "firebaseapp.com", "web.app", "netlify.app",
+    "vercel.app", "azurewebsites.net", "cloudfront.net", "pages.dev",
+    "workers.dev", "readthedocs.io", "neocities.org",
+)
+# wildcard rules `*.X`: EVERY 2-label suffix under X is a public suffix
+_PSL_WILDCARD = ("ck", "er", "fk", "mm")
+# exception rules `!host`: carve-outs from a wildcard
+_PSL_EXCEPTION = ("www.ck",)
+
+
+def extract_domain(
+    col: Column | str,
+    strip_www: bool = True,
+    psl: bool = True,
+    suffixes: tuple | None = None,
+) -> Column:
+    """Registrable domain (eTLD+1) of a URL — the mixture/cap/dedup
+    grouping key of web-corpus pipelines. ``parse_url(..., 'HOST')``
+    (JVM built-in) lowercases and isolates the host; the public-suffix
+    rules then pick the longest matching suffix and keep ONE label more:
+    ``a.co.uk`` and ``b.co.uk`` stay distinct sites, while
+    ``news.example.com`` and ``blog.example.com`` collapse into
+    ``example.com`` — and ``alice.github.io`` / ``bob.github.io`` stay
+    distinct (private-section platform suffixes).
+
+    Entirely JVM-side: trailing-label candidate suffixes via
+    split/slice/array_join, matched against literal rule sets compiled
+    into the plan (``isin`` → an In/InSet expression inside whole-stage
+    codegen) — no join, no shuffle, no Python. Rule semantics follow the
+    published PSL algorithm: longest match wins; ``*.X`` wildcards make
+    any 2-label suffix under X public; ``!host`` exceptions carve back
+    one level; unknown TLDs fall back to the default rule (the TLD
+    itself). The bundled snapshot is a curated subset (see
+    ``_PSL_EXACT``); pass ``suffixes=`` (iterable of rules, ``*.``/
+    ``!`` syntax supported) to swap in the full published list, or
+    ``psl=False`` for the raw host (minus ``www.``).
+
+    Hosts with NO registrable domain (the bare suffix itself — e.g.
+    ``co.uk``, ``com``, ``localhost``) → NULL, per the PSL contract.
+    IPv4 hosts are their own key (returned unchanged — an IP has no
+    registrable domain but IS a meaningful cap-grouping unit).
     Schemeless inputs ('example.com/page') get an ``http://`` prefix
-    first so HOST still resolves; NULL/unparseable → NULL. (True eTLD+1
-    needs the public-suffix list — a lookup-table join, not a parser
-    change; HOST is the deterministic, dependency-free default.)"""
+    first so HOST still resolves; NULL/unparseable → NULL."""
     c = F.col(col) if isinstance(col, str) else col
     with_scheme = F.when(
         c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c
@@ -536,4 +624,79 @@ def extract_domain(col: Column | str, strip_www: bool = True) -> Column:
     host = F.lower(F.parse_url(with_scheme, F.lit("HOST")))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
-    return F.when(c.isNull() | (F.trim(c) == ""), F.lit(None)).otherwise(host)
+    host = F.when(c.isNull() | (F.trim(c) == ""), F.lit(None)).otherwise(host)
+    if not psl:
+        return host
+
+    if suffixes is None:
+        exact = set(_PSL_EXACT)
+        wildcard = set(_PSL_WILDCARD)
+        exception = set(_PSL_EXCEPTION)
+    else:
+        exact, wildcard, exception = set(), set(), set()
+        for rule in suffixes:
+            rule = rule.strip().lower()
+            if not rule or rule.startswith("//"):
+                continue
+            if rule.startswith("!"):
+                exception.add(rule[1:])
+            elif rule.startswith("*."):
+                wildcard.add(rule[2:])
+            else:
+                exact.add(rule)
+
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def suffix(i: int) -> Column:
+        # null when the host has fewer labels — isin(null) is null→false
+        return F.when(
+            n >= i, F.array_join(F.slice(labels, -i, i), ".")
+        )
+
+    by_len: dict[int, list[str]] = {}
+    for s in exact:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+    exc_by_len: dict[int, list[str]] = {}
+    for s in exception:
+        exc_by_len.setdefault(s.count(".") + 1, []).append(s)
+    wc_by_len: dict[int, list[str]] = {}
+    for s in wildcard:
+        wc_by_len.setdefault(s.count(".") + 1, []).append(s)
+
+    # PSL algorithm: exceptions first (suffix = rule minus its first
+    # label), else the longest matching exact/wildcard rule, else the
+    # default rule `*` (the TLD). suffix_len = label count of the
+    # winning public suffix.
+    suffix_len = None
+    max_len = max(
+        [ln for ln in by_len] + [ln + 1 for ln in wc_by_len] + [2]
+    )
+    cases = []
+    for ln, rules in sorted(exc_by_len.items(), reverse=True):
+        cases.append((suffix(ln).isin(rules), F.lit(ln - 1)))
+    for ln in range(max_len, 1, -1):
+        conds = []
+        if ln in by_len:
+            conds.append(suffix(ln).isin(by_len[ln]))
+        if ln - 1 in wc_by_len:
+            conds.append(suffix(ln - 1).isin(wc_by_len[ln - 1]))
+        if conds:
+            cond = conds[0]
+            for extra in conds[1:]:
+                cond = cond | extra
+            cases.append((cond, F.lit(ln)))
+    for cond, val in cases:
+        suffix_len = (
+            F.when(cond, val) if suffix_len is None else suffix_len.when(cond, val)
+        )
+    suffix_len = (
+        suffix_len.otherwise(F.lit(1)) if suffix_len is not None else F.lit(1)
+    )
+
+    ipv4 = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    keep = (suffix_len + F.lit(1)).cast("int")  # suffix labels + 1
+    etld1 = F.when(
+        n > suffix_len, F.array_join(F.slice(labels, -keep, keep), ".")
+    )
+    return F.when(host.isNull(), F.lit(None)).when(ipv4, host).otherwise(etld1)

@@ -1066,7 +1066,13 @@ def compact_minhash_index(spark, path: str) -> None:
     each table into fewer files. Rename-away swap per table (see
     compact_shingle_index — no crash point destroys data), grams first
     (same crash-ordering contract as the appends: bands ⊆ grams always
-    holds for any id)."""
+    holds for any id).
+
+    CONCURRENCY: requires exclusive access — between the two renames
+    the live table momentarily doesn't exist, so a concurrent reader
+    (incremental_minhash_dedup / streaming ingest) on the same path can
+    fail mid-compaction. Run it from the maintenance job that owns the
+    index (crash-safety above covers failures, not concurrent reads)."""
     import os
     import shutil
 

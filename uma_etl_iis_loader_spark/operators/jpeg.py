@@ -1,0 +1,589 @@
+"""Baseline JPEG codec in stdlib + numpy — the codec-less-container rung
+for the format web corpora actually ship (ITU-T T.81 baseline
+sequential DCT, the public spec; tables from its Annex K).
+
+Why this exists: ``decode_image`` prefers PIL when importable, but CI
+containers without codec libraries previously SKIPPED the JPEG path
+entirely (r6 verdict: "the rung users will actually hit for web images
+ships untested"). Like the PNG rung, this makes the real
+compressed-format decode executable anywhere: Huffman-coded entropy
+data, dequantization, 2-D IDCT, chroma upsampling, YCbCr→RGB.
+
+Scope (stats-kernel rung, same contract as ``decode_png``):
+
+- decode: baseline sequential (SOF0), 8-bit, 1 or 3 components,
+  sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.
+  Progressive (SOF2), arithmetic coding, 12-bit → ``ValueError`` (PIL
+  rung territory). Huffman and quantization tables are read FROM THE
+  FILE (DHT/DQT segments), so decoding does not depend on this module's
+  own constants.
+- encode: 4:4:4 quality-scaled Annex-K tables, standard Huffman tables
+  — exists to fabricate REAL JPEG fixtures in codec-less CI and for
+  byte-exact deterministic re-encodes; it is not a rate-optimized
+  production encoder.
+- per-image work is a few numpy block ops plus a Python Huffman loop —
+  fine at fixture sizes; the 1 MP cap keeps a worst-case row bounded.
+  Production hosts decode via PIL (preferred automatically).
+
+Cite: complements `operators/multimodal.py` decode ladder; the
+reference has no media ops (extension surface).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K.1/K.2 — the example quantization tables every
+# mainstream encoder derives from (public spec constants).
+_QUANT_LUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_QUANT_CHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan order (T.81 figure 5): _ZIGZAG[i] = raster index of the
+# i-th zigzag coefficient
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# T.81 Annex K.3 typical Huffman tables: (bits[1..16], values)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: forward = D @ B @ D.T."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (public libjpeg recipe): 1..100."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits, values):
+    """(symbol -> (code, length)) canonical Huffman assignment (T.81
+    C.2): codes of each length are consecutive, lengths ascending."""
+    out = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.buf)
+
+
+def _magnitude(v: int):
+    """(category, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes (4:4:4, Annex-K
+    tables scaled by ``quality``). Deterministic: same input → same
+    bytes."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3) or img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 1|3) uint8")
+    h, w, ncomp = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("degenerate image")
+
+    if ncomp == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+
+    qlum = _scaled_quant(_QUANT_LUM, quality)
+    qchrom = _scaled_quant(_QUANT_CHROM, quality)
+    qtabs = [qlum] + ([qchrom] if ncomp == 3 else [])
+
+    dc_codes = [_canonical_codes(*_DC_LUM)] + (
+        [_canonical_codes(*_DC_CHROM)] if ncomp == 3 else []
+    )
+    ac_codes = [_canonical_codes(*_AC_LUM)] + (
+        [_canonical_codes(*_AC_CHROM)] if ncomp == 3 else []
+    )
+
+    # pad planes to 8x8 multiples (edge replicate), block-DCT, quantize
+    bh, bw = -(-h // 8), -(-w // 8)
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coeff = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        q = qtabs[min(ci, 1)]
+        # clamp to the baseline Huffman category range (DC diff ≤ 2046 →
+        # cat ≤ 11, AC ≤ 1023 → cat ≤ 10); reachable only at quality
+        # ~100 on synthetic extremes, where 1 count of clipping is
+        # invisible next to quantization itself
+        quant = np.clip(np.round(coeff / q), -1023, 1023).astype(np.int32)
+        comp_blocks.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for bi in range(bh * bw):
+        for ci in range(ncomp):
+            zz = comp_blocks[ci][bi]
+            ti = min(ci, 1)
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            cat, bits = _magnitude(diff)
+            code, ln = dc_codes[ti][cat]
+            wtr.write(code, ln)
+            if cat:
+                wtr.write(bits, cat)
+            run = 0
+            last_nz = np.nonzero(zz[1:])[0]
+            last = last_nz[-1] + 1 if len(last_nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[ti][0xF0]  # ZRL
+                    wtr.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = ac_codes[ti][(run << 4) | cat]
+                wtr.write(code, ln)
+                wtr.write(bits, cat)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[ti][0x00]  # EOB
+                wtr.write(code, ln)
+    scan = wtr.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    # APP0/JFIF: version 1.1, aspect-ratio units, 1:1 density, no thumb
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
+        out += bytes(int(x) for x in q.reshape(64)[_ZIGZAG])
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))
+    # DHT
+    for cls, ti, (bits, vals) in (
+        [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+        + ([(0, 1, _DC_CHROM), (1, 1, _AC_CHROM)] if ncomp == 3 else [])
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(vals), (cls << 4) | ti
+        )
+        out += bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        ti = min(ci, 1)
+        out += struct.pack("BB", ci + 1, (ti << 4) | ti)
+    out += b"\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_symbol(rd: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | rd.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, channels) uint8 (channels 1 or 3,
+    RGB). Tables come from the file's own DQT/DHT segments. Raises
+    ``ValueError`` on anything outside baseline sequential 8-bit with
+    sampling factors ≤ 2 — the PIL rung's territory."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, dict] = {}
+    sof = None
+    restart_interval = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if off + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
+                tbl = np.frombuffer(
+                    seg[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int32)
+                qtabs[tq] = tbl[_UNZIGZAG].reshape(8, 8)
+                off += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(-ish)
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF segment")
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "progressive/extended JPEG unsupported by the stdlib rung"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                if off + 17 > len(seg):
+                    raise ValueError("truncated DHT segment")
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                if off + 17 + nvals > len(seg):
+                    raise ValueError("truncated DHT segment")
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                dec = {}
+                code = 0
+                i = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        dec[(ln, code)] = vals[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                htabs[(tc, th)] = dec
+                off += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated SOS segment")
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError("degenerate JPEG dimensions")
+    if h * w > 1_000_000:
+        raise ValueError(
+            f"JPEG too large for the stdlib rung ({w}x{h}); use the PIL "
+            f"rung for >1 MP imagery"
+        )
+    if len(comps) not in (1, 3):
+        raise ValueError("only 1- or 3-component JPEG supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or any(
+        c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps
+    ):
+        raise ValueError("sampling factors > 2 unsupported")
+
+    # split entropy data on restart markers, unstuff 0xFF00
+    intervals: list[bytes] = []
+    cur = bytearray()
+    p = scan_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF and p + 1 < len(payload):
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+        cur.append(b)
+        p += 1
+    intervals.append(bytes(cur))
+
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+    n_mcus = mcus_x * mcus_y
+    per_interval = restart_interval or n_mcus
+
+    comp_meta = []
+    for cid, ch, cv, tq in comps:
+        sc = next((s for s in scan_comps if s[0] == cid), None)
+        if sc is None:
+            raise ValueError("scan references unknown component")
+        if tq not in qtabs:
+            raise ValueError("missing quantization table")
+        comp_meta.append(
+            {
+                "h": ch,
+                "v": cv,
+                "q": qtabs[tq],
+                "dc": htabs.get((0, sc[1])),
+                "ac": htabs.get((1, sc[2])),
+                "bw": mcus_x * ch,
+                "bh": mcus_y * cv,
+            }
+        )
+        if comp_meta[-1]["dc"] is None or comp_meta[-1]["ac"] is None:
+            raise ValueError("missing Huffman table")
+    for cm in comp_meta:
+        cm["blocks"] = np.zeros((cm["bh"] * cm["bw"], 8, 8), dtype=np.float64)
+
+    mcu = 0
+    for interval in intervals:
+        if mcu >= n_mcus:
+            break
+        rd = _BitReader(interval)
+        pred = [0] * len(comps)
+        for _ in range(min(per_interval, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, cm in enumerate(comp_meta):
+                for by in range(cm["v"]):
+                    for bx in range(cm["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        cat = _decode_symbol(rd, cm["dc"])
+                        if cat > 15:  # corrupt DHT values; spec max is 11
+                            raise ValueError("invalid DC category")
+                        diff = _extend(rd.read_bits(cat), cat) if cat else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(rd, cm["ac"])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            cat = sym & 0xF
+                            if cat > 10:  # spec max for baseline AC
+                                raise ValueError("invalid AC category")
+                            zz[k] = _extend(rd.read_bits(cat), cat)
+                            k += 1
+                        row = my * cm["v"] + by
+                        col = mx * cm["h"] + bx
+                        cm["blocks"][row * cm["bw"] + col] = (
+                            zz[_UNZIGZAG].reshape(8, 8) * cm["q"]
+                        )
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError("truncated JPEG scan")
+
+    planes = []
+    for cm in comp_meta:
+        blocks = np.einsum("ji,njk,kl->nil", _DCT, cm["blocks"], _DCT) + 128.0
+        plane = (
+            blocks.reshape(cm["bh"], cm["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(cm["bh"] * 8, cm["bw"] * 8)
+        )
+        # upsample to full resolution (sample-and-hold, the baseline
+        # reconstruction), then crop padding
+        plane = np.repeat(
+            np.repeat(plane, vmax // cm["v"], axis=0), hmax // cm["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)

@@ -191,8 +191,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if w == 0 or h == 0:
         raise ValueError("degenerate PNG dimensions")
-    if w * h > 64_000_000:  # ~192 MB decoded RGB — not a stats-kernel image
-        raise ValueError(f"PNG dimensions too large ({w}x{h})")
+    # Stats-kernel rung cap: working memory is ~3 bytes per decoded byte
+    # (raw scanlines + int16 reconstruction buffers), and Sub/Average/
+    # Paeth rows unfilter in a per-byte Python loop — a 4 MP ceiling
+    # bounds both (~50 MB / a few seconds worst-case per row). Bigger
+    # imagery belongs on the PIL rung (preferred automatically when
+    # importable — see decode_image).
+    if w * h > 4_000_000:
+        raise ValueError(
+            f"PNG dimensions too large for the stdlib rung ({w}x{h}); "
+            f"use the PIL rung for >4 MP imagery"
+        )
     stride = w * channels
     expected = h * (stride + 1)
     try:
@@ -206,12 +215,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.int64)
+    # int16 reconstruction buffers: every intermediate fits (Average sums
+    # ≤ 765, Paeth p ∈ [-255, 510], distances ≤ 765) and the working set
+    # is 4x smaller than int64 — the unfilter math is mod-256 either way
+    out = np.zeros((h, stride), dtype=np.int16)
     bpp = channels
     for r in range(h):
         f = int(arr[r, 0])
-        line = arr[r, 1:].astype(np.int64)
-        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        line = arr[r, 1:].astype(np.int16)
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int16)
         if f == 0:
             rec = line
         elif f == 2:  # Up
@@ -250,14 +262,27 @@ def decode_image(payload: bytes):
     - 8-bit non-interlaced PNG → stdlib zlib + unfilter
       (:func:`decode_png`), (h, w, channels) uint8 — the real
       COMPRESSED-format rung, also codec-less.
+    - baseline JPEG → the stdlib Huffman+IDCT decoder
+      (:func:`operators.jpeg.decode_jpeg`) — the web-corpus format,
+      executable (and executed, in tests) without any codec library.
     - anything else → PIL when importable (production rung), else
       ``NotImplementedError``.
+
+    Rung order: BMP always takes the stdlib path first (vectorized byte
+    slicing — no codec can beat it); PNG prefers PIL when importable
+    (C-speed unfilter; the stdlib decoder's Sub/Average/Paeth rows are a
+    per-byte Python loop, orders of magnitude slower on filter-heavy
+    real-world PNGs) and falls back to the stdlib decoder in codec-less
+    containers — so production hosts with PIL never silently pay the
+    pure-Python cost, and CI without PIL still executes a REAL
+    compressed-format decode.
 
     Cite: mirrors how the reference gates optional behavior behind
     runtime checks rather than hard deps (defensive parsing throughout
     `iis_etl/logic.py:23-56`). Swap in torchvision/ffmpeg kernels on a
     real cluster for the compressed formats.
     """
+    pillow = _try_import_pillow()
     if payload[:2] == b"BM":
         try:
             return decode_bmp(payload)
@@ -265,27 +290,27 @@ def decode_image(payload: bytes):
             # a BMP variant the stdlib rung doesn't handle (32-bit, RLE,
             # top-down): fall through to PIL rather than failing a
             # payload PIL could decode
-            if _try_import_pillow() is None:
+            if pillow is None:
                 raise
-    if payload[:8] == _PNG_SIG:
-        try:
-            return decode_png(payload)
-        except ValueError:
-            # a PNG class outside the stdlib rung (palette, 16-bit,
-            # interlaced): fall through to PIL when available
-            if _try_import_pillow() is None:
-                raise
-    pillow = _try_import_pillow()
+    elif payload[:8] == _PNG_SIG and pillow is None:
+        return decode_png(payload)
+    elif payload[:2] == b"\xff\xd8" and pillow is None:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if pillow is None:
         raise NotImplementedError(
-            "decoding non-BMP/PNG images requires a codec library (PIL) "
-            "not present in this container; use encode_bmp/decode_bmp, "
-            "encode_png/decode_png, or fake_decode_features for plumbing "
-            "tests"
+            "decoding non-BMP/PNG/JPEG images requires a codec library "
+            "(PIL) not present in this container; use encode_bmp/"
+            "encode_png/encode_jpeg + their decoders, or "
+            "fake_decode_features for plumbing tests"
         )
     import io as _io
 
-    return pillow.open(_io.BytesIO(payload))
+    img = pillow.open(_io.BytesIO(payload))
+    arr = np.asarray(img)
+    # normalize to the stdlib rungs' (h, w, channels) ndarray contract
+    return arr[:, :, None] if arr.ndim == 2 else arr
 
 
 def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
@@ -384,6 +409,21 @@ def synthesize_png_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame
     so the compressed-format decode rung is exercised end-to-end with
     oracle-recomputable pixel sums."""
     return _synthesize_assets(ids, id_col, encode_png)
+
+
+def synthesize_jpeg_assets(
+    ids: DataFrame, id_col: str = "asset_id", quality: int = 92
+) -> DataFrame:
+    """Deterministic synthetic baseline JPEG per id — same pixel formula,
+    encoded through the real :func:`operators.jpeg.encode_jpeg`
+    (DCT + Huffman), so the LOSSY web-corpus rung is exercised
+    end-to-end. Unlike BMP/PNG the decoded pixels differ from the
+    source by bounded quantization error, never exactly."""
+    from .jpeg import encode_jpeg
+
+    return _synthesize_assets(
+        ids, id_col, lambda px: encode_jpeg(px, quality=quality)
+    )
 
 
 def fake_decode_features(docs: DataFrame, n_features: int = 16) -> DataFrame:

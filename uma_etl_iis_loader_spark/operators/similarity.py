@@ -443,6 +443,48 @@ def append_ivf_index(
     ).partitionBy("centroid_id").parquet(path + "/vectors")
 
 
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Per-cell occupancy of a persisted IVF / IVF+PQ index:
+    (centroid_id, n_vectors). Computed LIVE from the vectors table so
+    appends are always reflected; the scan touches only the partition
+    column (a directory-derived value — no parquet data pages are read)
+    plus row-count metadata, so this is cheap even on a huge index.
+
+    Cell skew is THE operational risk of IVF at scale (SCALE.md): a hot
+    cell makes every query probing it scan disproportionately, and in
+    the co-grouped distributed query path it bounds one task's working
+    set. Monitor ``ivf_cell_balance`` after builds and periodically
+    under append drift; re-run the build to re-center when the ratio
+    degrades."""
+    return (
+        spark.read.parquet(path + "/vectors")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ivf_cell_balance(spark, path: str, nlist: int | None = None) -> dict:
+    """Skew telemetry over :func:`ivf_cell_stats` (≤ nlist rows — a
+    bounded driver summary): ``{"n_cells", "min", "max", "mean",
+    "max_over_mean", "empty_cells"}``. ``max_over_mean`` is the
+    headline: 1.0 = perfectly balanced; tests pin a ceiling on the
+    sf0.1 embedding fixture so a centroid-quality regression that
+    collapses vectors into few cells fails loudly."""
+    rows = ivf_cell_stats(spark, path).collect()
+    counts = [r.n_vectors for r in rows]
+    n_cells = len(counts)
+    total = sum(counts)
+    mean = total / n_cells if n_cells else 0.0
+    return {
+        "n_cells": n_cells,
+        "min": min(counts) if counts else 0,
+        "max": max(counts) if counts else 0,
+        "mean": mean,
+        "max_over_mean": (max(counts) / mean) if mean else 0.0,
+        "empty_cells": (nlist - n_cells) if nlist is not None else 0,
+    }
+
+
 def compact_ivf_index(
     spark, path: str, target_file_bytes: int = 128 << 20
 ) -> None:
@@ -473,7 +515,16 @@ def compact_ivf_index(
     self-heals any residue on entry.
 
     Local-filesystem paths (object stores: swap the two renames for the
-    store's atomic-manifest commit; the Spark work is identical)."""
+    store's atomic-manifest commit; the Spark work is identical).
+
+    CONCURRENCY: compaction requires exclusive access to the index.
+    Crash-safety (above) protects the data across a failed run, but
+    between the two renames there is an instant where ``vectors`` does
+    not exist — a concurrent ``ivf_index_topk`` / ``ivfpq_topk`` on the
+    same path can fail mid-compaction. Schedule compaction in the
+    maintenance window that owns the index (the same contract as
+    ``dedup.compact_minhash_index``); on an object store the
+    atomic-manifest commit removes the window entirely."""
     import os
     import shutil
 
@@ -560,6 +611,27 @@ def train_pq_codebooks(
     return _train_books_on(vm, m, ksub, iters)
 
 
+def train_opq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    sample_size: int = 2048,
+    iters: int = 10,
+    opq_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """OPQ variant of :func:`train_pq_codebooks`: returns ``(rotation,
+    codebooks)`` — a learned d×d orthogonal rotation (see
+    :func:`_train_opq_on`) plus per-subspace codebooks trained on the
+    rotated sample. Pass both to :func:`pq_encode` / :func:`pq_topk`
+    (``rotation=``); same determinism contract as plain PQ."""
+    vm = _sample_normalized(corpus, sample_size, id_col, vec_col)
+    if vm.shape[1] % m != 0:
+        raise ValueError(f"dimension {vm.shape[1]} not divisible by m={m}")
+    return _train_opq_on(vm, m, ksub, iters, opq_iters)
+
+
 def _sample_normalized(
     corpus: DataFrame, sample_size: int, id_col: str, vec_col: str
 ):
@@ -578,6 +650,55 @@ def _sample_normalized(
     vm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(vm, axis=1)
     return vm / np.where(norms == 0, 1.0, norms)[:, None]
+
+
+def _pq_reconstruct(xr, books):
+    """Encode-then-decode an (n, d) matrix with per-subspace codebooks —
+    the reconstruction OPQ's rotation update minimizes against."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    out = np.empty_like(xr)
+    for mi in range(m):
+        x = xr[:, mi * dsub : (mi + 1) * dsub]
+        cb = books[mi]
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cb.T)
+            + (cb * cb).sum(axis=1)[None, :]
+        )
+        out[:, mi * dsub : (mi + 1) * dsub] = cb[d2.argmin(axis=1)]
+    return out
+
+
+def _train_opq_on(vm, m: int, ksub: int, iters: int, opq_iters: int):
+    """OPQ-NP (Ge, He, Ke, Sun, "Optimized Product Quantization", CVPR
+    2013 — the non-parametric variant): alternate (a) per-subspace
+    k-means on the ROTATED sample with (b) the closed-form orthogonal
+    Procrustes update R = V·Uᵀ from SVD(XᵀY) — X the sample, Y its
+    current reconstruction. The learned rotation decorrelates subspaces
+    before the split, cutting quantization error vs identity-rotation PQ
+    (measured per-query recall-floor lift pinned in the knn_ann query).
+    Fully deterministic: identity init, seeded k-means
+    (:func:`_train_books_on`), and SVD of a fixed matrix — reruns,
+    persisted indexes, and oracles agree. Returns ``(R, books)``; encode
+    ``x @ R.T``, query LUTs from ``R·q`` (rotations preserve inner
+    products, so the exact <q, centroid> IVF term is computed on the
+    UNROTATED vectors and only the residual ADC term rotates)."""
+    import numpy as np
+
+    d = vm.shape[1]
+    rot = np.eye(d)
+    books = None
+    for _ in range(max(opq_iters, 1)):
+        xr = vm @ rot.T
+        books = _train_books_on(xr, m, ksub, iters)
+        if opq_iters <= 0:
+            break
+        recon = _pq_reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(vm.T @ recon)
+        rot = (u @ vt).T  # Procrustes: min_R ||vm @ R.T - recon||
+    return rot, books
 
 
 def _train_books_on(vm, m: int, ksub: int, iters: int):
@@ -618,10 +739,14 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
 ) -> DataFrame:
     """(id, codes: binary) — m bytes per vector (ksub ≤ 256). The
     encoded table is what a 100 TB deployment persists and scans; the
-    float vectors are only needed again for the optional refine stage."""
+    float vectors are only needed again for the optional refine stage.
+    ``rotation``: the OPQ matrix from :func:`train_opq_codebooks` —
+    vectors are rotated before the subspace split (queries must then
+    pass the SAME rotation to :func:`pq_topk`)."""
     import numpy as np
     import pandas as pd
 
@@ -639,6 +764,8 @@ def pq_encode(
             )
             norms = np.linalg.norm(vm, axis=1)
             vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+            if rotation is not None:
+                vm = vm @ rotation.T
             codes = np.empty((len(vm), m), dtype=np.uint8)
             for mi in range(m):
                 x = vm[:, mi * dsub : (mi + 1) * dsub]
@@ -677,6 +804,7 @@ def pq_topk(
     cell_col: str | None = None,
     query_cells: dict | None = None,
     cell_offsets: dict | None = None,
+    rotation=None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes via asymmetric distance
     computation: per query, one (m × ksub) inner-product lookup table;
@@ -727,9 +855,13 @@ def pq_topk(
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qnorm = np.linalg.norm(qm, axis=1)
     qm = qm / np.where(qnorm == 0, 1.0, qnorm)[:, None]
-    # LUT[q, mi, code] = <q_sub(mi), codeword>: ADC sim = sum_mi LUT gather
+    # LUT[q, mi, code] = <q_sub(mi), codeword>: ADC sim = sum_mi LUT gather.
+    # OPQ: codes quantize ROTATED vectors/residuals, and rotations
+    # preserve inner products, so only the LUT side rotates — the exact
+    # <q, centroid> cell_offsets stay in the unrotated space.
+    qr = qm if rotation is None else qm @ rotation.T
     luts = np.einsum(
-        "qmd,mkd->qmk", qm.reshape(len(qm), m, dsub), books
+        "qmd,mkd->qmk", qr.reshape(len(qr), m, dsub), books
     )
     shortlist = k * refine_factor if refine_corpus is not None else k
     if query_cells is not None:
@@ -838,6 +970,7 @@ def build_ivfpq_index(
     ksub: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    opq_iters: int = 8,
 ) -> None:
     """IVF + PQ combined index — the standard billion-scale serving
     layout: vectors are partitioned by nearest IVF centroid (so queries
@@ -848,8 +981,9 @@ def build_ivfpq_index(
     a separate lookup service rescores.
 
     Persists: ``<path>/centroids`` (IVF), ``<path>/codebooks`` (PQ, one
-    row per (subspace, codeword)), ``<path>/vectors`` (centroid_id-
-    partitioned: id, codes, cvec)."""
+    row per (subspace, codeword)), ``<path>/rotation`` (the learned OPQ
+    matrix; ``opq_iters=0`` → identity ≡ classic IVF+PQ), and
+    ``<path>/vectors`` (centroid_id-partitioned: id, codes, cvec)."""
     import numpy as np
     import pandas as pd
 
@@ -867,7 +1001,9 @@ def build_ivfpq_index(
     if vm.shape[1] % m != 0:
         raise ValueError(f"dimension {vm.shape[1]} not divisible by m={m}")
     sample_cells = (vm @ cent_mat.T).argmax(axis=1)
-    books = _train_books_on(vm - cent_mat[sample_cells], m, ksub, iters=10)
+    rot, books = _train_opq_on(
+        vm - cent_mat[sample_cells], m, ksub, iters=10, opq_iters=opq_iters
+    )
     dsub = books.shape[2]
 
     # ONE kernel assigns the centroid AND encodes the codes — both
@@ -884,7 +1020,7 @@ def build_ivfpq_index(
             norms = np.linalg.norm(vm, axis=1)
             vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
             cent = (vm @ cent_mat.T).argmax(axis=1).astype(np.int32)
-            res = vm - cent_mat[cent]  # PQ encodes the residual
+            res = (vm - cent_mat[cent]) @ rot.T  # PQ encodes R·residual
             codes = np.empty((len(vm), m), dtype=np.uint8)
             for mi in range(m):
                 x = res[:, mi * dsub : (mi + 1) * dsub]
@@ -922,35 +1058,19 @@ def build_ivfpq_index(
         ],
         "m int, code int, sub array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    spark.createDataFrame(
+        [(i, [float(x) for x in rot[i]]) for i in range(rot.shape[0])],
+        "row int, vals array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/rotation")
 
 
-def ivfpq_topk(
-    spark,
-    path: str,
-    queries: DataFrame,
-    k: int = 10,
-    nprobe: int = 4,
-    refine_factor: int = 4,
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    max_queries: int = 10_000,
-) -> DataFrame:
-    """Query the IVF+PQ index: probe ``nprobe`` centroids per query,
-    partition-prune the vectors scan to the probed cells, ADC-score the
-    codes there, take a k × refine_factor shortlist, and exactly rescore
-    it against the stored float vectors. The scan that dominates at
-    scale reads only probed partitions and only the (id, codes) columns
-    until the final shortlist join.
+def _load_ivfpq_sidecars(spark, path: str):
+    """(cent_mat, books, rotation) from the persisted index — all
+    driver-sized by construction (nlist centroids; m × ksub codewords;
+    one d × d matrix), the same class of driver data as a broadcast dim.
+    Pre-OPQ indexes have no ``rotation`` sidecar → identity (None)."""
+    import os
 
-    Per-query cell restriction: the vectors scan is partition-pruned to
-    the UNION of probed cells (one pruned scan for the whole batch), but
-    inside the ADC kernel each query only scores rows of ITS OWN probed
-    cells (pq_topk's query_cells mask) — so a query's result set is
-    identical whether it runs alone or batched with others, matching
-    ivf_index_topk's semantics. Measured corpus recall@10 vs brute force
-    at sf0.1 (nlist=16, m=8, refine_factor=4): 0.50 at nprobe=4, 0.64
-    at nprobe=8 — the cell-miss of IVF dominates; raise nprobe or
-    refine_factor to trade scan cost for recall."""
     import numpy as np
 
     cents = sorted(
@@ -965,6 +1085,63 @@ def ivfpq_topk(
     books = np.zeros((mm, kk, dsub))
     for r in book_rows:
         books[r.m, r.code] = np.asarray(r.sub, dtype=np.float64)
+    rot = None
+    if os.path.isdir(path + "/rotation"):
+        rows = sorted(
+            spark.read.parquet(path + "/rotation").collect(),
+            key=lambda r: r.row,
+        )
+        rot = np.stack([np.asarray(r.vals, dtype=np.float64) for r in rows])
+    return cent_mat, books, rot
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 10_000,
+    distributed: bool | str = "auto",
+) -> DataFrame:
+    """Query the IVF+PQ index: probe ``nprobe`` centroids per query,
+    partition-prune the vectors scan to the probed cells, ADC-score the
+    codes there, take a k × refine_factor shortlist, and exactly rescore
+    it against the stored float vectors. The scan that dominates at
+    scale reads only probed partitions and only the (id, codes) columns
+    until the final shortlist join.
+
+    Two query-side executions, same results (pytest-pinned equal):
+
+    - **driver path** (|Q| ≤ ``max_queries``): one guarded collect of
+      the query set serves probe assignment, the partition filter, and
+      the per-(query, cell) residual offsets; the ADC kernel ships the
+      query LUTs in its closure. Lowest latency for serving-shaped
+      batches.
+    - **distributed path** (|Q| > ``max_queries``, or
+      ``distributed=True``): the query set NEVER reaches the driver —
+      queries are assigned to probe cells by the same
+      ``_assign_centroid`` kernel the corpus ingest uses, co-grouped
+      with the code partitions per cell (``cogroup().applyInPandas``),
+      and ADC-scored cell-locally; only per-(query, cell) shortlists
+      shuffle. This is the corpus-sized-query-batch path (re-embedding
+      a corpus against itself). ``distributed=False`` restores the
+      hard raise on overflow.
+
+    Per-query cell restriction: the vectors scan is partition-pruned to
+    the UNION of probed cells (one pruned scan for the whole batch), but
+    each query only scores rows of ITS OWN probed cells — so a query's
+    result set is identical whether it runs alone or in a batch, and on
+    either path. Measured corpus recall@10 vs brute force
+    at sf0.1 (nlist=16, m=8, refine_factor=4): 0.50 at nprobe=4, 0.64
+    at nprobe=8 — the cell-miss of IVF dominates; raise nprobe or
+    refine_factor to trade scan cost for recall."""
+    import numpy as np
+
+    cent_mat, books, rot = _load_ivfpq_sidecars(spark, path)
 
     # ONE guarded collect of the query set serves everything driver-side:
     # probe cells (argsort of the normalized-IP base matrix — identical
@@ -973,16 +1150,33 @@ def ivfpq_topk(
     # frame handed to pq_topk is REBUILT from these collected rows, so a
     # nondeterministic input DataFrame (sample/limit without order)
     # cannot desynchronize the three views of the query set.
-    q_rows = (
-        queries.select(query_id_col, vec_col)
-        .limit(max_queries + 1)
-        .collect()
-    )
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"ivfpq_topk collects the query set to the driver; got > "
-            f"{max_queries} queries — raise max_queries explicitly if "
-            f"intended."
+    if distributed is True:
+        q_rows = []
+    else:
+        q_rows = (
+            queries.select(query_id_col, vec_col)
+            .limit(max_queries + 1)
+            .collect()
+        )
+    if distributed is True or len(q_rows) > max_queries:
+        if distributed is False:
+            raise ValueError(
+                f"ivfpq_topk collects the query set to the driver; got > "
+                f"{max_queries} queries — raise max_queries explicitly, "
+                f"or leave distributed='auto' for the co-grouped path."
+            )
+        return _ivfpq_topk_distributed(
+            spark,
+            path,
+            queries,
+            cent_mat,
+            books,
+            rot,
+            k=k,
+            nprobe=nprobe,
+            refine_factor=refine_factor,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
         )
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(qm, axis=1)
@@ -1019,4 +1213,140 @@ def ivfpq_topk(
         cell_col="centroid_id",
         query_cells=query_cells,
         cell_offsets=cell_offsets,
+        rotation=rot,
+    )
+
+
+def _ivfpq_topk_distributed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    cent_mat,
+    books,
+    rotation,
+    k: int,
+    nprobe: int,
+    refine_factor: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """IVF+PQ search with a DISTRIBUTED query side — no collect of the
+    query set anywhere, so a corpus-sized query batch (|Q| ≈ |corpus|,
+    the self-join shape of corpus-vs-corpus re-embedding) runs as an
+    ordinary Spark job.
+
+    Execution:
+
+    1. queries → (query_id, qvec, centroid_id) × nprobe via the same
+       ``_assign_centroid`` matrix kernel the ingest uses (narrow map,
+       ships only the nlist × d centroid matrix).
+    2. the probed frame co-groups with the code partitions on
+       ``centroid_id`` (``cogroup().applyInPandas``): per cell, ONE
+       numpy kernel builds the local queries' ADC LUTs, scores the
+       cell's codes, adds the exact <q, centroid(cell)> residual offset,
+       and emits each query's cell-local top ``k × refine_factor``.
+       Shuffle volume is codes-once + queries×nprobe in, and
+       |Q| × nprobe × shortlist candidate rows out — never |Q| × |cell|
+       score pairs.
+    3. a global per-query window trims the union of cell shortlists to
+       the exact top ``k × refine_factor`` (a cell-local top-s is a
+       superset of its members in the global top-s, so this equals the
+       driver path's shortlist exactly), then the standard exact-refine
+       rescores against the stored float vectors.
+
+    Cell size bounds the kernel's working set: a cell holds ~|corpus| /
+    nlist code rows (8-byte codes) and the queries probing it — at
+    billion scale with nlist ~ √n both sides stay executor-sized; cell
+    skew is surfaced by ``ivf_cell_stats``. Results are pinned equal to
+    the driver path in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = books.shape
+    shortlist = k * refine_factor
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probed = _assign_centroid(q, cent_mat, "query_id", "qvec", nprobe)
+
+    # partition-prune the codes scan to the union of probed cells: the
+    # distinct cell-id list is ≤ nlist — driver-bounded regardless of |Q|
+    probed = probed.localCheckpoint(eager=True)
+    probe_ids = [
+        r.centroid_id for r in probed.select("centroid_id").distinct().collect()
+    ]
+    vectors = spark.read.parquet(path + "/vectors").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+
+    def cell_kernel(key, codes_pdf, q_pdf) -> pd.DataFrame:
+        if len(codes_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        cell = int(key[0])
+        qids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf["qvec"]]
+        )
+        qn = np.linalg.norm(qm, axis=1)
+        qm = qm / np.where(qn == 0, 1.0, qn)[:, None]
+        # same ADC math as pq_topk: LUT gather (over the OPQ-rotated
+        # query — codes quantize rotated residuals) + exact <q, centroid>
+        # term in the unrotated space
+        qr = qm if rotation is None else qm @ rotation.T
+        luts = np.einsum("qmd,mkd->qmk", qr.reshape(len(qr), m, dsub), books)
+        offset = qm @ cent_mat[cell]  # (Qcell,)
+        ids = codes_pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        codes = np.stack(
+            [np.frombuffer(c, dtype=np.uint8) for c in codes_pdf["codes"]]
+        )
+        sims = np.zeros((len(ids), len(qids)))
+        for mi in range(m):
+            sims += luts[:, mi, codes[:, mi]].T  # (cell_rows, Qcell)
+        sims += offset[None, :]
+        top = min(shortlist, len(ids))
+        idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": ids[idx].T.ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+        )
+
+    candidates = (
+        vectors.select("neighbor_id", "codes", "centroid_id")
+        .groupBy("centroid_id")
+        .cogroup(probed.select("query_id", "qvec", "centroid_id").groupBy("centroid_id"))
+        .applyInPandas(cell_kernel, "query_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine on the shortlist: true-vector cosine; the query side
+    # joins by key (no broadcast — |Q| is unbounded on this path)
+    rescored = (
+        ranked.join(probed.select("query_id", "qvec").dropDuplicates(["query_id"]), "query_id")
+        .join(
+            vectors.select("neighbor_id", F.col("cvec").alias("nvec")),
+            "neighbor_id",
+        )
+        .withColumn("sim", cosine_arrow(F.col("qvec"), F.col("nvec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )

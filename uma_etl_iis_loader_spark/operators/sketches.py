@@ -166,7 +166,13 @@ def merge_cms(spark, sketches: DataFrame, cms_col: str = "cms"):
     KB-sized by construction and one-per-shard — a bounded driver
     collect, the same class of driver data as IVF centroids. Returns
     the merged JVM sketch; query with ``estimateCount`` (via
-    :func:`cms_point_estimates` for a DataFrame-shaped answer)."""
+    :func:`cms_point_estimates` for a DataFrame-shaped answer).
+
+    For shard counts where even collecting the blobs is unreasonable
+    (10⁵+ units), :func:`merge_cms_distributed` performs the same
+    counter-wise sum as a partial-aggregatable Spark job and returns a
+    single merged blob — bit-identical to this path (law pinned in
+    tests/test_approx.py)."""
     rows = sketches.select(cms_col).collect()
     if not rows:
         return None
@@ -176,6 +182,106 @@ def merge_cms(spark, sketches: DataFrame, cms_col: str = "cms"):
         s = jcls.readFrom(bytearray(r[cms_col]))
         merged = s if merged is None else merged.mergeInPlace(s)
     return merged
+
+
+# Public serialized layout of org.apache.spark.util.sketch.CountMinSketch
+# (CountMinSketchImpl.writeTo, DataOutputStream => big-endian), all
+# fixed-length given (depth, width):
+#   int32  version (1)
+#   int64  totalCount
+#   int32  depth
+#   int32  width
+#   int64  hashA[depth]          -- the seeded hash coefficients
+#   int64  table[depth][width]   -- the counters
+# Two sketches built with the same (eps, confidence, seed) share
+# (depth, width, hashA); their merge is totalCount-sum + counter-wise
+# table-sum — a commutative, associative binary op, i.e. exactly the
+# shape Spark partial aggregation wants.
+_CMS_HEADER = 4 + 8 + 4 + 4
+
+
+def _cms_meta(blob: bytes):
+    """(version, total, depth, width) from a serialized sketch."""
+    import struct
+
+    version, total, depth, width = struct.unpack_from(">iqii", blob, 0)
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    expect = _CMS_HEADER + 8 * depth + 8 * depth * width
+    if len(blob) != expect:
+        raise ValueError(
+            f"CMS blob length {len(blob)} != expected {expect} for "
+            f"depth={depth} width={width}"
+        )
+    return version, total, depth, width
+
+
+def _cms_merge_blobs(blobs) -> bytes:
+    """Counter-wise sum of same-parameter CMS blobs in numpy — byte-equal
+    to the JVM ``mergeInPlace`` chain (pytest-pinned)."""
+    import struct
+
+    import numpy as np
+
+    it = iter(blobs)
+    first = bytes(next(it))
+    _, total, depth, width = _cms_meta(first)
+    hash_end = _CMS_HEADER + 8 * depth
+    hash_a = first[_CMS_HEADER:hash_end]
+    table = np.frombuffer(first[hash_end:], dtype=">i8").astype(np.int64)
+    for b in it:
+        b = bytes(b)
+        _, t, d, w = _cms_meta(b)
+        if (d, w) != (depth, width) or b[_CMS_HEADER:hash_end] != hash_a:
+            raise ValueError(
+                "CMS merge requires identical (eps, confidence, seed): "
+                "depth/width/hash coefficients differ between shards"
+            )
+        total += t
+        table += np.frombuffer(b[hash_end:], dtype=">i8")
+    return (
+        struct.pack(">iqii", 1, total, depth, width)
+        + hash_a
+        + table.astype(">i8").tobytes()
+    )
+
+
+def merge_cms_distributed(
+    sketches: DataFrame,
+    cms_col: str = "cms",
+    partials: int = 32,
+) -> DataFrame:
+    """Merge an UNBOUNDED number of CMS shard blobs without collecting
+    them: a two-level partial-aggregation tree over the public
+    serialized layout. Level 1 hash-buckets shards into ``partials``
+    groups and counter-sums each group in an Arrow-batched kernel;
+    level 2 sums the ≤``partials`` group blobs into one. Shuffle volume
+    is ``partials + 1`` KB-sized blobs regardless of shard count — the
+    10⁵-shard case the driver loop in :func:`merge_cms` shouldn't eat.
+
+    Returns a one-row DataFrame ``(cms binary)`` whose blob is
+    BIT-IDENTICAL to the driver merge and to one sketch built globally
+    with the same parameters (integer counter sums are exact and
+    order-independent; law pinned in tests/test_approx.py). Feed it
+    back through ``merge_cms`` / ``cms_point_estimates`` to query."""
+    import pandas as pd
+
+    def level(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"cms": pd.Series(dtype=object)})
+        return pd.DataFrame({"cms": [_cms_merge_blobs(pdf["cms"])]})
+
+    one = (
+        sketches.select(F.col(cms_col).alias("cms"))
+        .withColumn("__g", F.pmod(F.xxhash64("cms"), F.lit(partials)))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: level(pdf), "cms binary")
+    )
+    return (
+        one.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: level(pdf), "cms binary")
+    )
 
 
 def cms_point_estimates(spark, sketches: DataFrame, keys, cms_col: str = "cms"):

@@ -284,3 +284,142 @@ class PassagesIngestMaintainer:
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
         )
+
+
+class FunnelCompactionMaintainer:
+    """Late-exact funnel serving: the scheduled compaction job
+    ``streaming/stateful.funnel_stream``'s docstring promises ("exact
+    late-tolerant funnels re-run the batch operator over landed data
+    behind the watermark").
+
+    The streaming funnel is exact only for event-time-ordered delivery
+    ACROSS micro-batches — a late out-of-order event that should have
+    LOWERED an already-set chain anchor is not applied retroactively
+    (the O(steps)-state trade). This maintainer closes that gap the
+    lakehouse way:
+
+    - **ingest face** (``attach``): every micro-batch's step events land
+      append-only under ``<base>/events/batch-<id>`` with the same
+      idempotent batch-dir + commit-marker protocol as
+      ``DedupIngestMaintainer`` — replays rewrite the same directory,
+      so the landed log is exactly-once for any crash point. Run it
+      alongside (or instead of) the live ``funnel_stream`` query; the
+      stream's update-mode emissions are the PROVISIONAL answer.
+    - **compaction face** (``compact(spark, horizon)``): re-runs the
+      batch ``operators/funnel.funnel_steps`` — the SAME code path as
+      the batch operator, so semantics cannot drift — over all landed
+      events with ``ts <= horizon``, and atomically swaps the result
+      into ``<base>/exact`` (write ``.next`` → rename-away, the
+      compact_ivf_index protocol; requires exclusive access during the
+      swap). ``horizon`` is the caller's lateness bound — typically
+      ``max landed ts - watermark delay``, or ``None`` for everything
+      landed. Scheduled like any maintenance job (after each ingest
+      run, hourly, etc.).
+    - **read face**: ``read_exact`` = the compacted, late-exact chains
+      (authoritative up to the stored horizon, readable from
+      ``<base>/exact/_HORIZON``); ``read_events`` = the raw landed log.
+
+    Law (pytest-pinned): land ANY out-of-order arrival pattern, compact
+    at a horizon past the data → ``read_exact`` equals the batch funnel
+    over the same events, exactly — including the arrival patterns
+    where the streaming funnel's no-retroactive-anchor trade diverges.
+    Replayed ingest batches and repeated compactions are no-ops.
+
+    At 100 TB: the landed log is the bronze events table partitioned by
+    arrival batch; compaction is one batch funnel job (a single shuffle
+    on ``key`` — see funnel_steps) over the horizon slice, and the swap
+    becomes a table-format pointer flip."""
+
+    def __init__(
+        self,
+        base_path: str,
+        steps: Sequence[str],
+        key: str = "user_id",
+        event_col: str = "event_type",
+        ts_col: str = "ts",
+        **funnel_kwargs,
+    ):
+        self.base_path = base_path
+        self.steps = list(steps)
+        self.key = key
+        self.event_col = event_col
+        self.ts_col = ts_col
+        self.funnel_kwargs = funnel_kwargs
+
+    # ---- ingest face ----
+    def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        marker = os.path.join(
+            self.base_path, "events", "_commits", f"batch-{batch_id}.done"
+        )
+        if os.path.exists(marker):
+            return
+        batch_dir = os.path.join(self.base_path, "events", f"batch-{batch_id}")
+        (
+            incoming.filter(
+                F.col(self.event_col).isin(self.steps)
+                & F.col(self.ts_col).isNotNull()
+            )
+            .select(self.key, self.event_col, self.ts_col)
+            .write.mode("overwrite")
+            .parquet(batch_dir)
+        )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
+
+    def read_events(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.base_path, "events"))
+        )
+
+    # ---- compaction face ----
+    def compact(self, spark: SparkSession, horizon=None) -> None:
+        """Re-run the batch funnel over landed events with ``ts <=
+        horizon`` (``None`` → all landed) and atomically replace
+        ``<base>/exact``. Exclusive-access contract during the swap
+        (same as every compactor in this package)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.funnel import funnel_steps
+
+        events = self.read_events(spark)
+        if horizon is not None:
+            events = events.filter(F.col(self.ts_col) <= F.lit(horizon))
+        exact = funnel_steps(
+            events,
+            self.steps,
+            key=self.key,
+            event_col=self.event_col,
+            ts_col=self.ts_col,
+            **self.funnel_kwargs,
+        )
+        live = os.path.join(self.base_path, "exact")
+        nxt, old = live + ".next", live + ".old"
+        # self-heal residue of a crashed prior compaction
+        if os.path.isdir(old) and not os.path.isdir(live):
+            os.rename(old, live)
+        if os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        exact.write.mode("overwrite").parquet(nxt)
+        with open(os.path.join(nxt, "_HORIZON"), "w") as fh:
+            fh.write("" if horizon is None else str(horizon))
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(nxt, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    def read_exact(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base_path, "exact"))
