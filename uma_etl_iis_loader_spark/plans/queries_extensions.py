@@ -379,6 +379,11 @@ FROM (
     WHERE r.i < b.h AND c.i < b.w
     GROUP BY 1, 2, 3
 ) p
+UNION ALL
+SELECT 'decode_jpeg', doc_id, NULL,
+       CAST(4 + doc_id % 5 AS INT), CAST(3 + doc_id % 4 AS INT),
+       NULL, 'true'
+FROM documents
 """
 
 
@@ -466,11 +471,59 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("n_bytes"),
         F.col("pixel_sum").cast("string").alias("tag"),
     )
+    # LOSSY-format rung: same pixels through the real stdlib baseline
+    # JPEG codec (operators/jpeg — Huffman + DCT both ways). Dimensions
+    # adjudicate exactly; the pixel sum adjudicates as a BOUND boolean
+    # (|sum − true| ≤ 5% + 200; measured max over 500 assets: 2.45% /
+    # 86 abs at quality=92) with the true sum recomputed in-plan by the
+    # same declarative arithmetic the oracle uses — a broken Huffman
+    # table, IDCT, or upsample blows far past the band.
+    from ..operators.multimodal import synthesize_jpeg_assets
+
+    ids = assets.select("asset_id")
+    true_sum = (
+        ids.select(
+            "asset_id",
+            (F.lit(4) + F.col("asset_id") % 5).alias("__w"),
+            (F.lit(3) + F.col("asset_id") % 4).alias("__h"),
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("__r"),
+        )
+        .select(
+            "asset_id", "__w", "__h", "__r",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("__c"),
+        )
+        .filter((F.col("__r") < F.col("__h")) & (F.col("__c") < F.col("__w")))
+        .groupBy("asset_id")
+        .agg(
+            F.sum(
+                (F.col("asset_id") + 11 * F.col("__r") + 13 * F.col("__c")) % 256
+                + (F.col("asset_id") + 5 * F.col("__r") + 7 * F.col("__c")) % 256
+                + (F.col("asset_id") + 2 * F.col("__r") + 3 * F.col("__c")) % 256
+            ).alias("__true")
+        )
+    )
+    decoded_jpeg = (
+        bmp_pixel_stats(synthesize_jpeg_assets(ids, id_col="asset_id"))
+        .join(F.broadcast(true_sum), "asset_id")
+        .select(
+            F.lit("decode_jpeg").alias("op"),
+            "asset_id",
+            null_i.alias("idx"),
+            F.col("width").cast("int"),
+            F.col("height").cast("int"),
+            null_i.alias("n_bytes"),
+            (
+                F.abs(F.col("pixel_sum") - F.col("__true"))
+                <= 0.05 * F.col("__true") + 200
+            ).cast("string").alias("tag"),
+        )
+    )
     return (
         stats.unionByName(frames)
         .unionByName(resized)
         .unionByName(decoded)
         .unionByName(decoded_png)
+        .unionByName(decoded_jpeg)
     )
 
 
