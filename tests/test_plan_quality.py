@@ -459,3 +459,63 @@ def test_cms_build_partial_aggregation(spark, sf_dir):
     )
     assert "ObjectHashAggregate" in plan or plan.count("HashAggregate") >= 2
     assert "partial_count_min_sketch" in plan or "count_min_sketch" in plan
+
+
+def test_extract_domain_zero_shuffle_no_python(spark, sf_dir):
+    """eTLD+1 extraction compiles to literal-set matches inside a narrow
+    projection: zero exchanges, zero Python workers — the PSL 'join' is
+    an In/InSet expression, not a join."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import extract_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        extract_domain(F.concat(F.lit("https://a.b."), "source")).alias("d")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_merge_cms_distributed_two_level_tree(spark, sf_dir):
+    """The distributed CMS merge is exactly two grouped-map stages (the
+    partial tree), never a driver collect: both levels appear as
+    FlatMapGroupsInPandas and the output is one row."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sketches import (
+        build_cms_sketches,
+        merge_cms_distributed,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = events.withColumn("day", F.to_date("ts"))
+    per_day = build_cms_sketches(days, ["day"], "event_type", eps=0.01)
+    merged = merge_cms_distributed(per_day, partials=4)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert merged.count() == 1
+
+
+def test_ivfpq_distributed_plan_shape(spark, sf_dir, tmp_path):
+    """The distributed ANN query side: co-grouped ADC kernel present,
+    codes scan still partition-pruned to probed cells."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=256)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivfpq_topk(spark, path, q, k=3, nprobe=2, distributed=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]

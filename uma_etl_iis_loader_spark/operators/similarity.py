@@ -443,6 +443,73 @@ def append_ivf_index(
     ).partitionBy("centroid_id").parquet(path + "/vectors")
 
 
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest for the IVF+PQ layout: NEW vectors are
+    assigned to the persisted index's existing centroids AND
+    residual-encoded with its existing codebooks (and OPQ rotation) in
+    one kernel, then appended into the matching centroid partitions —
+    the IVF+PQ counterpart of :func:`append_ivf_index` (which writes no
+    ``codes`` column and therefore must not be pointed at an IVF+PQ
+    index). Same serving trade as plain-IVF append: quantizer state is
+    frozen, so re-run :func:`build_ivfpq_index` when distribution drift
+    accumulates; append==rebuild recall parity on a stationary fixture
+    is pytest-pinned."""
+    import numpy as np
+
+    spark = new_vectors.sparkSession
+    cent_mat, books, rot = _load_ivfpq_sidecars(spark, path)
+    m, ksub, dsub = books.shape
+
+    def assign_encode(batches):
+        import pandas as pd  # noqa: F401 — pdf batches already pandas
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            norms = np.linalg.norm(vm, axis=1)
+            vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
+            cent = (vm @ cent_mat.T).argmax(axis=1).astype(np.int32)
+            res = vm - cent_mat[cent]
+            if rot is not None:
+                res = res @ rot.T
+            codes = np.empty((len(vm), m), dtype=np.uint8)
+            for mi in range(m):
+                x = res[:, mi * dsub : (mi + 1) * dsub]
+                cb = books[mi]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+            out = pdf.copy()
+            out["centroid_id"] = cent
+            out["codes"] = [cc.tobytes() for cc in codes]
+            yield out
+
+    (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .mapInPandas(
+            assign_encode,
+            "neighbor_id long, cvec array<float>, centroid_id int, "
+            "codes binary",
+        )
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path + "/vectors")
+    )
+
+
 def ivf_cell_stats(spark, path: str) -> DataFrame:
     """Per-cell occupancy of a persisted IVF / IVF+PQ index:
     (centroid_id, n_vectors). Computed LIVE from the vectors table so
@@ -848,8 +915,9 @@ def pq_topk(
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk collects the query set to the driver; got > "
-            f"{max_queries} queries — raise max_queries explicitly if "
-            f"intended."
+            f"{max_queries} queries — raise max_queries explicitly, or "
+            f"use ivfpq_topk (distributed='auto') whose co-grouped path "
+            f"runs corpus-sized query sets without a driver collect."
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
