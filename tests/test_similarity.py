@@ -724,3 +724,22 @@ def test_append_ivfpq_index_serves_new_vectors(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert dist == after_set
+
+
+def test_append_ivf_index_refuses_ivfpq_layout(spark, sf_dir, tmp_path):
+    """Pointing the plain-IVF append at an IVF+PQ index would write rows
+    without codes and corrupt the ADC scan — it must refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivfpq_index,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 300), path, nlist=8)
+    with pytest.raises(ValueError, match="append_ivfpq_index"):
+        append_ivf_index(emb.filter(F.col("vec_id") >= 300), path)

@@ -427,8 +427,16 @@ def append_ivf_index(
     build_ivf_index to re-center when drift accumulates; recall-parity
     of appended vs rebuilt vectors on the stationary fixture is
     pytest-pinned)."""
+    import os
+
     import numpy as np
 
+    if os.path.isdir(path + "/codebooks"):
+        raise ValueError(
+            "this is an IVF+PQ index (codebooks sidecar present); use "
+            "append_ivfpq_index — a plain append would write rows "
+            "without codes and corrupt the ADC scan"
+        )
     spark = new_vectors.sparkSession
     cents = sorted(
         spark.read.parquet(path + "/centroids").collect(),
