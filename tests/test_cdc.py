@@ -474,3 +474,80 @@ def test_funnel_compaction_via_stream_attach(spark):
     assert {tuple(r) for r in m.read_exact(spark).collect()} == want
     assert not os.path.isdir(base + "/exact.next")
     assert not os.path.isdir(base + "/exact.old")
+
+
+def test_ann_ingest_maintainer_exactly_once(spark):
+    """Streaming ANN ingest: appended vectors are served through the
+    persisted IVF+PQ index, and the stage-then-move publish protocol is
+    idempotent — a replay WITHOUT the commit marker (the crash window a
+    naive append+marker scheme turns into duplicated rows, which would
+    double-count a neighbor in the top-k window) must leave the index
+    row set and every query result bit-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+    from uma_etl_iis_loader_spark.streaming.cdc import AnnIngestMaintainer
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="ann_ingest_") + "/idx"
+    build_ivfpq_index(seed, path, nlist=8, m=8, ksub=256)
+
+    m = AnnIngestMaintainer(path)
+    src = tempfile.mkdtemp(prefix="ann_src_")
+    extra.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(extra.schema).parquet(src)
+    q = m.attach(stream, tempfile.mkdtemp(prefix="ann_ckpt_")).start()
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    assert any(n % 2 == 1 for _, n, _ in served)  # streamed rows visible
+
+    def row_count():
+        return spark.read.parquet(path + "/vectors").count()
+
+    n0 = row_count()
+    # marker present → full replay is a no-op
+    m.apply_batch(extra, 0)
+    assert row_count() == n0
+
+    # crash window: publish completed but marker lost → replay must
+    # converge to the SAME file/row set, never duplicate
+    os.remove(os.path.join(path, "_commits", "batch-0.done"))
+    m.apply_batch(extra, 0)
+    assert row_count() == n0
+    replayed = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(spark, path, queries, k=5, nprobe=8).collect()
+    }
+    assert replayed == served
+
+    # crashed prior attempt residue: a stale ingest file for this batch
+    # in some cell is swept by the next replay, not accumulated
+    os.remove(os.path.join(path, "_commits", "batch-0.done"))
+    vec_root = os.path.join(path, "vectors")
+    cell = next(d for d in sorted(os.listdir(vec_root))
+                if d.startswith("centroid_id="))
+    stale = os.path.join(vec_root, cell, "ingest-batch0-999.parquet")
+    existing = next(
+        f for f in os.listdir(os.path.join(vec_root, cell))
+        if f.startswith("ingest-batch0-")
+    )
+    import shutil as _sh
+
+    _sh.copyfile(os.path.join(vec_root, cell, existing), stale)
+    m.apply_batch(extra, 0)
+    assert row_count() == n0
+    assert not os.path.exists(stale)

@@ -431,6 +431,25 @@ def append_ivf_index(
 
     import numpy as np
 
+    ivf_append_frame(new_vectors, path, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(path + "/vectors")
+
+
+def ivf_append_frame(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (neighbor_id, cvec, centroid_id) frame an IVF append writes —
+    exposed so callers that need a different write protocol (the
+    streaming ingest maintainer's idempotent stage-then-publish) share
+    the exact assignment semantics with :func:`append_ivf_index`."""
+    import os
+
+    import numpy as np
+
     if os.path.isdir(path + "/codebooks"):
         raise ValueError(
             "this is an IVF+PQ index (codebooks sidecar present); use "
@@ -446,9 +465,7 @@ def append_ivf_index(
     c = new_vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1).write.mode(
-        "append"
-    ).partitionBy("centroid_id").parquet(path + "/vectors")
+    return _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
 
 
 def append_ivfpq_index(
@@ -467,6 +484,21 @@ def append_ivfpq_index(
     frozen, so re-run :func:`build_ivfpq_index` when distribution drift
     accumulates; append==rebuild recall parity on a stationary fixture
     is pytest-pinned."""
+    ivfpq_append_frame(new_vectors, path, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(path + "/vectors")
+
+
+def ivfpq_append_frame(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (neighbor_id, cvec, centroid_id, codes) frame an IVF+PQ
+    append writes — shared by :func:`append_ivfpq_index` and the
+    streaming ingest maintainer (same one-kernel assign+encode against
+    the frozen quantizer state)."""
     import numpy as np
 
     spark = new_vectors.sparkSession
@@ -503,18 +535,12 @@ def append_ivfpq_index(
             out["codes"] = [cc.tobytes() for cc in codes]
             yield out
 
-    (
-        new_vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-        )
-        .mapInPandas(
-            assign_encode,
-            "neighbor_id long, cvec array<float>, centroid_id int, "
-            "codes binary",
-        )
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(path + "/vectors")
+    return new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).mapInPandas(
+        assign_encode,
+        "neighbor_id long, cvec array<float>, centroid_id int, "
+        "codes binary",
     )
 
 

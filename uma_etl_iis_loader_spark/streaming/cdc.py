@@ -423,3 +423,102 @@ class FunnelCompactionMaintainer:
 
     def read_exact(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.base_path, "exact"))
+
+
+class AnnIngestMaintainer:
+    """Continuous ANN serving-index ingest: each arriving micro-batch of
+    (id, embedding) rows lands in the persisted IVF or IVF+PQ index —
+    assigned to the frozen centroids (and, for IVF+PQ, residual-encoded
+    with the frozen codebooks/rotation via the SAME kernels the batch
+    appends use) so queries see new vectors through the same
+    partition-pruned reads. The streaming face of
+    ``similarity.append_ivf_index`` / ``append_ivfpq_index``.
+
+    EXACTLY-ONCE under replay — and why a marker alone isn't enough: a
+    naive ``mode("append")`` + commit marker leaves a crash window
+    (append committed, marker missing) whose replay would DUPLICATE the
+    batch's rows, and duplicated index rows are NOT benign — the top-k
+    window ranks per row, so a duplicated neighbor consumes two of k
+    slots and changes results. Instead each batch publishes through an
+    idempotent stage-then-move protocol:
+
+      1. the assigned/encoded frame is written (overwrite — replays
+         rewrite the same content) to ``<index>/staging/batch-<id>``,
+         partitioned by ``centroid_id``;
+      2. per cell, any ``ingest-batch<id>-*`` files from a crashed
+         prior attempt are swept, then the staged part files move into
+         ``vectors/centroid_id=K/`` under DETERMINISTIC names
+         (``ingest-batch<id>-<n>.parquet``) with ``os.replace``;
+      3. the commit marker lands under ``<index>/_commits``.
+
+    Every crash point replays to the exact same final file set: the
+    sweep removes any stale partial attempt, the moves fully determine
+    the batch's on-disk identity, and a marker present at entry
+    short-circuits the whole batch. Mid-publish readers can briefly see
+    a partial batch (same visibility as any multi-file append; an
+    object-store deployment swaps step 2 for a manifest commit).
+    Quantizer drift: frozen centroids degrade as the distribution
+    moves — re-run the build in a maintenance window
+    (``ivf_cell_balance`` is the drift signal)."""
+
+    def __init__(self, index_path: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.index_path = index_path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import (
+            ivf_append_frame,
+            ivfpq_append_frame,
+        )
+
+        marker = os.path.join(
+            self.index_path, "_commits", f"batch-{batch_id}.done"
+        )
+        if os.path.exists(marker):
+            return
+        is_pq = os.path.isdir(os.path.join(self.index_path, "codebooks"))
+        frame_of = ivfpq_append_frame if is_pq else ivf_append_frame
+        frame = frame_of(
+            incoming.select(self.id_col, self.vec_col),
+            self.index_path,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        staging = os.path.join(self.index_path, "staging", f"batch-{batch_id}")
+        frame.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            staging
+        )
+        vectors = os.path.join(self.index_path, "vectors")
+        prefix = f"ingest-batch{batch_id}-"
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("centroid_id="):
+                continue
+            tgt_dir = os.path.join(vectors, entry)
+            os.makedirs(tgt_dir, exist_ok=True)
+            for f in os.listdir(tgt_dir):  # sweep a crashed prior attempt
+                if f.startswith(prefix):
+                    os.remove(os.path.join(tgt_dir, f))
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(staging, entry))
+                if f.endswith(".parquet")
+            )
+            for i, f in enumerate(parts):
+                os.replace(
+                    os.path.join(staging, entry, f),
+                    os.path.join(tgt_dir, f"{prefix}{i}.parquet"),
+                )
+        shutil.rmtree(os.path.join(self.index_path, "staging"),
+                      ignore_errors=True)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
