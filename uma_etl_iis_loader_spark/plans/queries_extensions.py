@@ -383,7 +383,7 @@ UNION ALL
 SELECT 'decode_jpeg', doc_id, NULL,
        CAST(4 + doc_id % 5 AS INT), CAST(3 + doc_id % 4 AS INT),
        NULL, 'true'
-FROM documents
+FROM documents WHERE doc_id % 4 = 0
 """
 
 
@@ -477,10 +477,14 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (|sum − true| ≤ 5% + 200; measured max over 500 assets: 2.45% /
     # 86 abs at quality=92) with the true sum recomputed in-plan by the
     # same declarative arithmetic the oracle uses — a broken Huffman
-    # table, IDCT, or upsample blows far past the band.
+    # table, IDCT, or upsample blows far past the band. A quarter of
+    # the docs (doc_id % 4 = 0) — the codec's Python Huffman loops are
+    # the one genuinely per-row-CPU rung here, and 500 hash-adjudicated
+    # round-trips pin it as hard as 2000 (the full corpus runs through
+    # the BMP/PNG rows above).
     from ..operators.multimodal import synthesize_jpeg_assets
 
-    ids = assets.select("asset_id")
+    ids = assets.select("asset_id").filter(F.col("asset_id") % 4 == 0)
     true_sum = (
         ids.select(
             "asset_id",
@@ -1274,7 +1278,10 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("__b", F.lit(True))
     ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=8)
     srp = srp_lsh_topk(emb, queries, k=10, n_bits=16, bands=8, d=64)
-    rot, books = train_opq_codebooks(emb, m=8, ksub=256)
+    # opq_iters=4: measured identical floors to 8 alternations at sf0.1
+    # (min 0.60 avg 0.935 vs 0.939) at ~40% of the training cost — the
+    # full-strength default stays for build-once persisted indexes
+    rot, books = train_opq_codebooks(emb, m=8, ksub=256, opq_iters=4)
     pq = pq_topk(
         pq_encode(emb, books, rotation=rot), books, queries, k=10,
         refine_corpus=emb, refine_factor=8, rotation=rot,
