@@ -147,3 +147,33 @@ def test_jpeg_decode_never_crashes_on_fuzzed_bytes():
             assert out.dtype == np.uint8  # a survivable mutation is fine
         except ValueError:
             pass  # the only allowed failure type
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 streams (the web default: 0x22 luma sampling, 16x16 MCUs,
+    4Y+Cb+Cr interleave) exercise the decoder's multi-sampling MCU walk
+    and chroma upsample — PSNR stays ≥ 30 dB on smooth content, the
+    stream is smaller than 4:4:4, and odd (non-MCU-multiple) sizes crop
+    exactly."""
+    img = _smooth_img(40, 56, seed=3)
+    e444 = encode_jpeg(img, 85, subsampling="444")
+    e420 = encode_jpeg(img, 85, subsampling="420")
+    assert len(e420) < len(e444)
+    assert e420[e420.find(b"\xff\xc0") + 11] == 0x22  # luma sampling h=v=2
+    dec = decode_jpeg(e420)
+    assert dec.shape == img.shape
+    rmse = float(np.sqrt(np.mean((dec.astype(float) - img) ** 2)))
+    assert 20 * np.log10(255 / rmse) >= 30.0, rmse
+
+    odd = img[:33, :13]
+    d2 = decode_jpeg(encode_jpeg(odd, 85, subsampling="420"))
+    assert d2.shape == (33, 13, 3)
+    # deterministic bytes on the 420 path too
+    assert encode_jpeg(odd, 85, subsampling="420") == encode_jpeg(
+        odd, 85, subsampling="420"
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, 85, subsampling="422")

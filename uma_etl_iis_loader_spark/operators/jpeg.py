@@ -195,18 +195,75 @@ def _magnitude(v: int):
     return cat, bits
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes (4:4:4, Annex-K
-    tables scaled by ``quality``). Deterministic: same input → same
-    bytes."""
+def _encode_block(wtr, zz, ti, pred, ci, dc_codes, ac_codes) -> None:
+    """Entropy-code one zigzagged quantized block (DC diff + AC RLE)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    cat, bits = _magnitude(diff)
+    code, ln = dc_codes[ti][cat]
+    wtr.write(code, ln)
+    if cat:
+        wtr.write(bits, cat)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[ti][0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[ti][(run << 4) | cat]
+        wtr.write(code, ln)
+        wtr.write(bits, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[ti][0x00]  # EOB
+        wtr.write(code, ln)
+
+
+def _plane_blocks(plane, bh, bw, q):
+    """Pad → 8×8 block DCT → quantize → zigzag: (bh·bw, 64) int32."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coeff = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    # clamp to the baseline Huffman category range (DC diff ≤ 2046 →
+    # cat ≤ 11, AC ≤ 1023 → cat ≤ 10); reachable only at quality ~100
+    # on synthetic extremes, where 1 count of clipping is invisible
+    # next to quantization itself
+    quant = np.clip(np.round(coeff / q), -1023, 1023).astype(np.int32)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes (Annex-K tables
+    scaled by ``quality``). ``subsampling``: ``"444"`` (every component
+    full-resolution, one block of each per MCU) or ``"420"`` (chroma
+    box-downsampled 2x2, the 4Y+Cb+Cr 16×16 MCU interleave virtually
+    every web JPEG uses — exists here chiefly so the DECODER's
+    multi-sampling MCU/upsample path is exercised by real streams).
+    Deterministic: same input → same bytes."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
     if img.ndim != 3 or img.shape[2] not in (1, 3) or img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 1|3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w, ncomp = img.shape
     if h == 0 or w == 0:
         raise ValueError("degenerate image")
+    sub420 = subsampling == "420" and ncomp == 3
 
     if ncomp == 3:
         r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
@@ -228,57 +285,53 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         [_canonical_codes(*_AC_CHROM)] if ncomp == 3 else []
     )
 
-    # pad planes to 8x8 multiples (edge replicate), block-DCT, quantize
-    bh, bw = -(-h // 8), -(-w // 8)
-    comp_blocks = []
-    for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        blocks = (
-            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-            - 128.0
-        )
-        coeff = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        q = qtabs[min(ci, 1)]
-        # clamp to the baseline Huffman category range (DC diff ≤ 2046 →
-        # cat ≤ 11, AC ≤ 1023 → cat ≤ 10); reachable only at quality
-        # ~100 on synthetic extremes, where 1 count of clipping is
-        # invisible next to quantization itself
-        quant = np.clip(np.round(coeff / q), -1023, 1023).astype(np.int32)
-        comp_blocks.append(quant.reshape(-1, 64)[:, _ZIGZAG])
-
     wtr = _BitWriter()
     pred = [0] * ncomp
-    for bi in range(bh * bw):
-        for ci in range(ncomp):
-            zz = comp_blocks[ci][bi]
-            ti = min(ci, 1)
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            cat, bits = _magnitude(diff)
-            code, ln = dc_codes[ti][cat]
-            wtr.write(code, ln)
-            if cat:
-                wtr.write(bits, cat)
-            run = 0
-            last_nz = np.nonzero(zz[1:])[0]
-            last = last_nz[-1] + 1 if len(last_nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[ti][0xF0]  # ZRL
-                    wtr.write(code, ln)
-                    run -= 16
-                cat, bits = _magnitude(v)
-                code, ln = ac_codes[ti][(run << 4) | cat]
-                wtr.write(code, ln)
-                wtr.write(bits, cat)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[ti][0x00]  # EOB
-                wtr.write(code, ln)
+    if not sub420:
+        bh, bw = -(-h // 8), -(-w // 8)
+        comp_blocks = [
+            _plane_blocks(pl, bh, bw, qtabs[min(ci, 1)])
+            for ci, pl in enumerate(planes)
+        ]
+        for bi in range(bh * bw):
+            for ci in range(ncomp):
+                _encode_block(
+                    wtr, comp_blocks[ci][bi], min(ci, 1), pred, ci,
+                    dc_codes, ac_codes,
+                )
+        samp = [0x11] * ncomp
+    else:
+        # 16×16 MCUs: Y keeps full resolution (2×2 blocks per MCU),
+        # chroma box-averages 2×2 pixels then contributes 1 block each
+        mcus_y, mcus_x = -(-h // 16), -(-w // 16)
+        ybh, ybw = 2 * mcus_y, 2 * mcus_x
+        y_blocks = _plane_blocks(planes[0], ybh, ybw, qlum)
+        ch, cw = -(-h // 2), -(-w // 2)
+        pad_c = [
+            np.pad(
+                pl, ((0, 2 * ch - h), (0, 2 * cw - w)), mode="edge"
+            ).reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+            for pl in planes[1:]
+        ]
+        c_blocks = [
+            _plane_blocks(pc, mcus_y, mcus_x, qchrom) for pc in pad_c
+        ]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(2):
+                    for bx in range(2):
+                        yi = (2 * my + by) * ybw + (2 * mx + bx)
+                        _encode_block(
+                            wtr, y_blocks[yi], 0, pred, 0,
+                            dc_codes, ac_codes,
+                        )
+                ci_blk = my * mcus_x + mx
+                for ci in (1, 2):
+                    _encode_block(
+                        wtr, c_blocks[ci - 1][ci_blk], 1, pred, ci,
+                        dc_codes, ac_codes,
+                    )
+        samp = [0x22, 0x11, 0x11]
     scan = wtr.flush()
 
     out = bytearray()
@@ -296,7 +349,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))
+        out += struct.pack("BBB", ci + 1, samp[ci], min(ci, 1))
     # DHT
     for cls, ti, (bits, vals) in (
         [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
