@@ -743,3 +743,29 @@ def test_append_ivf_index_refuses_ivfpq_layout(spark, sf_dir, tmp_path):
     build_ivfpq_index(emb.filter(F.col("vec_id") < 300), path, nlist=8)
     with pytest.raises(ValueError, match="append_ivfpq_index"):
         append_ivf_index(emb.filter(F.col("vec_id") >= 300), path)
+
+
+def test_brute_force_distributed_matches_driver(spark, sf_dir):
+    """The tiled exact path must return EXACTLY the broadcast path's
+    results with NO collect of the query set (whole corpus as queries),
+    and its plan must be the co-grouped tile kernel."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_distributed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    all_q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    driver = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(emb, all_q, k=5, max_queries=10_000).collect()
+    }
+    dist_df = brute_force_topk_distributed(
+        emb, all_q, k=5, query_blocks=4, corpus_blocks=3
+    )
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    dist = {(r.query_id, r.neighbor_id, r.rank) for r in dist_df.collect()}
+    assert dist == driver

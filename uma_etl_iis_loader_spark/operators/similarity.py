@@ -60,8 +60,10 @@ def brute_force_topk(
     if len(q_rows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the query set to the driver; got "
-            f"> {max_queries} queries. Use ivf_topk or srp_lsh_topk for "
-            f"query-heavy workloads, or raise max_queries explicitly."
+            f"> {max_queries} queries. Use brute_force_topk_distributed "
+            f"(tiled exact), or ivf_topk / srp_lsh_topk / ivfpq_topk for "
+            f"query-heavy approximate workloads, or raise max_queries "
+            f"explicitly."
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
@@ -91,6 +93,104 @@ def brute_force_topk(
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
         score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def brute_force_topk_distributed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_blocks: int = 8,
+    corpus_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k for query sets too large to broadcast — the
+    tiled completion of :func:`brute_force_topk` (same results, pinned
+    equal in tests). Both frames hash-block (queries into
+    ``query_blocks``, corpus into ``corpus_blocks``); each side
+    replicates across the OTHER side's block axis (an explode of block
+    ids — shuffle volume |corpus|×query_blocks + |Q|×corpus_blocks
+    vector rows, never |corpus|×|Q| score pairs); each (corpus-block,
+    query-block) tile co-groups into one normalized matrix product
+    emitting its local top-k per query; a global per-query window
+    merges (a tile-local top-k is a superset of its members in the
+    global top-k, so this is exact).
+
+    Exact corpus×corpus scoring is Θ(n²·d) COMPUTE no matter how it is
+    arranged — this operator makes the arrangement linear-shuffle and
+    embarrassingly parallel (tiles = corpus_blocks × query_blocks
+    independent tasks), it cannot make the arithmetic cheaper; that is
+    what the IVF+PQ distributed path is for. Size the block counts so
+    one tile (corpus/corpus_blocks + |Q|/query_blocks vectors) fits an
+    executor."""
+    import numpy as np
+    import pandas as pd
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .withColumn(
+            "__cb",
+            F.pmod(F.xxhash64("neighbor_id"), F.lit(corpus_blocks)).cast("int"),
+        )
+        .withColumn(
+            "__qb", F.explode(F.sequence(F.lit(0), F.lit(query_blocks - 1)))
+        )
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn(
+            "__qb",
+            F.pmod(F.xxhash64("query_id"), F.lit(query_blocks)).cast("int"),
+        )
+        .withColumn(
+            "__cb", F.explode(F.sequence(F.lit(0), F.lit(corpus_blocks - 1)))
+        )
+    )
+
+    def tile(key, c_pdf, q_pdf) -> pd.DataFrame:
+        if len(c_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        qids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["qvec"]])
+        qn = np.linalg.norm(qm, axis=1)
+        qm = qm / np.where(qn == 0, 1.0, qn)[:, None]
+        ids = c_pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        cm = np.stack([np.asarray(v, dtype=np.float64) for v in c_pdf["cvec"]])
+        cn = np.linalg.norm(cm, axis=1)
+        cm = cm / np.where(cn == 0, 1.0, cn)[:, None]
+        sims = cm @ qm.T
+        top = min(k, len(ids))
+        idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": ids[idx].T.ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+        )
+
+    candidates = (
+        c.groupBy("__cb", "__qb")
+        .cogroup(q.groupBy("__cb", "__qb"))
+        .applyInPandas(tile, "query_id long, neighbor_id long, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
