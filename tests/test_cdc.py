@@ -551,3 +551,41 @@ def test_ann_ingest_maintainer_exactly_once(spark):
     m.apply_batch(extra, 0)
     assert row_count() == n0
     assert not os.path.exists(stale)
+
+
+def test_funnel_compact_behind_watermark(spark):
+    """The watermark-derived horizon (max landed ts − delay) compacts
+    exactly the batch funnel over that slice; an empty log is a no-op."""
+    from datetime import datetime, timedelta
+
+    from uma_etl_iis_loader_spark.operators.funnel import funnel_steps
+    from uma_etl_iis_loader_spark.streaming.cdc import (
+        FunnelCompactionMaintainer,
+    )
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    schema = "user_id long, event_type string, ts timestamp"
+    steps = ["view", "click"]
+    base = tempfile.mkdtemp(prefix="funnel_wm_")
+    m = FunnelCompactionMaintainer(base, steps)
+    m.compact_behind_watermark(spark, 10)  # nothing landed: no-op
+    import os
+
+    assert not os.path.isdir(base + "/exact")
+
+    rows = [(1, "view", ts(1)), (1, "click", ts(5)), (2, "view", ts(30))]
+    m.apply_batch(spark.createDataFrame(rows, schema), 0)
+    m.compact_behind_watermark(spark, 10)  # horizon = t30 - 10s = t20
+    want = {
+        tuple(r)
+        for r in funnel_steps(
+            spark.createDataFrame(rows, schema).filter(
+                F.col("ts") <= ts(30) - timedelta(seconds=10)
+            ),
+            steps,
+        ).collect()
+    }
+    got = {tuple(r) for r in m.read_exact(spark).collect()}
+    assert got == want and not any(r[0] == 2 for r in got)

@@ -1278,10 +1278,13 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("__b", F.lit(True))
     ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=8)
     srp = srp_lsh_topk(emb, queries, k=10, n_bits=16, bands=8, d=64)
-    # opq_iters=4: measured identical floors to 8 alternations at sf0.1
-    # (min 0.60 avg 0.935 vs 0.939) at ~40% of the training cost — the
+    # opq_iters=3/iters=6: measured identical FLOORS to the 8x10
+    # full-strength config at sf0.1 (min 0.60; avg 0.921 vs 0.939) at
+    # ~quarter the training cost — this query retrains per run; the
     # full-strength default stays for build-once persisted indexes
-    rot, books = train_opq_codebooks(emb, m=8, ksub=256, opq_iters=4)
+    rot, books = train_opq_codebooks(
+        emb, m=8, ksub=256, opq_iters=3, iters=6
+    )
     pq = pq_topk(
         pq_encode(emb, books, rotation=rot), books, queries, k=10,
         refine_corpus=emb, refine_factor=8, rotation=rot,

@@ -421,6 +421,24 @@ class FunnelCompactionMaintainer:
         if os.path.isdir(old):
             shutil.rmtree(old)
 
+    def compact_behind_watermark(
+        self, spark: SparkSession, delay_s: int
+    ) -> None:
+        """Convenience horizon: ``max landed event time − delay_s`` —
+        the same lateness bound a ``withWatermark(ts, '<delay>')``
+        stream enforces, so everything the compaction covers is data
+        the stream would no longer revise. No landed events → no-op."""
+        from pyspark.sql import functions as F
+
+        if not os.path.isdir(os.path.join(self.base_path, "events")):
+            return  # nothing landed yet
+        hi = self.read_events(spark).agg(F.max(self.ts_col)).collect()[0][0]
+        if hi is None:
+            return
+        from datetime import timedelta
+
+        self.compact(spark, horizon=hi - timedelta(seconds=delay_s))
+
     def read_exact(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.base_path, "exact"))
 
