@@ -177,3 +177,16 @@ def test_jpeg_420_subsampling_roundtrip():
 
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, 85, subsampling="422")
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+    other encoders emit them; the parser must skip, not desync."""
+    img = _smooth_img(16, 16, seed=2)
+    good = encode_jpeg(img, 85)
+    base = decode_jpeg(good)
+    # inject fill bytes before the SOF0 and SOS markers
+    padded = good.replace(b"\xff\xc0", b"\xff\xff\xff\xc0").replace(
+        b"\xff\xda", b"\xff\xff\xda"[0:1] + b"\xff\xff\xda"
+    )
+    assert np.array_equal(decode_jpeg(padded), base)

@@ -769,3 +769,48 @@ def test_brute_force_distributed_matches_driver(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     dist = {(r.query_id, r.neighbor_id, r.rank) for r in dist_df.collect()}
     assert dist == driver
+
+
+def test_local_topk_exact_under_duplicate_ties(spark, sf_dir):
+    """Duplicate embeddings (the pre-dedup norm) tie EXACTLY; every
+    local-top-k kernel must resolve boundary ties by lowest neighbor id
+    — the global window's order — or the distributed==driver equality
+    breaks on precisely the data dedup pipelines feed it."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_distributed,
+    )
+
+    emb = _emb(spark, sf_dir).limit(40)
+    # replicate every vector under 5 distinct ids → massive exact ties
+    dup = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("__r"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") * 10 + F.col("__r")).alias("vec_id"), "embedding"
+    )
+    q = emb.limit(6).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in brute_force_topk(dup, q, k=8).collect()
+    }
+    b = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in brute_force_topk_distributed(
+            dup, q, k=8, query_blocks=3, corpus_blocks=4
+        ).collect()
+    }
+    assert a == b
+    # deterministic tie order: each query's own vector exists under ids
+    # q*10+0..4, all cosine 1.0 — ranks 1..5 must be exactly those ids
+    # ASCENDING (the global sim-desc/neighbor-asc order)
+    by_q = {}
+    for qq, rk, nb in a:
+        by_q.setdefault(qq, {})[rk] = nb
+    for qq, ranks in by_q.items():
+        assert [ranks[r] for r in range(1, 6)] == [
+            qq * 10 + i for i in range(5)
+        ]

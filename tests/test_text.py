@@ -467,3 +467,17 @@ def test_strip_html_escaped_entities_not_double_decoded(spark):
     )
     out = df.select(strip_html("text").alias("t")).collect()[0].t
     assert out == "use &lt;b&gt; for bold & more"
+
+
+def test_extract_domain_www_exception_rule(spark):
+    """A registrable domain that IS 'www.<suffix>' must survive: under
+    PSL semantics the leading www is never pre-stripped (stripping it
+    would turn www.ck — the !www.ck exception carve-out — into the bare
+    wildcard suffix and yield NULL)."""
+    from uma_etl_iis_loader_spark.functions.text import extract_domain
+
+    df = spark.createDataFrame(
+        [("http://www.ck/",), ("http://www.example.com/a",)], "url string"
+    )
+    got = [r.d for r in df.select(extract_domain("url").alias("d")).collect()]
+    assert got == ["www.ck", "example.com"]

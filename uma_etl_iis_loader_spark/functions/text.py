@@ -622,7 +622,12 @@ def extract_domain(
         c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), c
     ).otherwise(F.concat(F.lit("http://"), c))
     host = F.lower(F.parse_url(with_scheme, F.lit("HOST")))
-    if strip_www:
+    # strip_www applies ONLY to the raw-host mode: under PSL semantics a
+    # leading www is just a subdomain label the eTLD+1 collapse already
+    # removes — and pre-stripping it would mangle hosts whose
+    # REGISTRABLE domain starts with www (the `!www.ck` exception:
+    # 'www.ck' must survive as itself, not become bare 'ck')
+    if strip_www and not psl:
         host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(c.isNull() | (F.trim(c) == ""), F.lit(None)).otherwise(host)
     if not psl:

@@ -428,6 +428,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        if payload[pos + 1] == 0xFF:
+            pos += 1  # optional fill byte before a marker (T.81 B.1.1.2)
+            continue
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

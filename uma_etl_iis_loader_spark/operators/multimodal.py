@@ -308,6 +308,11 @@ def decode_image(payload: bytes):
     import io as _io
 
     img = pillow.open(_io.BytesIO(payload))
+    # normalize exotic modes to pixel VALUES: palette ('P') would
+    # otherwise come back as color-table indices and CMYK as 4 raw
+    # channels — silently wrong pixel stats, not just a shape quirk
+    if img.mode not in ("L", "LA", "RGB", "RGBA"):
+        img = img.convert("RGB")
     arr = np.asarray(img)
     # normalize to the stdlib rungs' (h, w, channels) ndarray contract
     return arr[:, :, None] if arr.ndim == 2 else arr

@@ -31,6 +31,25 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine_arrow
 
 
+def _exact_local_topk(sims, ids, top):
+    """Row indices of the per-query local top-``top`` under the GLOBAL
+    tie-break (sim desc, neighbor_id asc) — shape (top, n_queries).
+
+    ``argpartition(-sims)`` alone picks an ARBITRARY subset among rows
+    tied exactly at the boundary, so a local top-k could drop the very
+    candidate the global window would keep (duplicate embeddings — the
+    pre-dedup norm — tie exactly), breaking the "local top-k is a
+    superset of its members in the global top-k" exactness argument
+    every kernel here relies on. Sorting rows by id once, then a STABLE
+    per-query sort on -sim, resolves ties toward the lowest neighbor id
+    — identical to the window's ordering."""
+    import numpy as np
+
+    id_order = np.argsort(ids, kind="stable")
+    idx = np.argsort(-sims[id_order], axis=0, kind="stable")[:top]
+    return id_order[idx]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,8 +101,8 @@ def brute_force_topk(
             cm = cm / np.where(cnorm == 0, 1.0, cnorm)[:, None]
             sims = cm @ qm.T  # (batch, queries)
             top = min(k, len(ids))
-            # local top-k per query (argpartition: O(n) per column)
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            # local top-k per query under the global tie-break
+            idx = _exact_local_topk(sims, ids, top)
             out_q = np.repeat(qids, top)
             out_n = ids[idx].T.ravel()
             out_s = np.take_along_axis(sims, idx, axis=0).T.ravel()
@@ -178,7 +197,7 @@ def brute_force_topk_distributed(
         cm = cm / np.where(cn == 0, 1.0, cn)[:, None]
         sims = cm @ qm.T
         top = min(k, len(ids))
-        idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+        idx = _exact_local_topk(sims, ids, top)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(qids, top),
@@ -527,10 +546,6 @@ def append_ivf_index(
     build_ivf_index to re-center when drift accumulates; recall-parity
     of appended vs rebuilt vectors on the stationary fixture is
     pytest-pinned)."""
-    import os
-
-    import numpy as np
-
     ivf_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("centroid_id").parquet(path + "/vectors")
@@ -546,17 +561,22 @@ def ivf_append_frame(
     exposed so callers that need a different write protocol (the
     streaming ingest maintainer's idempotent stage-then-publish) share
     the exact assignment semantics with :func:`append_ivf_index`."""
-    import os
-
     import numpy as np
 
-    if os.path.isdir(path + "/codebooks"):
+    from pyspark.errors import AnalysisException
+
+    spark = new_vectors.sparkSession
+    # layout guard by TRYING the read (works on any storage URI, unlike
+    # an os.path check): a readable codebooks sidecar means IVF+PQ
+    try:
+        spark.read.parquet(path + "/codebooks")
         raise ValueError(
             "this is an IVF+PQ index (codebooks sidecar present); use "
             "append_ivfpq_index — a plain append would write rows "
             "without codes and corrupt the ADC scan"
         )
-    spark = new_vectors.sparkSession
+    except AnalysisException:
+        pass  # no codebooks sidecar: plain IVF layout
     cents = sorted(
         spark.read.parquet(path + "/centroids").collect(),
         key=lambda r: r.centroid_id,
@@ -620,16 +640,7 @@ def ivfpq_append_frame(
             res = vm - cent_mat[cent]
             if rot is not None:
                 res = res @ rot.T
-            codes = np.empty((len(vm), m), dtype=np.uint8)
-            for mi in range(m):
-                x = res[:, mi * dsub : (mi + 1) * dsub]
-                cb = books[mi]
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2.0 * (x @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                )
-                codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+            codes = _pq_assign_codes(res, books)
             out = pdf.copy()
             out["centroid_id"] = cent
             out["codes"] = [cc.tobytes() for cc in codes]
@@ -853,13 +864,17 @@ def _sample_normalized(
     return vm / np.where(norms == 0, 1.0, norms)[:, None]
 
 
-def _pq_reconstruct(xr, books):
-    """Encode-then-decode an (n, d) matrix with per-subspace codebooks —
-    the reconstruction OPQ's rotation update minimizes against."""
+def _pq_assign_codes(xr, books):
+    """Per-subspace nearest-codeword assignment of an (n, d) matrix →
+    (n, m) uint8 codes. THE one implementation of the PQ encode rule
+    (||x−c||² = ||x||² − 2⟨x,c⟩ + ||c||², argmin) — the ingest kernels,
+    the append path, and OPQ training all call this, so an encode-rule
+    change can never silently break the pytest-pinned append==rebuild
+    parity."""
     import numpy as np
 
     m, ksub, dsub = books.shape
-    out = np.empty_like(xr)
+    codes = np.empty((len(xr), m), dtype=np.uint8)
     for mi in range(m):
         x = xr[:, mi * dsub : (mi + 1) * dsub]
         cb = books[mi]
@@ -868,7 +883,20 @@ def _pq_reconstruct(xr, books):
             - 2.0 * (x @ cb.T)
             + (cb * cb).sum(axis=1)[None, :]
         )
-        out[:, mi * dsub : (mi + 1) * dsub] = cb[d2.argmin(axis=1)]
+        codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def _pq_reconstruct(xr, books):
+    """Encode-then-decode an (n, d) matrix with per-subspace codebooks —
+    the reconstruction OPQ's rotation update minimizes against."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    codes = _pq_assign_codes(xr, books)
+    out = np.empty_like(xr)
+    for mi in range(m):
+        out[:, mi * dsub : (mi + 1) * dsub] = books[mi][codes[:, mi]]
     return out
 
 
@@ -967,16 +995,7 @@ def pq_encode(
             vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
             if rotation is not None:
                 vm = vm @ rotation.T
-            codes = np.empty((len(vm), m), dtype=np.uint8)
-            for mi in range(m):
-                x = vm[:, mi * dsub : (mi + 1) * dsub]
-                cb = books[mi]
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2.0 * (x @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                )
-                codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+            codes = _pq_assign_codes(vm, books)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype=np.int64),
@@ -1112,7 +1131,7 @@ def pq_topk(
                 )  # (batch, Q): True where this row's cell was probed
                 sims = np.where(mask, sims, -np.inf)
             top = min(shortlist, len(ids))
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            idx = _exact_local_topk(sims, ids, top)
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, top),
@@ -1223,16 +1242,7 @@ def build_ivfpq_index(
             vm = vm / np.where(norms == 0, 1.0, norms)[:, None]
             cent = (vm @ cent_mat.T).argmax(axis=1).astype(np.int32)
             res = (vm - cent_mat[cent]) @ rot.T  # PQ encodes R·residual
-            codes = np.empty((len(vm), m), dtype=np.uint8)
-            for mi in range(m):
-                x = res[:, mi * dsub : (mi + 1) * dsub]
-                cb = books[mi]
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2.0 * (x @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                )
-                codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+            codes = _pq_assign_codes(res, books)
             out = pdf.copy()
             out["centroid_id"] = cent
             out["codes"] = [cc.tobytes() for cc in codes]
@@ -1271,8 +1281,6 @@ def _load_ivfpq_sidecars(spark, path: str):
     driver-sized by construction (nlist centroids; m × ksub codewords;
     one d × d matrix), the same class of driver data as a broadcast dim.
     Pre-OPQ indexes have no ``rotation`` sidecar → identity (None)."""
-    import os
-
     import numpy as np
 
     cents = sorted(
@@ -1287,13 +1295,20 @@ def _load_ivfpq_sidecars(spark, path: str):
     books = np.zeros((mm, kk, dsub))
     for r in book_rows:
         books[r.m, r.code] = np.asarray(r.sub, dtype=np.float64)
-    rot = None
-    if os.path.isdir(path + "/rotation"):
+    # detect the sidecar by TRYING the read, not os.path (which is
+    # driver-local-FS only and would silently load rot=None for an
+    # OPQ index on s3a://hdfs:// — unrotated LUTs against rotated
+    # codes, wrong scores with no error)
+    from pyspark.errors import AnalysisException
+
+    try:
         rows = sorted(
             spark.read.parquet(path + "/rotation").collect(),
             key=lambda r: r.row,
         )
         rot = np.stack([np.asarray(r.vals, dtype=np.float64) for r in rows])
+    except AnalysisException:
+        rot = None  # pre-OPQ index: no rotation sidecar → identity
     return cent_mat, books, rot
 
 
@@ -1511,7 +1526,7 @@ def _ivfpq_topk_distributed(
             sims += luts[:, mi, codes[:, mi]].T  # (cell_rows, Qcell)
         sims += offset[None, :]
         top = min(shortlist, len(ids))
-        idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+        idx = _exact_local_topk(sims, ids, top)
         return pd.DataFrame(
             {
                 "query_id": np.repeat(qids, top),

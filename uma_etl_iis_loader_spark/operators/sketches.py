@@ -262,7 +262,9 @@ def merge_cms_distributed(
     Returns a one-row DataFrame ``(cms binary)`` whose blob is
     BIT-IDENTICAL to the driver merge and to one sketch built globally
     with the same parameters (integer counter sums are exact and
-    order-independent; law pinned in tests/test_approx.py). Feed it
+    order-independent; law pinned in tests/test_approx.py); an EMPTY
+    input yields zero rows (the distributed analogue of ``merge_cms``
+    returning None — check before indexing into the result). Feed it
     back through ``merge_cms`` / ``cms_point_estimates`` to query."""
     import pandas as pd
 
