@@ -231,11 +231,12 @@ def main() -> None:
         "llm_prep_ops": "plan unchanged since r5; 0.27-0.44 s spread is "
         "measured run-to-run jitter (5-run probe: 0.374-0.754 s)",
         # r7 coverage buys, priced deliberately:
-        "knn_ann": "setup +~3.6 s vs r6 = OPQ training (4 alternating "
-        "k-means/Procrustes rounds on the driver sample) — buys the pq "
-        "floor lift 0.45->0.5 per-query / 0.7->0.85 avg; persisted "
-        "index builds pay it once, this query retrains per run",
-        "multimodal_ops": "+~0.5 s vs r6 = the new decode_jpeg rows "
+        "knn_ann": "setup +~2.4 s vs r6 = OPQ training (3 alternating "
+        "k-means/Procrustes rounds x 6 k-means iters on the driver "
+        "sample) — buys the pq floor lift 0.45->0.5 per-query / "
+        "0.7->0.85 avg; persisted index builds pay it once, this query "
+        "retrains per run",
+        "multimodal_ops": "+~0.6 s vs r6 = the new decode_jpeg rows "
         "(real stdlib Huffman+DCT round-trips on 1/4 of the docs, "
         "hash-adjudicated)",
     }
