@@ -1,0 +1,234 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from uma_etl_iis_loader_spark.operators.audio import (
+    WAV_HEADER_BYTES,
+    _synthetic_samples,
+    _synthetic_tone,
+    audio_spectral_features,
+    decode_wav,
+    encode_wav,
+    resample_audio,
+    synthesize_tone_assets,
+    synthesize_wav_assets,
+    wav_sample_stats,
+)
+
+# ---------------------------------------------------------------------------
+# codec (pure Python — no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip_mono():
+    x = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    payload = encode_wav(x, 8000)
+    assert len(payload) == WAV_HEADER_BYTES + 2 * len(x)
+    y, rate = decode_wav(payload)
+    assert rate == 8000
+    assert y.shape == (6, 1)
+    np.testing.assert_array_equal(y[:, 0], x)
+
+
+def test_wav_round_trip_stereo():
+    x = np.arange(20, dtype=np.int16).reshape(10, 2) * 100 - 900
+    y, rate = decode_wav(encode_wav(x, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(y, x)
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    # a LIST chunk (odd size → pad byte) between fmt and data, per spec
+    x = np.array([5, -5, 7], dtype=np.int16)
+    canonical = encode_wav(x, 16000)
+    fmt_chunk = canonical[12:36]
+    data_chunk = canonical[36:]
+    import struct
+
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad
+    body = fmt_chunk + extra + data_chunk
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    y, rate = decode_wav(payload)
+    assert rate == 16000
+    np.testing.assert_array_equal(y[:, 0], x)
+
+
+def test_wav_8bit_decode():
+    # hand-build an 8-bit unsigned PCM file; decoder widens with -128 bias
+    import struct
+
+    samples = bytes([128, 0, 255, 130])
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    data = struct.pack("<4sI", b"data", len(samples)) + samples
+    body = fmt + data
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    y, rate = decode_wav(payload)
+    np.testing.assert_array_equal(y[:, 0], [0, -128, 127, 2])
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [b"", b"RIFF", b"RIFX1234WAVE", b"RIFF\x00\x00\x00\x00WAVE"],
+)
+def test_wav_decode_rejects_garbage(payload):
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+
+
+def test_wav_decode_rejects_non_pcm():
+    import struct
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 32000, 4, 32)
+    body = fmt + struct.pack("<4sI", b"data", 0)
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(payload)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.integers(1, 3),
+)
+def test_wav_round_trip_property(vals, rate, ch):
+    n = len(vals) - len(vals) % ch
+    if n == 0:
+        n, vals = ch, (vals * ch)[:ch]
+    x = np.array(vals[:n], dtype=np.int16).reshape(-1, ch)
+    y, r = decode_wav(encode_wav(x, rate))
+    assert r == rate
+    np.testing.assert_array_equal(y, x)
+
+
+# ---------------------------------------------------------------------------
+# synthesis formulas match their documented SQL-recomputable contracts
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_samples_formula():
+    x, rate = _synthetic_samples(7)
+    assert len(x) == 50 + 7 % 60 and rate == 8000 + (7 % 3) * 4000
+    assert x[0] == (7 * 31) % 4001 - 2000
+    assert x[-1] == (7 * 31 + (len(x) - 1) * 17) % 4001 - 2000
+
+
+def test_synthetic_tone_dominant_bin():
+    for i in range(20):
+        x, rate, b = _synthetic_tone(i)
+        spec = np.abs(np.fft.rfft(x.astype(np.float64)))
+        assert int(np.argmax(spec[1:]) + 1) == b == 1 + i % 16
+
+
+# ---------------------------------------------------------------------------
+# Spark kernels
+# ---------------------------------------------------------------------------
+
+
+def _ids(spark, n=40):
+    return spark.range(n).withColumnRenamed("id", "asset_id")
+
+
+def test_wav_sample_stats_adjudicable_columns(spark):
+    rows = {
+        r["asset_id"]: r
+        for r in wav_sample_stats(synthesize_wav_assets(_ids(spark))).collect()
+    }
+    assert len(rows) == 40
+    for i, r in rows.items():
+        x, rate = _synthetic_samples(i)
+        assert r["decode_error"] is None
+        assert r["n_samples"] == len(x)
+        assert r["n_channels"] == 1
+        assert r["sample_rate"] == rate
+        assert r["n_bytes"] == WAV_HEADER_BYTES + 2 * len(x)
+        assert r["sample_sum"] == int(x.astype(np.int64).sum())
+        assert r["duration_ms"] == 1000 * len(x) // rate
+
+
+def test_wav_sample_stats_error_isolation(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1, 2, 3],
+             "payload": [encode_wav(np.int16([1, 2]), 8000), b"junk", None]}
+        )
+    )
+    rows = {r["asset_id"]: r for r in wav_sample_stats(bad).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["sample_sum"] == 3
+    assert rows[2]["decode_error"] is not None
+    assert rows[3]["decode_error"] is not None and rows[3]["n_bytes"] == 0
+
+
+def test_spectral_features_tone_assets(spark):
+    rows = audio_spectral_features(
+        synthesize_tone_assets(_ids(spark))
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = r["asset_id"]
+        assert r["decode_error"] is None
+        assert r["dominant_bin"] == 1 + i % 16
+        assert r["parseval_ok"] is True
+        assert r["n_samples"] == 64 and r["sample_rate"] == 16000
+        # an integer-period tone's centroid sits near its frequency
+        tone_hz = (1 + i % 16) * 16000 / 64
+        assert abs(r["spectral_centroid_hz"] - tone_hz) < 0.15 * 16000 / 2
+        assert len(r["band_log_energy"]) == 8
+
+
+def test_parseval_holds_on_arbitrary_signals(spark):
+    rows = audio_spectral_features(
+        synthesize_wav_assets(_ids(spark))
+    ).collect()
+    assert all(r["parseval_ok"] for r in rows)
+
+
+def test_resample_contract(spark):
+    rows = {
+        r["asset_id"]: r
+        for r in resample_audio(
+            synthesize_wav_assets(_ids(spark)), target_rate=16000
+        ).collect()
+    }
+    for i, r in rows.items():
+        x, rate = _synthetic_samples(i)
+        n_out = max(2, len(x) * 16000 // rate)
+        assert r["decode_error"] is None
+        assert r["n_samples_out"] == n_out
+        # endpoint alignment: first/last output == first/last input
+        assert r["first_out"] == r["first_in"] == int(x[0])
+        assert r["last_out"] == r["last_in"] == int(x[-1])
+        assert len(r["payload"]) == WAV_HEADER_BYTES + 2 * n_out
+        # re-encoded payload decodes at the target rate
+        y, out_rate = decode_wav(bytes(r["payload"]))
+        assert out_rate == 16000 and len(y) == n_out
+
+
+def test_resample_identity_when_rates_match():
+    # src rate 16000 (i % 3 == 2) → n_out == n and samples preserved
+    i = 2
+    x, rate = _synthetic_samples(i)
+    assert rate == 16000
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.session import build_session
+
+    spark = build_session("tests", shuffle_partitions=8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [i], "payload": [encode_wav(x, rate)]})
+    )
+    r = resample_audio(df, target_rate=16000).collect()[0]
+    y, _ = decode_wav(bytes(r["payload"]))
+    np.testing.assert_array_equal(y[:, 0], x)
+
+
+def test_audio_kernels_zero_shuffles(spark):
+    plan = wav_sample_stats(
+        synthesize_wav_assets(_ids(spark))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

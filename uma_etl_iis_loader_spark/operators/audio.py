@@ -1,0 +1,341 @@
+"""Audio column operators: WAV payloads as opaque ``binary`` columns
+decoded, analyzed, and resampled through Arrow-batched ``mapInPandas``
+kernels — the audio face of the multimodal story (images:
+``operators/multimodal``; lossy codec: ``operators/jpeg``).
+
+Unlike image formats, uncompressed audio needs no codec library at all:
+RIFF/WAVE PCM is pure byte layout (public file-format spec), so the REAL
+decode rung — header walk, ``np.frombuffer`` sample view, channel
+de-interleave — runs in this codec-less container and is
+oracle-adjudicated end-to-end (sample sums, byte sizes, FFT dominant
+bins, and resample endpoints are all recomputable in ANSI SQL from the
+deterministic synthesis formulas).
+
+Scale notes: every kernel here is embarrassingly parallel — binary
+payloads ride in Arrow record batches, decode/FFT/resample are per-row
+numpy (vectorized over samples, never per-sample Python), zero shuffles
+in this module. Swap the synthesis for an object-store read and the
+rungs for ffmpeg/torchaudio kernels on a real cluster; the Spark-side
+plumbing (schema, batching, per-row error isolation) is what this
+module pins.
+
+Cite: the reference has no audio path (`iis_etl/` is relational ETL);
+this module is extension surface — the multimodal column family a
+training-data pipeline needs (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+
+# canonical header emitted by encode_wav: RIFF(12) + fmt(8+16) + data(8)
+WAV_HEADER_BYTES = 44
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as a canonical
+    RIFF/WAVE PCM file — 44-byte header + little-endian interleaved
+    samples, per the public WAVE spec. Pure byte packing (stdlib
+    ``struct`` + numpy), mirroring :func:`multimodal.encode_bmp`."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"samples must be (n,) or (n, ch), got {arr.shape}")
+    n, ch = arr.shape
+    data = arr.tobytes()  # C-order == channel-interleaved frames
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    hdr = struct.pack("<4sI4s", _RIFF, 4 + len(fmt) + 8 + len(data), _WAVE)
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload to ((n, channels) int16 array,
+    sample_rate). A real chunk walk — unknown chunks (LIST, fact, cue)
+    are skipped per the spec, so files from arbitrary encoders parse,
+    not just :func:`encode_wav`'s canonical layout. 16-bit PCM
+    (format 1) and 8-bit unsigned PCM (widened to int16) are supported;
+    anything else raises ``ValueError`` (caught per-row by the stats
+    kernels — error isolation, same contract as the image rungs)."""
+    if len(payload) < 12 or payload[:4] != _RIFF or payload[8:12] != _WAVE:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    ch = rate = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            if size < 16 or pos + 16 > end:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos
+            )
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
+        elif cid == b"data":
+            data = payload[pos : pos + size]
+            if len(data) < size:
+                raise ValueError("truncated data chunk")
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += size + (size & 1)
+    if ch is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits == 16:
+        flat = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        # 8-bit WAVE is unsigned with 128 bias, per the spec
+        flat = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n = len(flat) // ch
+    return flat[: n * ch].reshape(n, ch).astype(np.int16), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (oracle-recomputable formulas)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_samples(i: int) -> tuple[np.ndarray, int]:
+    """Deterministic mono signal for id ``i``: n = 50 + i % 60 samples of
+    x[k] = (i*31 + k*17) % 4001 - 2000 at rate 8000 + (i % 3)*4000 Hz —
+    fixed modular arithmetic, so sample sums, byte sizes, and resample
+    endpoints are reproducible in ANSI SQL (the audio analogue of
+    :func:`multimodal._synthetic_pixels`)."""
+    n = 50 + i % 60
+    k = np.arange(n, dtype=np.int64)
+    x = (i * 31 + k * 17) % 4001 - 2000
+    return x.astype(np.int16), 8000 + (i % 3) * 4000
+
+
+def _synthetic_tone(i: int, n: int = 64, rate: int = 16000) -> tuple[np.ndarray, int, int]:
+    """Pure tone for id ``i``: an integer number of periods b = 1 + i % 16
+    across n = 64 samples, amplitude 12000. The rFFT of an
+    integer-period tone concentrates all non-DC energy in bin b, so the
+    spectral argmax is EXACTLY b — int16 quantization noise is broadband
+    and ~80 dB below the peak, so the oracle can assert the dominant bin
+    from the construction parameter alone."""
+    b = 1 + i % 16
+    k = np.arange(n)
+    x = np.round(12000.0 * np.sin(2.0 * np.pi * b * k / n)).astype(np.int16)
+    return x, rate, b
+
+
+def _synthesize_wav(ids: DataFrame, id_col: str, gen) -> DataFrame:
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, rr in pdf.iterrows():
+                x, rate = gen(int(rr[id_col]))[:2]
+                out.append((int(rr[id_col]), encode_wav(x, rate)))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, "asset_id long, payload binary"
+    )
+
+
+def synthesize_wav_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic synthetic WAV per id (modular-arithmetic samples,
+    see :func:`_synthetic_samples`), encoded through the real
+    :func:`encode_wav`."""
+    return _synthesize_wav(ids, id_col, _synthetic_samples)
+
+
+def synthesize_tone_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic pure-tone WAV per id (integer-period sine, see
+    :func:`_synthetic_tone`) for spectral-path adjudication."""
+    return _synthesize_wav(ids, id_col, _synthetic_tone)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def wav_sample_stats(assets: DataFrame) -> DataFrame:
+    """REAL sample statistics through the actual decoder: each payload is
+    parsed with :func:`decode_wav` and reduced to (n_samples, n_channels,
+    sample_rate, n_bytes, sample_sum, duration_ms). Failed decodes
+    surface ``decode_error`` instead of failing the task (per-row error
+    isolation). Arrow-batched mapInPandas, zero shuffles."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                buf = r["payload"]
+                n_bytes = 0 if buf is None else int(len(buf))
+                try:
+                    if buf is None:
+                        raise ValueError("NULL payload")
+                    x, rate = decode_wav(bytes(buf))
+                    n = int(x.shape[0])
+                    out.append(
+                        (
+                            r["asset_id"], n, int(x.shape[1]), rate, n_bytes,
+                            int(x.astype(np.int64).sum()),
+                            int(1000 * n // rate) if rate else None, None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, n_bytes, None,
+                         None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_samples", "n_channels", "sample_rate",
+                    "n_bytes", "sample_sum", "duration_ms", "decode_error",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, n_samples int, n_channels int, sample_rate int, "
+        "n_bytes int, sample_sum long, duration_ms int, decode_error string",
+    )
+
+
+def audio_spectral_features(assets: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Spectral features through the real decode + FFT path: per payload,
+    decode, mix channels to mono (mean), rFFT, and emit the dominant
+    non-DC bin, spectral centroid (Hz), per-band log-energies (n_bands
+    equal slices of the magnitude spectrum — the mel-free analogue; swap
+    in a mel filterbank kernel on a real cluster), and a Parseval
+    consistency boolean: sum of squared FFT magnitudes (DC/Nyquist
+    weighted once, interior bins twice) must equal N · Σx² to 1e-6
+    relative — a broken transform, window, or de-interleave blows it.
+    Vectorized numpy per row, zero shuffles."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    x, rate = decode_wav(bytes(r["payload"]))
+                    mono = x.astype(np.float64).mean(axis=1)
+                    n = len(mono)
+                    spec = np.fft.rfft(mono)
+                    mag2 = np.abs(spec) ** 2
+                    # rFFT Parseval weights: DC once, Nyquist (even N)
+                    # once, interior bins twice
+                    w = np.full(len(mag2), 2.0)
+                    w[0] = 1.0
+                    if n % 2 == 0:
+                        w[-1] = 1.0
+                    e_freq = float((w * mag2).sum())
+                    e_time = float((mono**2).sum()) * n
+                    ok = bool(
+                        abs(e_freq - e_time) <= 1e-6 * max(e_time, 1.0)
+                    )
+                    mag = np.sqrt(mag2)
+                    dom = int(np.argmax(mag[1:]) + 1) if len(mag) > 1 else 0
+                    freqs = np.arange(len(mag)) * rate / n
+                    msum = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / msum) if msum else 0.0
+                    bands = np.array_split(mag2, n_bands)
+                    band_e = np.array(
+                        [np.log1p(b.sum()) for b in bands], dtype=np.float32
+                    )
+                    out.append(
+                        (r["asset_id"], n, rate, dom, round(centroid, 6),
+                         ok, band_e, None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_samples", "sample_rate", "dominant_bin",
+                    "spectral_centroid_hz", "parseval_ok", "band_log_energy",
+                    "decode_error",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        feats,
+        "asset_id long, n_samples int, sample_rate int, dominant_bin int, "
+        "spectral_centroid_hz double, parseval_ok boolean, "
+        "band_log_energy array<float>, decode_error string",
+    )
+
+
+def resample_audio(assets: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Endpoint-aligned linear resample through the full
+    decode → interpolate → re-encode pipeline. Output length is the
+    integer contract n_out = max(2, n * target_rate // src_rate) and
+    sample positions are ``linspace(0, n-1, n_out)`` — so the FIRST and
+    LAST output samples equal the first and last input samples exactly
+    (linspace endpoints are exact), which the oracle recomputes from the
+    synthesis formula. The re-encoded payload is a canonical WAV at
+    target_rate (n_bytes = 44 + 2·n_out·ch — also SQL-exact).
+    Per-row numpy ``np.interp`` per channel; zero shuffles."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    x, rate = decode_wav(bytes(r["payload"]))
+                    n, ch = x.shape
+                    n_out = max(2, n * target_rate // rate)
+                    pos = np.linspace(0.0, n - 1, n_out)
+                    k = np.arange(n, dtype=np.float64)
+                    y = np.stack(
+                        [
+                            np.interp(pos, k, x[:, c].astype(np.float64))
+                            for c in range(ch)
+                        ],
+                        axis=1,
+                    )
+                    yi = np.clip(np.round(y), -32768, 32767).astype(np.int16)
+                    out.append(
+                        (
+                            r["asset_id"], n, n_out, target_rate,
+                            int(x[0, 0]), int(x[-1, 0]),
+                            int(yi[0, 0]), int(yi[-1, 0]),
+                            encode_wav(yi, target_rate), None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, target_rate, None, None,
+                         None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_samples_in", "n_samples_out",
+                    "target_rate", "first_in", "last_in", "first_out",
+                    "last_out", "payload", "decode_error",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        resample,
+        "asset_id long, n_samples_in int, n_samples_out int, "
+        "target_rate int, first_in int, last_in int, first_out int, "
+        "last_out int, payload binary, decode_error string",
+    )

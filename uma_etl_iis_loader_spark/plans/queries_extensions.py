@@ -384,6 +384,33 @@ SELECT 'decode_jpeg', doc_id, NULL,
        CAST(4 + doc_id % 5 AS INT), CAST(3 + doc_id % 4 AS INT),
        NULL, 'true'
 FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT 'decode_wav', w.doc_id, 1,
+       CAST(50 + w.doc_id % 60 AS INT),
+       CAST(8000 + (w.doc_id % 3) * 4000 AS INT),
+       CAST(44 + 2 * (50 + w.doc_id % 60) AS INT),
+       CAST(w.s AS VARCHAR)
+FROM (
+    SELECT d.doc_id,
+           sum((d.doc_id * 31 + k.i * 17) % 4001 - 2000) AS s
+    FROM documents d, range(0, 110) k(i)
+    WHERE k.i < 50 + d.doc_id % 60
+    GROUP BY 1
+) w
+UNION ALL
+SELECT 'audio_fft', doc_id, CAST(1 + doc_id % 16 AS INT),
+       64, 16000, NULL, 'true'
+FROM documents
+UNION ALL
+SELECT 'resample_audio', doc_id, NULL,
+       CAST(greatest(2, (50 + doc_id % 60) * 16000
+                        // (8000 + (doc_id % 3) * 4000)) AS INT),
+       16000,
+       CAST(44 + 2 * greatest(2, (50 + doc_id % 60) * 16000
+                                 // (8000 + (doc_id % 3) * 4000)) AS INT),
+       concat((doc_id * 31) % 4001 - 2000, ':',
+              (doc_id * 31 + (50 + doc_id % 60 - 1) * 17) % 4001 - 2000)
+FROM documents
 """
 
 
@@ -398,9 +425,14 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-bit BMPs encoded and decoded through the stdlib codec in
     operators/multimodal, with width/height/file-size/pixel-sum
     hash-adjudicated against the oracle's recomputation — no fake
-    features on this rung). Compressed-format payloads remain
-    codec-gated (PIL rung); their determinism and byte shape are pinned
-    in tests/test_multimodal.py."""
+    features on this rung). The audio face ('decode_wav' / 'audio_fft' /
+    'resample_audio' rows) runs the REAL RIFF/WAVE codec, rFFT feature
+    kernel, and linear resampler from operators/audio — sample sums,
+    byte sizes, dominant spectral bins, and resample endpoints are all
+    oracle-recomputed from the deterministic synthesis formulas.
+    Compressed-format payloads beyond baseline JPEG remain codec-gated
+    (PIL rung); their determinism and byte shape are pinned in
+    tests/test_multimodal.py."""
     from ..operators.multimodal import (
         bmp_pixel_stats,
         documents_as_assets,
@@ -522,12 +554,70 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("string").alias("tag"),
         )
     )
+    # AUDIO rungs: RIFF/WAVE PCM needs no codec library, so the real
+    # decode path adjudicates fully (operators/audio):
+    #   - 'decode_wav': synthetic modular-arithmetic signals encoded with
+    #     the real encode_wav and parsed back — n_samples / rate /
+    #     byte size / sample sum all recomputed by the oracle.
+    #   - 'audio_fft': integer-period pure tones through the rFFT
+    #     feature kernel — the spectral argmax MUST be the construction
+    #     bin (1 + id % 16), and the in-plan Parseval boolean (freq-
+    #     domain energy == N·Σx² to 1e-6) pins transform consistency.
+    #   - 'resample_audio': decode → endpoint-aligned linear interp →
+    #     re-encode at 16 kHz; output length is the exact integer
+    #     contract and first/last samples equal the input endpoints,
+    #     both oracle-recomputed from the synthesis formula.
+    from ..operators.audio import (
+        audio_spectral_features,
+        resample_audio,
+        synthesize_tone_assets,
+        synthesize_wav_assets,
+        wav_sample_stats,
+    )
+
+    aud_ids = assets.select("asset_id")
+    wav_rows = wav_sample_stats(synthesize_wav_assets(aud_ids)).select(
+        F.lit("decode_wav").alias("op"),
+        "asset_id",
+        F.col("n_channels").cast("int").alias("idx"),
+        F.col("n_samples").cast("int").alias("width"),
+        F.col("sample_rate").cast("int").alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("sample_sum").cast("string").alias("tag"),
+    )
+    fft_rows = audio_spectral_features(
+        synthesize_tone_assets(aud_ids)
+    ).select(
+        F.lit("audio_fft").alias("op"),
+        "asset_id",
+        F.col("dominant_bin").cast("int").alias("idx"),
+        F.col("n_samples").cast("int").alias("width"),
+        F.col("sample_rate").cast("int").alias("height"),
+        null_i.alias("n_bytes"),
+        F.col("parseval_ok").cast("string").alias("tag"),
+    )
+    resampled = resample_audio(
+        synthesize_wav_assets(aud_ids), target_rate=16000
+    ).select(
+        F.lit("resample_audio").alias("op"),
+        "asset_id",
+        null_i.alias("idx"),
+        F.col("n_samples_out").cast("int").alias("width"),
+        F.col("target_rate").cast("int").alias("height"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.concat_ws(
+            ":", F.col("first_out"), F.col("last_out")
+        ).alias("tag"),
+    )
     return (
         stats.unionByName(frames)
         .unionByName(resized)
         .unionByName(decoded)
         .unionByName(decoded_png)
         .unionByName(decoded_jpeg)
+        .unionByName(wav_rows)
+        .unionByName(fft_rows)
+        .unionByName(resampled)
     )
 
 
