@@ -1,0 +1,178 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from uma_etl_iis_loader_spark.operators.multimodal import decode_bmp
+from uma_etl_iis_loader_spark.operators.video import (
+    _decode_dib,
+    _dib_bytes,
+    _synthetic_frame,
+    decode_avi,
+    encode_avi,
+    sample_video_frames,
+    synthesize_avi_assets,
+    synthesize_mjpeg_assets,
+    synthetic_frame_count,
+    video_frame_stats,
+)
+
+# ---------------------------------------------------------------------------
+# container codec (pure Python — no Spark)
+# ---------------------------------------------------------------------------
+
+
+def _frames(i=3, n=4):
+    return [_synthetic_frame(i, f) for f in range(n)]
+
+
+def test_dib_round_trip():
+    px = _synthetic_frame(5, 0)
+    h, w = px.shape[:2]
+    np.testing.assert_array_equal(_decode_dib(_dib_bytes(px), w, h), px)
+
+
+def test_avi_round_trip_uncompressed():
+    frames = _frames()
+    payload = encode_avi(frames, fps=10)
+    out, meta = decode_avi(payload)
+    assert meta["n_frames"] == 4 and meta["us_per_frame"] == 100_000
+    assert meta["width"] == frames[0].shape[1]
+    assert meta["height"] == frames[0].shape[0]
+    assert len(out) == 4
+    for a, b in zip(out, frames):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_avi_round_trip_mjpeg_bounded_error():
+    from uma_etl_iis_loader_spark.operators.jpeg import encode_jpeg
+
+    frames = _frames(i=7, n=3)
+    payload = encode_avi(
+        frames, codec="MJPG", frame_encoder=lambda px: encode_jpeg(px, 92)
+    )
+    out, meta = decode_avi(payload)
+    assert len(out) == 3
+    for a, b in zip(out, frames):
+        assert a.shape == b.shape
+        true = int(b.astype(np.int64).sum())
+        got = int(a.astype(np.int64).sum())
+        assert abs(got - true) <= 0.05 * true + 200
+
+
+def test_avi_skips_unknown_chunks():
+    import struct
+
+    frames = _frames(i=1, n=2)
+    payload = encode_avi(frames)
+    # splice a JUNK chunk (odd size → pad byte) between hdrl and movi;
+    # body excludes the 12-byte RIFF header but keeps the 'AVI ' form type
+    junk = struct.pack("<4sI", b"JUNK", 5) + b"abcde" + b"\x00"
+    movi_at = payload.index(b"movi") - 8  # LIST header of the movi list
+    body = b"AVI " + payload[12:movi_at] + junk + payload[movi_at:]
+    rebuilt = struct.pack("<4sI", b"RIFF", len(body)) + body
+    out, meta = decode_avi(rebuilt)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], frames[0])
+
+
+@pytest.mark.parametrize(
+    "payload", [b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"AVI junkdata"]
+)
+def test_avi_rejects_garbage(payload):
+    with pytest.raises(ValueError):
+        decode_avi(payload)
+
+
+def test_avi_rejects_nonuniform_frames():
+    with pytest.raises(ValueError, match="uniform"):
+        encode_avi([_synthetic_frame(0, 0), _synthetic_frame(1, 0)])
+
+
+def test_synthetic_frame_formula():
+    px = _synthetic_frame(9, 2)
+    w, h = 4 + 9 % 5, 3 + 9 % 4
+    assert px.shape == (h, w, 3)
+    assert px[0, 0, 0] == (9 + 7 * 2) % 256
+    assert px[1, 2, 1] == (9 + 3 * 2 + 5 * 1 + 7 * 2) % 256
+    assert synthetic_frame_count(9) == 2 + 9 % 4
+
+
+# ---------------------------------------------------------------------------
+# Spark kernels
+# ---------------------------------------------------------------------------
+
+
+def _ids(spark, n=30):
+    return spark.range(n).withColumnRenamed("id", "asset_id")
+
+
+def test_video_frame_stats_adjudicable(spark):
+    rows = video_frame_stats(synthesize_avi_assets(_ids(spark))).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        assert r["decode_error"] is None
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(by_asset) == 30
+    for i, rs in by_asset.items():
+        n_f = synthetic_frame_count(i)
+        assert len(rs) == n_f
+        w, h = 4 + i % 5, 3 + i % 4
+        for r in sorted(rs, key=lambda x: x["frame_idx"]):
+            f = r["frame_idx"]
+            px = _synthetic_frame(i, f)
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, n_f)
+            assert r["frame_bytes"] == ((3 * w + 3) // 4) * 4 * h
+            assert r["pixel_sum"] == int(px.astype(np.int64).sum())
+
+
+def test_video_frame_stats_mjpeg_bounded(spark):
+    rows = video_frame_stats(
+        synthesize_mjpeg_assets(_ids(spark, n=8))
+    ).collect()
+    for r in rows:
+        assert r["decode_error"] is None
+        i, f = r["asset_id"], r["frame_idx"]
+        true = int(_synthetic_frame(i, f).astype(np.int64).sum())
+        assert abs(r["pixel_sum"] - true) <= 0.05 * true + 200
+        assert (r["width"], r["height"]) == (4 + i % 5, 3 + i % 4)
+
+
+def test_video_frame_stats_error_isolation(spark):
+    import pandas as pd
+
+    good = encode_avi(_frames(i=2, n=2))
+    bad = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1, 2, 3],
+                      "payload": [good, b"garbage", None]})
+    )
+    rows = video_frame_stats(bad).collect()
+    ok = [r for r in rows if r["decode_error"] is None]
+    err = [r for r in rows if r["decode_error"] is not None]
+    assert {r["asset_id"] for r in ok} == {1} and len(ok) == 2
+    assert {r["asset_id"] for r in err} == {2, 3}
+
+
+def test_sample_video_frames_round_trips_to_images(spark):
+    rows = sample_video_frames(
+        synthesize_avi_assets(_ids(spark, n=12)), max_frames=4
+    ).collect()
+    for r in rows:
+        assert r["decode_error"] is None
+        px = decode_bmp(bytes(r["image_payload"]))
+        np.testing.assert_array_equal(
+            px, _synthetic_frame(r["asset_id"], r["frame_idx"])
+        )
+    # stride contract: step 1 for n<=5, so idx in [0, min(n, 4))
+    by_asset: dict[int, set] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], set()).add(r["frame_idx"])
+    for i, idxs in by_asset.items():
+        assert idxs == set(range(min(synthetic_frame_count(i), 4)))
+
+
+def test_video_kernels_zero_shuffles(spark):
+    plan = video_frame_stats(
+        synthesize_avi_assets(_ids(spark))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,352 @@
+"""Video column operators: AVI payloads as opaque ``binary`` columns,
+parsed and frame-decoded through Arrow-batched ``mapInPandas`` kernels —
+the video face of the multimodal story (images: ``operators/multimodal``;
+audio: ``operators/audio``; lossy codec: ``operators/jpeg``).
+
+Like RIFF/WAVE, the AVI container is pure byte layout (public spec:
+RIFF 'AVI ' → LIST hdrl (avih, strl) → LIST movi ('00db' uncompressed
+DIB / '00dc' compressed frames)), so REAL container parsing and REAL
+frame decode run in this codec-less container:
+
+- uncompressed '00db' frames are bottom-up padded BGR DIBs — decoded by
+  vectorized numpy slicing (same layout as the BMP pixel array,
+  `multimodal.decode_bmp`);
+- MJPEG '00dc' frames are baseline JPEGs — decoded by the stdlib
+  Huffman+IDCT codec (`operators/jpeg`).
+
+Per-frame pixel sums, dimensions, and frame byte sizes are recomputable
+in ANSI SQL from the deterministic synthesis formulas, so the video
+pipeline is oracle-adjudicated end-to-end like the image and audio
+rungs.
+
+Scale notes: all kernels are embarrassingly parallel (zero shuffles);
+frame fan-out multiplies row counts by frames-per-asset, so downstream
+ops see an exploded but still narrow frame table. Swap the synthesis
+for an object-store read and the MJPEG rung for an ffmpeg kernel on a
+real cluster; the container walk, per-row error isolation, and frame
+table schema are what this module pins.
+
+Cite: the reference has no media path (`iis_etl/` is relational ETL);
+this module is extension surface (SURVEY.md §6) — the video column
+family a multimodal training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multimodal import decode_image, encode_bmp
+
+_RIFF = b"RIFF"
+_LIST = b"LIST"
+
+
+def _dib_bytes(pixels: np.ndarray) -> bytes:
+    """Pack an (h, w, 3) uint8 RGB array as raw uncompressed DIB pixel
+    data: bottom-up rows, BGR channel order, rows padded to 4 bytes —
+    the '00db' frame payload per the AVI/DIB spec (same layout as the
+    BMP pixel array, minus headers)."""
+    h, w = pixels.shape[:2]
+    row_size = ((3 * w + 3) // 4) * 4
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)
+    return rows.tobytes()
+
+
+def _decode_dib(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode raw uncompressed 24-bit DIB pixel data (inverse of
+    :func:`_dib_bytes`) to an (h, w, 3) uint8 RGB array — vectorized
+    numpy slicing, no per-pixel Python."""
+    row_size = ((3 * w + 3) // 4) * 4
+    if len(data) < row_size * h:
+        raise ValueError("truncated DIB frame")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h).reshape(
+        h, row_size
+    )
+    return rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" * (len(body) & 1))
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(_LIST, ltype + body)
+
+
+def encode_avi(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    codec: str = "DIB ",
+    frame_encoder=None,
+) -> bytes:
+    """Encode a list of (h, w, 3) uint8 RGB frames as a spec-shaped AVI:
+    RIFF 'AVI ' → LIST hdrl (avih MainAVIHeader + LIST strl with
+    strh/strf) → LIST movi with one '00db' (raw DIB) or '00dc'
+    (compressed, e.g. MJPEG via ``frame_encoder``) chunk per frame.
+    All frames must share dimensions (the AVI stream contract)."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("AVI streams require uniform frame dimensions")
+    n = len(frames)
+    if frame_encoder is None:
+        payloads = [_dib_bytes(f) for f in frames]
+        fcc = b"00db"
+    else:
+        payloads = [frame_encoder(f) for f in frames]
+        fcc = b"00dc"
+    max_bytes = max(len(p) for p in payloads)
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", codec.encode("ascii"), 0, 0, 0, 0, 1, fps, 0, n,
+        max_bytes, 10_000, 0, 0, 0, w, h,
+    )
+    # BITMAPINFOHEADER: biCompression 0 = BI_RGB for DIB; fourcc for MJPG
+    compression = 0 if frame_encoder is None else int.from_bytes(
+        codec.encode("ascii"), "little"
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, 3 * w * h, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(fcc, p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", _RIFF, len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
+    """Parse an AVI payload: walk the RIFF tree (skipping unknown chunks
+    per the spec), read dimensions/frame-count/rate from the avih
+    MainAVIHeader, and decode every movi frame — '00db' raw DIB via
+    numpy slicing, '00dc' via :func:`multimodal.decode_image` (stdlib
+    baseline-JPEG rung for MJPEG; PIL when importable for other
+    codecs). Returns (frames as (h, w, 3) uint8 RGB arrays, meta dict
+    with width/height/n_frames/us_per_frame). Raises ``ValueError`` on
+    malformed containers — corrupt media fails loudly at the decode
+    boundary (caught per-row by the stats kernels)."""
+    if len(payload) < 12 or payload[:4] != _RIFF or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta: dict = {}
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            pos += 8
+            if cid == _LIST and size >= 4:
+                ltype = buf[pos : pos + 4]
+                walk(buf, pos + 4, min(pos + size, end), ltype == b"movi")
+            elif cid == b"avih":
+                if size < 40 or pos + 40 > end:
+                    raise ValueError("truncated avih chunk")
+                vals = struct.unpack_from("<10I", buf, pos)
+                meta.update(
+                    us_per_frame=vals[0], n_frames=vals[4],
+                    width=vals[8], height=vals[9],
+                )
+            elif in_movi and cid[2:] in (b"db", b"dc"):
+                if "width" not in meta:
+                    raise ValueError("movi frame before avih header")
+                data = buf[pos : pos + size]
+                if len(data) < size:
+                    raise ValueError("truncated frame chunk")
+                if cid[2:] == b"db":
+                    frames.append(
+                        _decode_dib(data, meta["width"], meta["height"])
+                    )
+                else:
+                    frames.append(decode_image(data))
+            pos += size + (size & 1)
+
+    walk(payload, 12, len(payload), False)
+    if "width" not in meta:
+        raise ValueError("missing avih header")
+    return frames, meta
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (oracle-recomputable formulas)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_frame(i: int, f: int) -> np.ndarray:
+    """Deterministic frame f of synthetic video i: dims w = 4 + i % 5,
+    h = 3 + i % 4 (uniform across frames, per the AVI stream contract);
+    channel values are fixed affine functions of (id, frame, row, col)
+    mod 256 — the video analogue of :func:`multimodal._synthetic_pixels`,
+    so per-frame pixel sums are reproducible in ANSI SQL."""
+    w, h = 4 + i % 5, 3 + i % 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return np.stack(
+        [
+            (i + 7 * f + 11 * r + 13 * c) % 256,
+            (i + 3 * f + 5 * r + 7 * c) % 256,
+            (i + f + 2 * r + 3 * c) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def synthetic_frame_count(i: int) -> int:
+    """Frames in synthetic video i: 2 + i % 4 (oracle: ``2 + id % 4``)."""
+    return 2 + i % 4
+
+
+def _synthesize_avi(ids: DataFrame, id_col: str, frame_encoder) -> DataFrame:
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, rr in pdf.iterrows():
+                i = int(rr[id_col])
+                frames = [
+                    _synthetic_frame(i, f)
+                    for f in range(synthetic_frame_count(i))
+                ]
+                if frame_encoder is None:
+                    payload = encode_avi(frames)
+                else:
+                    payload = encode_avi(
+                        frames, codec="MJPG", frame_encoder=frame_encoder
+                    )
+                out.append((i, payload))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, "asset_id long, payload binary"
+    )
+
+
+def synthesize_avi_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic uncompressed-DIB AVI per id (see
+    :func:`_synthetic_frame` for the oracle-reproducible formula),
+    written through the real :func:`encode_avi`."""
+    return _synthesize_avi(ids, id_col, None)
+
+
+def synthesize_mjpeg_assets(
+    ids: DataFrame, id_col: str = "asset_id", quality: int = 92
+) -> DataFrame:
+    """Deterministic MJPEG AVI per id — same frame formula, each frame
+    encoded through the real stdlib baseline-JPEG codec
+    (:func:`operators.jpeg.encode_jpeg`), so the compressed video rung
+    is exercised end-to-end with bounded-error pixel sums."""
+    from .jpeg import encode_jpeg
+
+    return _synthesize_avi(
+        ids, id_col, lambda px: encode_jpeg(px, quality=quality)
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+_FRAME_STATS_DDL = (
+    "asset_id long, frame_idx int, width int, height int, n_frames int, "
+    "frame_bytes int, pixel_sum long, decode_error string"
+)
+
+
+def video_frame_stats(assets: DataFrame) -> DataFrame:
+    """REAL per-frame statistics through the actual container parser and
+    frame decoders: each payload goes through :func:`decode_avi` and
+    emits one row per frame with (width, height, n_frames, frame_bytes,
+    pixel_sum). Failed parses surface one ``decode_error`` row per asset
+    instead of failing the task. Arrow-batched mapInPandas, zero
+    shuffles; the frame fan-out happens inside the kernel (rows out =
+    Σ frames), keeping the container bytes off the shuffle path."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    frames, meta = decode_avi(bytes(r["payload"]))
+                    row_size = ((3 * meta["width"] + 3) // 4) * 4
+                    for fi, px in enumerate(frames):
+                        out.append(
+                            (
+                                r["asset_id"], fi,
+                                int(px.shape[1]), int(px.shape[0]),
+                                len(frames), row_size * int(px.shape[0]),
+                                int(px.astype(np.int64).sum()), None,
+                            )
+                        )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "frame_idx", "width", "height", "n_frames",
+                    "frame_bytes", "pixel_sum", "decode_error",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats, _FRAME_STATS_DDL
+    )
+
+
+def sample_video_frames(
+    assets: DataFrame, max_frames: int = 4
+) -> DataFrame:
+    """Extract up to ``max_frames`` evenly-spaced REAL frames per video
+    and re-encode each as a standalone BMP image payload — the
+    video → image handoff (sampled frames feed the image feature /
+    resize / dedup pipeline downstream). Sampling positions follow the
+    same stride contract as :func:`multimodal.frame_sample`
+    (step = max(n // max_frames, 1), capped) so coverage is
+    deterministic. Zero shuffles."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    frames, _meta = decode_avi(bytes(r["payload"]))
+                    n = len(frames)
+                    step = max(n // max_frames, 1)
+                    picked = list(range(0, n, step))[:max_frames]
+                    for fi in picked:
+                        out.append(
+                            (r["asset_id"], fi, encode_bmp(frames[fi]), None)
+                        )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "frame_idx", "image_payload",
+                         "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        sample,
+        "asset_id long, frame_idx int, image_payload binary, "
+        "decode_error string",
+    )

@@ -411,6 +411,29 @@ SELECT 'resample_audio', doc_id, NULL,
        concat((doc_id * 31) % 4001 - 2000, ':',
               (doc_id * 31 + (50 + doc_id % 60 - 1) * 17) % 4001 - 2000)
 FROM documents
+UNION ALL
+SELECT 'video_frames', p.doc_id, CAST(p.f AS INT),
+       CAST(p.w AS INT), CAST(p.h AS INT),
+       CAST(p.h * (((3 * p.w + 3) // 4) * 4) AS INT),
+       CAST(p.s AS VARCHAR)
+FROM (
+    SELECT b.doc_id, f.i AS f, b.w, b.h,
+           sum((b.doc_id + 7 * f.i + 11 * r.i + 13 * c.i) % 256
+             + (b.doc_id + 3 * f.i + 5 * r.i + 7 * c.i) % 256
+             + (b.doc_id + f.i + 2 * r.i + 3 * c.i) % 256) AS s
+    FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                 2 + doc_id % 4 AS nf FROM documents) b,
+         range(0, 5) f(i), range(0, 6) r(i), range(0, 8) c(i)
+    WHERE f.i < b.nf AND r.i < b.h AND c.i < b.w
+    GROUP BY 1, 2, 3, 4
+) p
+UNION ALL
+SELECT 'video_mjpeg', b.doc_id, CAST(f.i AS INT),
+       CAST(4 + b.doc_id % 5 AS INT), CAST(3 + b.doc_id % 4 AS INT),
+       NULL, 'true'
+FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 0) b,
+     range(0, 5) f(i)
+WHERE f.i < 2 + b.doc_id % 4
 """
 
 
@@ -429,7 +452,11 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     'resample_audio' rows) runs the REAL RIFF/WAVE codec, rFFT feature
     kernel, and linear resampler from operators/audio — sample sums,
     byte sizes, dominant spectral bins, and resample endpoints are all
-    oracle-recomputed from the deterministic synthesis formulas.
+    oracle-recomputed from the deterministic synthesis formulas. The
+    video face ('video_frames' / 'video_mjpeg' rows) parses REAL
+    RIFF/AVI containers from operators/video and decodes uncompressed
+    DIB and MJPEG frames (per-frame dims / byte sizes / pixel sums
+    oracle-recomputed; MJPEG sums as bounded-error booleans).
     Compressed-format payloads beyond baseline JPEG remain codec-gated
     (PIL rung); their determinism and byte shape are pinned in
     tests/test_multimodal.py."""
@@ -609,6 +636,85 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.col("first_out"), F.col("last_out")
         ).alias("tag"),
     )
+    # VIDEO rungs: the RIFF/AVI container is pure byte layout too
+    # (operators/video), so REAL container parsing + frame decode
+    # adjudicate fully:
+    #   - 'video_frames': uncompressed-DIB AVIs (deterministic per-frame
+    #     pixel formulas of (id, frame, row, col)) parsed by the real
+    #     chunk walker, frames decoded by vectorized DIB slicing —
+    #     per-frame dims / byte size / pixel sum all oracle-recomputed.
+    #   - 'video_mjpeg': the same frames as an MJPEG stream (each '00dc'
+    #     chunk a real stdlib-encoded baseline JPEG) through the
+    #     container + Huffman/IDCT decode path; dims adjudicate exactly,
+    #     the pixel sum as the same bounded-error boolean as the
+    #     'decode_jpeg' rows (lossy codec), on 1/8 of the docs — the
+    #     per-frame Python Huffman loops are the CPU-heavy rung.
+    from ..operators.video import (
+        synthesize_avi_assets,
+        synthesize_mjpeg_assets,
+        video_frame_stats,
+    )
+
+    vids = video_frame_stats(synthesize_avi_assets(aud_ids)).select(
+        F.lit("video_frames").alias("op"),
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("frame_bytes").cast("int").alias("n_bytes"),
+        F.col("pixel_sum").cast("string").alias("tag"),
+    )
+    vm_ids = assets.select("asset_id").filter(F.col("asset_id") % 8 == 0)
+    true_vsum = (
+        vm_ids.select(
+            "asset_id",
+            (F.lit(4) + F.col("asset_id") % 5).alias("__w"),
+            (F.lit(3) + F.col("asset_id") % 4).alias("__h"),
+            (F.lit(2) + F.col("asset_id") % 4).alias("__nf"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("__f"),
+        )
+        .filter(F.col("__f") < F.col("__nf"))
+        .select(
+            "asset_id", "__w", "__h", "__f",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("__r"),
+        )
+        .select(
+            "asset_id", "__w", "__h", "__f", "__r",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("__c"),
+        )
+        .filter((F.col("__r") < F.col("__h")) & (F.col("__c") < F.col("__w")))
+        .groupBy("asset_id", "__f")
+        .agg(
+            F.sum(
+                (F.col("asset_id") + 7 * F.col("__f") + 11 * F.col("__r")
+                 + 13 * F.col("__c")) % 256
+                + (F.col("asset_id") + 3 * F.col("__f") + 5 * F.col("__r")
+                   + 7 * F.col("__c")) % 256
+                + (F.col("asset_id") + F.col("__f") + 2 * F.col("__r")
+                   + 3 * F.col("__c")) % 256
+            ).alias("__true")
+        )
+    )
+    mj_stats = video_frame_stats(synthesize_mjpeg_assets(vm_ids))
+    mjpeg = (
+        mj_stats.join(
+            F.broadcast(true_vsum),
+            (mj_stats["asset_id"] == true_vsum["asset_id"])
+            & (mj_stats["frame_idx"] == true_vsum["__f"]),
+        )
+        .select(
+            F.lit("video_mjpeg").alias("op"),
+            mj_stats["asset_id"].alias("asset_id"),
+            F.col("frame_idx").cast("int").alias("idx"),
+            F.col("width").cast("int"),
+            F.col("height").cast("int"),
+            null_i.alias("n_bytes"),
+            (
+                F.abs(F.col("pixel_sum") - F.col("__true"))
+                <= 0.05 * F.col("__true") + 200
+            ).cast("string").alias("tag"),
+        )
+    )
     return (
         stats.unionByName(frames)
         .unionByName(resized)
@@ -618,6 +724,8 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wav_rows)
         .unionByName(fft_rows)
         .unionByName(resampled)
+        .unionByName(vids)
+        .unionByName(mjpeg)
     )
 
 
