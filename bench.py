@@ -59,7 +59,7 @@ HEADLINE = [
     "llm_prep_ops",  # chunk + pack + mix-cap + pii rows
     "corpus_stats_ops",  # profile + HLL-union + theta + KLL rows
     "repeated_passages",  # substring-level dedup: stats + span rows
-    "multimodal_ops",  # stats + frame/resize + real BMP decode rows
+    "multimodal_ops",  # image/audio/video: real codec decode rows
 ]
 
 
@@ -238,7 +238,10 @@ def main() -> None:
         "retrains per run",
         "multimodal_ops": "+~0.6 s vs r6 = the new decode_jpeg rows "
         "(real stdlib Huffman+DCT round-trips on 1/4 of the docs, "
-        "hash-adjudicated)",
+        "hash-adjudicated); +~1.6 s more late-r7 = five new REAL-codec "
+        "adjudicated ops (decode_wav / audio_fft / resample_audio from "
+        "operators/audio; video_frames / video_mjpeg AVI parsing from "
+        "operators/video) — per-row-CPU rungs, priced deliberately",
     }
     detail = {
         "metric": "headline_queries_total_runtime",
