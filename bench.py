@@ -229,7 +229,10 @@ def main() -> None:
         # single-pass bench carry that jitter; treat deltas < ~0.2 s on
         # them as noise, not regressions.
         "llm_prep_ops": "plan unchanged since r5; 0.27-0.44 s spread is "
-        "measured run-to-run jitter (5-run probe: 0.374-0.754 s)",
+        "measured run-to-run jitter (5-run probe: 0.374-0.754 s). "
+        "Late-r7 +~1.8 s = the new method=bpe rows: real byte-level BPE "
+        "(256 merges trained on a 256-doc driver sample ~1.4 s setup, "
+        "distributed encode with round-trip law adjudication)",
         # r7 coverage buys, priced deliberately:
         "knn_ann": "setup +~2.4 s vs r6 = OPQ training (3 alternating "
         "k-means/Procrustes rounds x 6 k-means iters on the driver "

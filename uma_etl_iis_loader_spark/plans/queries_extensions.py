@@ -2165,6 +2165,11 @@ SELECT 'pii', CAST(doc_id AS BIGINT), CAST(n_email AS BIGINT),
        CAST(n_url AS BIGINT), CAST(n_ip AS BIGINT),
        CAST(n_phone AS BIGINT), redacted
 FROM ({_pii_oracle()}) s
+UNION ALL
+SELECT 'bpe', CAST(doc_id AS BIGINT),
+       CAST(octet_length(encode(text)) AS BIGINT),
+       NULL, NULL, NULL, 'true:true:true'
+FROM documents
 """
 
 
@@ -2182,6 +2187,8 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'mix_cap' rows (q_domain_mix_cap): k1=n_chars, txt=source.
     - 'pii' rows (q_pii_scrub): k1..k4 = email/url/ip/phone counts,
       txt=redacted text.
+    - 'bpe' rows (functions/bpe): k1=UTF-8 byte count (oracle-exact),
+      txt=round_trip:tokens_le_bytes:ids_in_vocab law booleans.
 
     The union is lazy and each subtree independent — Spark executes the
     four plans side by side; no cross-family shuffle is introduced.
@@ -2223,7 +2230,36 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("long").alias("k4"),
         F.col("redacted").alias("txt"),
     )
-    return chunk.unionByName(pack).unionByName(cap).unionByName(pii)
+    # 'bpe' rows: a REAL byte-level BPE tokenizer (functions/bpe) —
+    # trained driver-side on a bounded deterministic sample (the
+    # documented codebook-training contract), encoded distributedly.
+    # k1 = byte count (oracle-exact: pins that the kernel consumed the
+    # full text); txt = three in-plan law booleans the oracle asserts
+    # constant-true: lossless round-trip (ids decoded in-kernel must
+    # reproduce the text bit-exactly), token count ≤ byte count, and
+    # every id inside the trained vocabulary.
+    from ..functions.bpe import bpe_encode, train_bpe
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    merges = train_bpe(docs, vocab_size=512, sample_rows=256)
+    bpe = bpe_encode(docs, merges).select(
+        F.lit("bpe").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("k1"),
+        null_l.alias("k2"),
+        null_l.alias("k3"),
+        null_l.alias("k4"),
+        F.concat_ws(
+            ":",
+            F.col("round_trip_ok").cast("string"),
+            (F.col("n_tokens") <= F.col("n_bytes")).cast("string"),
+            F.col("ids_in_vocab").cast("string"),
+        ).alias("txt"),
+    )
+    return (
+        chunk.unionByName(pack).unionByName(cap).unionByName(pii)
+        .unionByName(bpe)
+    )
 
 
 def _corpus_stats_oracle() -> str:
