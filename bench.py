@@ -232,7 +232,7 @@ def main() -> None:
         "measured run-to-run jitter (5-run probe: 0.374-0.754 s). "
         "Late-r7 +~1.8 s = the new method=bpe rows: real byte-level BPE "
         "(256 merges trained on a 256-doc driver sample ~1.4 s setup, "
-        "distributed encode with round-trip law adjudication)",
+        "distributed encode with round-trip law adjudication) and the method=lm_ppl rows (char-trigram LM perplexity, model-as-table broadcast join, hash-exact decimal scoring)",
         # r7 coverage buys, priced deliberately:
         "knn_ann": "setup +~2.4 s vs r6 = OPQ training (3 alternating "
         "k-means/Procrustes rounds x 6 k-means iters on the driver "

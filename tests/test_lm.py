@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from uma_etl_iis_loader_spark.operators.lm import (
+    score_perplexity,
+    train_char_lm,
+)
+
+
+def _docs(spark, texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "text": texts})
+    )
+
+
+def test_lm_counts_and_smoothing_by_hand(spark):
+    # train on one doc "ababa": trigrams aba(2), bab(1); contexts
+    # ab(2), ba(1); vocab {a, b} → V = 2
+    train = _docs(spark, ["ababa"])
+    lm = train_char_lm(train)
+    tri = {r["gram"]: r["c_tri"] for r in lm["tri"].collect()}
+    ctx = {r["ctx"]: r["c_ctx"] for r in lm["ctx"].collect()}
+    assert tri == {"aba": 2, "bab": 1}
+    assert ctx == {"ab": 2, "ba": 1}
+    assert lm["vocab"].collect()[0]["v"] == 2
+
+    # score "abab": grams aba, bab →
+    #   p(aba) = (2+1)/(2+2), p(bab) = (1+1)/(1+2)
+    out = score_perplexity(_docs(spark, ["abab"], ids=[7]), lm).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_grams"] == 2
+    expected = round(math.log(3 / 4), 8) + round(math.log(2 / 3), 8)
+    assert r["logp_q4"] == pytest.approx(expected * 10000, abs=0.51)
+    assert r["ppl"] == pytest.approx(math.exp(-expected / 2), rel=1e-6)
+
+
+def test_lm_unseen_falls_to_smoothing_floor(spark):
+    lm = train_char_lm(_docs(spark, ["ababa"]))
+    # "xyz" shares no trigram or context with training → every gram
+    # scores the +1/+V floor: ln(1 / (0 + 2))
+    r = score_perplexity(_docs(spark, ["xyzx"]), lm).collect()[0]
+    assert r["n_grams"] == 2
+    assert r["logp_q4"] == pytest.approx(
+        2 * math.log(1 / 2) * 10000, abs=0.51
+    )
+
+
+def test_lm_short_and_null_docs_produce_no_rows(spark):
+    lm = train_char_lm(_docs(spark, ["ababa"]))
+    out = score_perplexity(_docs(spark, ["ab", "", None, "abc"]), lm).collect()
+    assert {r["doc_id"] for r in out} == {3}  # only "abc" has a trigram
+
+
+def test_lm_in_domain_scores_lower_ppl_than_noise(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
+    scored = score_perplexity(docs, lm)
+    in_domain = scored.agg({"ppl": "avg"}).collect()[0][0]
+    noise = _docs(
+        spark, ["qzxjvwqpzkfhqzxjvwqpzkfhqzxjvw" * 5], ids=[999_999]
+    )
+    noise_ppl = score_perplexity(noise, lm).collect()[0]["ppl"]
+    assert noise_ppl > 2 * in_domain  # the CCNet filter signal
+
+
+def test_lm_truncation_bound(spark):
+    # docs longer than max_chars score exactly max_chars - 2 grams
+    lm = train_char_lm(_docs(spark, ["ababa"]), max_chars=512)
+    long_doc = _docs(spark, ["a" * 5000])
+    r = score_perplexity(long_doc, lm).collect()[0]
+    assert r["n_grams"] == 510
+
+
+def test_lm_join_is_broadcast_no_driver_collect(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
+    plan = (
+        score_perplexity(docs, lm)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the per-doc sum is the only hash aggregate exchange; no sort-merge
+    # join should appear for MB-scale LM tables
+    assert "SortMergeJoin" not in plan

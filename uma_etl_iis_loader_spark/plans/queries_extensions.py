@@ -2170,6 +2170,44 @@ SELECT 'bpe', CAST(doc_id AS BIGINT),
        CAST(octet_length(encode(text)) AS BIGINT),
        NULL, NULL, NULL, 'true:true:true'
 FROM documents
+UNION ALL
+SELECT 'lm_ppl', CAST(doc_id AS BIGINT), CAST(n_grams AS BIGINT),
+       CAST(logp_q4 AS BIGINT), NULL, NULL, CAST(NULL AS VARCHAR)
+FROM (
+    WITH tr AS (
+        SELECT substr(text, 1, 512) AS t FROM documents
+        WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    tri AS (
+        SELECT substr(t, u.i, 3) AS gram, count(*) AS c_tri
+        FROM (SELECT t FROM tr WHERE length(t) >= 3) s,
+             unnest(range(1, length(t) - 1)) u(i)
+        GROUP BY 1
+    ),
+    ctx AS (
+        SELECT substr(gram, 1, 2) AS ctx, sum(c_tri) AS c_ctx
+        FROM tri GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT substr(t, u.i, 1)) AS v
+        FROM tr, unnest(range(1, length(t) + 1)) u(i)
+    ),
+    sc AS (
+        SELECT d.doc_id, substr(substr(d.text, 1, 512), u.i, 3) AS gram
+        FROM documents d,
+             unnest(range(1, length(substr(d.text, 1, 512)) - 1)) u(i)
+        WHERE d.text IS NOT NULL AND length(substr(d.text, 1, 512)) >= 3
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(round(sum(CAST(round(ln((coalesce(t.c_tri, 0) + 1.0)
+                                      / (coalesce(c.c_ctx, 0) + v.v)), 8)
+                               AS DECIMAL(20,8))), 4) * 10000 AS BIGINT)
+               AS logp_q4
+    FROM sc LEFT JOIN tri t USING (gram)
+            LEFT JOIN ctx c ON substr(sc.gram, 1, 2) = c.ctx
+            CROSS JOIN voc v
+    GROUP BY doc_id
+) lmq
 """
 
 
@@ -2189,6 +2227,9 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       txt=redacted text.
     - 'bpe' rows (functions/bpe): k1=UTF-8 byte count (oracle-exact),
       txt=round_trip:tokens_le_bytes:ids_in_vocab law booleans.
+    - 'lm_ppl' rows (operators/lm): k1=trigrams scored, k2=total
+      log-prob in exact 1e-4 units (decimal-quantized smoothing
+      arithmetic, fully hash-adjudicated).
 
     The union is lazy and each subtree independent — Spark executes the
     four plans side by side; no cross-family shuffle is introduced.
@@ -2256,9 +2297,29 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ids_in_vocab").cast("string"),
         ).alias("txt"),
     )
+    # 'lm_ppl' rows: CCNet-style char-trigram LM perplexity scoring
+    # (operators/lm) — the LM is a model-as-TABLE (trigram counts
+    # broadcast into the scoring join; no Python kernel, no driver
+    # collect), trained on the deterministic doc_id % 10 reference
+    # slice. k1 = trigrams scored; k2 = total log-prob in exact 1e-4
+    # units (per-gram decimal(20,8) quantization before the sum — the
+    # BM25 stable-score recipe — so the hash adjudicates the full
+    # smoothing arithmetic, not a float approximation).
+    from ..operators.lm import score_perplexity, train_char_lm
+
+    lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
+    lm_rows = score_perplexity(docs, lm).select(
+        F.lit("lm_ppl").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("k1"),
+        F.col("logp_q4").cast("long").alias("k2"),
+        null_l.alias("k3"),
+        null_l.alias("k4"),
+        F.lit(None).cast("string").alias("txt"),
+    )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
-        .unionByName(bpe)
+        .unionByName(bpe).unionByName(lm_rows)
     )
 
 
