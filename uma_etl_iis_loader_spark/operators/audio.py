@@ -85,6 +85,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             )
             if fmt_tag != 1:
                 raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
+            if ch == 0 or ch > 64 or rate == 0:
+                raise ValueError(
+                    f"malformed fmt chunk (channels={ch}, rate={rate})"
+                )
         elif cid == b"data":
             data = payload[pos : pos + size]
             if len(data) < size:
