@@ -139,3 +139,12 @@ def test_bpe_encode_zero_shuffles(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merges_save_load_round_trip(tmp_path):
+    from uma_etl_iis_loader_spark.functions.bpe import load_merges, save_merges
+
+    merges = [(b"t", b"h"), (b"th", b"e"), (b"\xc3\xa9", b" ")]
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    assert load_merges(p) == merges

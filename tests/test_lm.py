@@ -88,3 +88,27 @@ def test_lm_join_is_broadcast_no_driver_collect(spark, sf_dir):
     # the per-doc sum is the only hash aggregate exchange; no sort-merge
     # join should appear for MB-scale LM tables
     assert "SortMergeJoin" not in plan
+
+
+def test_lm_incremental_update_equals_retrain(spark):
+    from uma_etl_iis_loader_spark.operators.lm import update_char_lm
+
+    shard1 = _docs(spark, ["ababa", "hello world"], ids=[0, 1])
+    shard2 = _docs(spark, ["world peace", "zzz qqq"], ids=[2, 3])
+    both = shard1.unionByName(shard2)
+
+    incremental = update_char_lm(train_char_lm(shard1), shard2)
+    retrained = train_char_lm(both)
+
+    tri_inc = {r["gram"]: r["c_tri"] for r in incremental["tri"].collect()}
+    tri_ret = {r["gram"]: r["c_tri"] for r in retrained["tri"].collect()}
+    assert tri_inc == tri_ret
+    assert (
+        incremental["vocab"].collect()[0]["v"]
+        == retrained["vocab"].collect()[0]["v"]
+    )
+    # and scoring through either model is identical
+    probe = _docs(spark, ["hello peace"], ids=[9])
+    a = score_perplexity(probe, incremental).collect()[0]
+    b = score_perplexity(probe, retrained).collect()[0]
+    assert (a["n_grams"], a["logp_q4"]) == (b["n_grams"], b["logp_q4"])

@@ -132,6 +132,29 @@ def _merge_seq(
     return tuple(out)
 
 
+def save_merges(merges: list[tuple[bytes, bytes]], path: str) -> None:
+    """Persist the merge table as JSON (hex-encoded byte pairs) — the
+    tokenizer artifact a training pipeline versions alongside the data.
+    Atomic write (temp + rename), same contract as the index sidecars."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([[a.hex(), b.hex()] for a, b in merges], fh)
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list[tuple[bytes, bytes]]:
+    """Inverse of :func:`save_merges`; round-trip is law-tested."""
+    import json
+
+    with open(path) as fh:
+        return [
+            (bytes.fromhex(a), bytes.fromhex(b)) for a, b in json.load(fh)
+        ]
+
+
 def build_vocab(merges: list[tuple[bytes, bytes]]) -> dict[bytes, int]:
     """Token-bytes → id table: ids 0..255 are the single bytes, id
     256 + i is the product of merge i (deterministic from the merge
