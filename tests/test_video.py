@@ -176,3 +176,32 @@ def test_video_kernels_zero_shuffles(spark):
         synthesize_avi_assets(_ids(spark))
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decode_media_dispatch():
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.audio import encode_wav
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+    from uma_etl_iis_loader_spark.operators.video import decode_media
+
+    px = _synthetic_frame(4, 0)
+    img = decode_media(encode_bmp(px))
+    assert img["kind"] == "image"
+    np.testing.assert_array_equal(img["pixels"], px)
+    assert decode_media(encode_png(px))["kind"] == "image"
+
+    wav = decode_media(encode_wav(np.int16([1, -2, 3]), 8000))
+    assert wav["kind"] == "audio" and wav["sample_rate"] == 8000
+    np.testing.assert_array_equal(wav["samples"][:, 0], [1, -2, 3])
+
+    vid = decode_media(encode_avi(_frames(i=4, n=2)))
+    assert vid["kind"] == "video" and len(vid["frames"]) == 2
+
+    with pytest.raises(ValueError, match="unknown RIFF form"):
+        decode_media(b"RIFF\x04\x00\x00\x00XXXX")
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_media(b"\x00" * 64)

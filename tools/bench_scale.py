@@ -290,6 +290,7 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "text_analysis": from_registry("text_analysis"),
         "llm_prep_ops": from_registry("llm_prep_ops"),
         "corpus_stats_ops": from_registry("corpus_stats_ops"),
+        "multimodal_ops": from_registry("multimodal_ops"),
         "stream_windowed_counts": from_registry("stream_windowed_counts"),
         "fuzzy_lookup_supplier": from_registry("normalized_key_lookup"),
         "pagerank_events_8r": pagerank_events,

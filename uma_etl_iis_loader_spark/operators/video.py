@@ -182,6 +182,39 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
     return frames, meta
 
 
+def decode_media(payload: bytes) -> dict:
+    """Unified media dispatch: sniff the container magic and route to
+    the real decoder — BMP/PNG/JPEG → :func:`multimodal.decode_image`
+    (``{"kind": "image", "pixels": (h, w, c) uint8}``), RIFF/WAVE →
+    :func:`audio.decode_wav` (``{"kind": "audio", "samples": (n, ch)
+    int16, "sample_rate": int}``), RIFF/AVI → :func:`decode_avi`
+    (``{"kind": "video", "frames": [...], "meta": {...}}``). Raises
+    ``ValueError`` on unknown or malformed payloads — the single decode
+    boundary a mixed-media ingest kernel needs."""
+    from .multimodal import _PNG_SIG, decode_image
+
+    if len(payload) < 12:
+        raise ValueError("payload too short to identify")
+    if payload[:4] == _RIFF:
+        form = payload[8:12]
+        if form == b"WAVE":
+            from .audio import decode_wav
+
+            samples, rate = decode_wav(payload)
+            return {"kind": "audio", "samples": samples, "sample_rate": rate}
+        if form == b"AVI ":
+            frames, meta = decode_avi(payload)
+            return {"kind": "video", "frames": frames, "meta": meta}
+        raise ValueError(f"unknown RIFF form {form!r}")
+    if (
+        payload[:2] == b"BM"
+        or payload[:8] == _PNG_SIG
+        or payload[:2] == b"\xff\xd8"
+    ):
+        return {"kind": "image", "pixels": decode_image(payload)}
+    raise ValueError("unrecognized media container")
+
+
 # ---------------------------------------------------------------------------
 # deterministic synthesis (oracle-recomputable formulas)
 # ---------------------------------------------------------------------------
