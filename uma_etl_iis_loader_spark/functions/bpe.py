@@ -223,6 +223,11 @@ def bpe_encode(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
+            # the memo lives for the whole task; bound it so a partition
+            # with an enormous distinct-token set can't balloon worker
+            # memory (Zipf means evictions are rare in practice)
+            if len(cache) > 500_000:
+                cache.clear()
             out = []
             for _, r in pdf.iterrows():
                 text = r[text_col]

@@ -2,11 +2,16 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` kernels.
 
-The decode step is STUBBED (this container ships no image/audio codecs):
-``decode_image`` raises ``NotImplementedError`` unless a decoder library
-is importable, and ``fake_decode_features`` provides a deterministic
-byte-histogram "decoder" so the Spark-side plumbing — schema, batching,
-partition parallelism, UDF signatures — is real and testable end-to-end.
+Image decode is REAL in this codec-less container for the three core
+formats — stdlib BMP (byte slicing), PNG (zlib + all five scanline
+filters), and baseline JPEG (``operators/jpeg``, Huffman+DCT) — with
+PIL preferred automatically when importable for everything else
+(progressive/palette/16-bit/interlaced raise ``NotImplementedError``
+without it). Audio (RIFF/WAVE) lives in ``operators/audio`` and video
+(RIFF/AVI) in ``operators/video``; ``video.decode_media`` is the
+unified sniff-and-dispatch entry point. ``fake_decode_features``
+remains as the deterministic byte-histogram stand-in for plumbing
+tests of formats outside the ladder.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so batch_bytes ≈
