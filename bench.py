@@ -230,9 +230,11 @@ def main() -> None:
         # them as noise, not regressions.
         "llm_prep_ops": "plan unchanged since r5; 0.27-0.44 s spread is "
         "measured run-to-run jitter (5-run probe: 0.374-0.754 s). "
-        "Late-r7 +~1.8 s = the new method=bpe rows: real byte-level BPE "
-        "(256 merges trained on a 256-doc driver sample ~1.4 s setup, "
-        "distributed encode with round-trip law adjudication) and the method=lm_ppl rows (char-trigram LM perplexity, model-as-table broadcast join, hash-exact decimal scoring)",
+        "Late-r7 +0.96 s (measured) = the new method=bpe rows (real "
+        "byte-level BPE: 256 merges trained on a 256-doc driver "
+        "sample, distributed encode with round-trip law adjudication) "
+        "and the method=lm_ppl rows (char-trigram LM perplexity, "
+        "model-as-table broadcast join, hash-exact decimal scoring)",
         # r7 coverage buys, priced deliberately:
         "knn_ann": "setup +~2.4 s vs r6 = OPQ training (3 alternating "
         "k-means/Procrustes rounds x 6 k-means iters on the driver "
@@ -241,10 +243,11 @@ def main() -> None:
         "retrains per run",
         "multimodal_ops": "+~0.6 s vs r6 = the new decode_jpeg rows "
         "(real stdlib Huffman+DCT round-trips on 1/4 of the docs, "
-        "hash-adjudicated); +~1.6 s more late-r7 = five new REAL-codec "
-        "adjudicated ops (decode_wav / audio_fft / resample_audio from "
-        "operators/audio; video_frames / video_mjpeg AVI parsing from "
-        "operators/video) — per-row-CPU rungs, priced deliberately",
+        "hash-adjudicated); +0.75 s more late-r7 (measured) = five new "
+        "REAL-codec adjudicated ops (decode_wav / audio_fft / "
+        "resample_audio from operators/audio; video_frames / "
+        "video_mjpeg AVI parsing from operators/video) — per-row-CPU "
+        "rungs, priced deliberately",
     }
     detail = {
         "metric": "headline_queries_total_runtime",
