@@ -205,3 +205,52 @@ def test_decode_media_dispatch():
         decode_media(b"RIFF\x04\x00\x00\x00XXXX")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_media(b"\x00" * 64)
+
+
+def test_avi_rec_list_interleaved_frames_parse():
+    # spec interleaving: frame chunks grouped inside 'LIST rec ' within
+    # movi must decode like flat movi chunks
+    import struct
+
+    frames = _frames(i=6, n=2)
+    flat = encode_avi(frames)
+    movi_at = flat.index(b"movi") - 8
+    hdrl_part = flat[12:movi_at]
+    movi_size = struct.unpack_from("<I", flat, movi_at + 4)[0]
+    movi_chunks = flat[movi_at + 12 : movi_at + 8 + movi_size]
+    rec = struct.pack("<4sI", b"LIST", 4 + len(movi_chunks)) + b"rec " + movi_chunks
+    movi = struct.pack("<4sI", b"LIST", 4 + len(rec)) + b"movi" + rec
+    body = b"AVI " + hdrl_part + movi
+    payload = struct.pack("<4sI", b"RIFF", len(body)) + body
+    out, meta = decode_avi(payload)
+    assert len(out) == 2
+    np.testing.assert_array_equal(out[0], frames[0])
+    np.testing.assert_array_equal(out[1], frames[1])
+
+
+def test_avi_deep_list_nesting_raises_valueerror():
+    import struct
+
+    body = b"AVI "
+    # 64 nested LISTs, each claiming to contain the next
+    inner = b""
+    for _ in range(64):
+        inner = struct.pack("<4sI", b"LIST", 4 + len(inner)) + b"hdrl" + inner
+    body += inner
+    payload = struct.pack("<4sI", b"RIFF", len(body)) + body
+    with pytest.raises(ValueError, match="nesting"):
+        decode_avi(payload)
+
+
+def test_mjpeg_frame_bytes_is_actual_chunk_size(spark):
+    rows = video_frame_stats(
+        synthesize_mjpeg_assets(_ids(spark, n=4))
+    ).collect()
+    for r in rows:
+        i = r["asset_id"]
+        w, h = 4 + i % 5, 3 + i % 4
+        dib_size = ((3 * w + 3) // 4) * 4 * h
+        # a JPEG of a tiny frame is NOT the DIB size — frame_bytes must
+        # report the real compressed chunk length
+        assert r["frame_bytes"] != dib_size
+        assert r["frame_bytes"] > 100  # headers + tables + scan

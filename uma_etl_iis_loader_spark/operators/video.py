@@ -138,22 +138,36 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
     MainAVIHeader, and decode every movi frame — '00db' raw DIB via
     numpy slicing, '00dc' via :func:`multimodal.decode_image` (stdlib
     baseline-JPEG rung for MJPEG; PIL when importable for other
-    codecs). Returns (frames as (h, w, 3) uint8 RGB arrays, meta dict
-    with width/height/n_frames/us_per_frame). Raises ``ValueError`` on
-    malformed containers — corrupt media fails loudly at the decode
-    boundary (caught per-row by the stats kernels)."""
+    codecs). Interleaved files that group frame chunks inside
+    ``LIST rec `` lists (the spec's interleaving construct) parse too.
+    Returns (frames as (h, w, 3) uint8 RGB arrays, meta dict with
+    width/height/n_frames/us_per_frame plus ``frame_bytes`` — the ACTUAL
+    per-frame chunk sizes, which for compressed streams differ from the
+    decoded size). Raises ``ValueError`` on malformed containers —
+    corrupt media fails loudly at the decode boundary (caught per-row
+    by the stats kernels)."""
     if len(payload) < 12 or payload[:4] != _RIFF or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     meta: dict = {}
     frames: list[np.ndarray] = []
+    frame_bytes: list[int] = []
 
-    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool, depth: int) -> None:
+        # spec nesting is shallow (RIFF > movi > rec = 3); the cap turns
+        # an adversarial deeply-nested LIST chain into the contract's
+        # ValueError instead of a RecursionError
+        if depth > 16:
+            raise ValueError("RIFF list nesting too deep")
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", buf, pos)
             pos += 8
             if cid == _LIST and size >= 4:
                 ltype = buf[pos : pos + 4]
-                walk(buf, pos + 4, min(pos + size, end), ltype == b"movi")
+                walk(
+                    buf, pos + 4, min(pos + size, end),
+                    ltype == b"movi" or (in_movi and ltype == b"rec "),
+                    depth + 1,
+                )
             elif cid == b"avih":
                 if size < 40 or pos + 40 > end:
                     raise ValueError("truncated avih chunk")
@@ -174,11 +188,13 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
                     )
                 else:
                     frames.append(decode_image(data))
+                frame_bytes.append(len(data))
             pos += size + (size & 1)
 
-    walk(payload, 12, len(payload), False)
+    walk(payload, 12, len(payload), False, 0)
     if "width" not in meta:
         raise ValueError("missing avih header")
+    meta["frame_bytes"] = frame_bytes
     return frames, meta
 
 
@@ -191,7 +207,7 @@ def decode_media(payload: bytes) -> dict:
     (``{"kind": "video", "frames": [...], "meta": {...}}``). Raises
     ``ValueError`` on unknown or malformed payloads — the single decode
     boundary a mixed-media ingest kernel needs."""
-    from .multimodal import _PNG_SIG, decode_image
+    from .multimodal import _PNG_SIG
 
     if len(payload) < 12:
         raise ValueError("payload too short to identify")
@@ -302,8 +318,10 @@ _FRAME_STATS_DDL = (
 def video_frame_stats(assets: DataFrame) -> DataFrame:
     """REAL per-frame statistics through the actual container parser and
     frame decoders: each payload goes through :func:`decode_avi` and
-    emits one row per frame with (width, height, n_frames, frame_bytes,
-    pixel_sum). Failed parses surface one ``decode_error`` row per asset
+    emits one row per frame with (width, height, n_frames, frame_bytes —
+    the frame's ACTUAL chunk size: decoded DIB bytes for '00db', the
+    compressed JPEG length for '00dc', pixel_sum). Failed parses
+    surface one ``decode_error`` row per asset
     instead of failing the task. Arrow-batched mapInPandas, zero
     shuffles; the frame fan-out happens inside the kernel (rows out =
     Σ frames), keeping the container bytes off the shuffle path."""
@@ -316,13 +334,12 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
                     if r["payload"] is None:
                         raise ValueError("NULL payload")
                     frames, meta = decode_avi(bytes(r["payload"]))
-                    row_size = ((3 * meta["width"] + 3) // 4) * 4
                     for fi, px in enumerate(frames):
                         out.append(
                             (
                                 r["asset_id"], fi,
                                 int(px.shape[1]), int(px.shape[0]),
-                                len(frames), row_size * int(px.shape[0]),
+                                len(frames), meta["frame_bytes"][fi],
                                 int(px.astype(np.int64).sum()), None,
                             )
                         )

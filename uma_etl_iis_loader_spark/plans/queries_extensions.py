@@ -2169,7 +2169,7 @@ UNION ALL
 SELECT 'bpe', CAST(doc_id AS BIGINT),
        CAST(octet_length(encode(text)) AS BIGINT),
        NULL, NULL, NULL, 'true:true:true'
-FROM documents
+FROM documents WHERE text IS NOT NULL
 UNION ALL
 SELECT 'lm_ppl', CAST(doc_id AS BIGINT), CAST(n_grams AS BIGINT),
        CAST(logp_q4 AS BIGINT), NULL, NULL, CAST(NULL AS VARCHAR)
@@ -2283,7 +2283,9 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_fixture(spark, sf_dir, "documents")
     merges = train_bpe(docs, vocab_size=512, sample_rows=256)
-    bpe = bpe_encode(docs, merges).select(
+    bpe = bpe_encode(
+        docs.where(F.col("text").isNotNull()), merges
+    ).select(
         F.lit("bpe").alias("method"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_bytes").cast("long").alias("k1"),
