@@ -112,3 +112,19 @@ def test_lm_incremental_update_equals_retrain(spark):
     a = score_perplexity(probe, incremental).collect()[0]
     b = score_perplexity(probe, retrained).collect()[0]
     assert (a["n_grams"], a["logp_q4"]) == (b["n_grams"], b["logp_q4"])
+
+
+def test_lm_score_invariant_under_repartitioning(spark, sf_dir):
+    # the decimal(20,8) per-gram quantization claims partition-order
+    # invariance for the exported integer score — pin it
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
+    base = {
+        r["doc_id"]: (r["n_grams"], r["logp_q4"])
+        for r in score_perplexity(docs, lm).collect()
+    }
+    shuffled = {
+        r["doc_id"]: (r["n_grams"], r["logp_q4"])
+        for r in score_perplexity(docs.repartition(17), lm).collect()
+    }
+    assert base == shuffled

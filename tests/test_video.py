@@ -254,3 +254,32 @@ def test_mjpeg_frame_bytes_is_actual_chunk_size(spark):
         # report the real compressed chunk length
         assert r["frame_bytes"] != dib_size
         assert r["frame_bytes"] > 100  # headers + tables + scan
+
+
+def test_avi_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 8),   # n_frames
+        st.integers(1, 12),  # width
+        st.integers(1, 9),   # height
+        st.integers(0, 2**32 - 1),  # pixel seed
+        st.sampled_from([1, 10, 30, 60]),  # fps
+    )
+    def check(n, w, h, seed, fps):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        out, meta = decode_avi(encode_avi(frames, fps=fps))
+        assert meta["n_frames"] == n
+        assert meta["us_per_frame"] == 1_000_000 // fps
+        assert meta["frame_bytes"] == [((3 * w + 3) // 4) * 4 * h] * n
+        assert len(out) == n
+        for a, b in zip(out, frames):
+            np.testing.assert_array_equal(a, b)
+
+    check()
