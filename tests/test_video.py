@@ -283,3 +283,41 @@ def test_avi_round_trip_property():
             np.testing.assert_array_equal(a, b)
 
     check()
+
+
+def test_media_ingest_stats_mixed_dispatch(spark):
+    from uma_etl_iis_loader_spark.operators.audio import _synthetic_samples
+    from uma_etl_iis_loader_spark.operators.multimodal import _synthetic_pixels
+    from uma_etl_iis_loader_spark.operators.video import (
+        media_ingest_stats,
+        synthesize_mixed_assets,
+    )
+
+    rows = {
+        r["asset_id"]: r
+        for r in media_ingest_stats(
+            synthesize_mixed_assets(_ids(spark, n=30))
+        ).collect()
+    }
+    assert len(rows) == 30
+    for i, r in rows.items():
+        assert r["decode_error"] is None
+        if i % 3 == 0:
+            px = _synthetic_pixels(i)
+            assert r["kind"] == "image"
+            assert r["n_units"] == px.shape[0] * px.shape[1]
+            assert r["metric_sum"] == int(px.astype(np.int64).sum())
+        elif i % 3 == 1:
+            x, _ = _synthetic_samples(i)
+            assert r["kind"] == "audio"
+            assert r["n_units"] == len(x)
+            assert r["metric_sum"] == int(x.astype(np.int64).sum())
+        else:
+            nf = synthetic_frame_count(i)
+            assert r["kind"] == "video"
+            assert r["n_units"] == nf
+            total = sum(
+                int(_synthetic_frame(i, f).astype(np.int64).sum())
+                for f in range(nf)
+            )
+            assert r["metric_sum"] == total

@@ -361,6 +361,89 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mixed_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic MIXED-media corpus: id % 3 picks the container —
+    0 → BMP (multimodal's pixel formula), 1 → WAV (audio's sample
+    formula), 2 → uncompressed AVI (this module's frame formula) — all
+    encoded through the real codecs, so the dispatch path is
+    oracle-adjudicable end-to-end from the three synthesis formulas."""
+    from .audio import _synthetic_samples, encode_wav
+    from .multimodal import _synthetic_pixels
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, rr in pdf.iterrows():
+                i = int(rr[id_col])
+                if i % 3 == 0:
+                    payload = encode_bmp(_synthetic_pixels(i))
+                elif i % 3 == 1:
+                    payload = encode_wav(*_synthetic_samples(i))
+                else:
+                    payload = encode_avi(
+                        [
+                            _synthetic_frame(i, f)
+                            for f in range(synthetic_frame_count(i))
+                        ]
+                    )
+                out.append((i, payload))
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, "asset_id long, payload binary"
+    )
+
+
+def media_ingest_stats(assets: DataFrame) -> DataFrame:
+    """Unified mixed-media ingest: ONE pass over heterogeneous binary
+    payloads, each sniffed and decoded by :func:`decode_media`, reduced
+    to a kind-tagged feature row — (kind, n_units, metric_sum) where
+    n_units/metric_sum are pixels/pixel-sum for images, samples/
+    sample-sum for audio, frames/total-pixel-sum for video. The ingest
+    shape a mixed crawl actually needs: no per-format pre-partitioning,
+    per-row error isolation, zero shuffles."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    m = decode_media(bytes(r["payload"]))
+                    if m["kind"] == "image":
+                        px = m["pixels"]
+                        n_units = int(px.shape[0] * px.shape[1])
+                        metric = int(px.astype(np.int64).sum())
+                    elif m["kind"] == "audio":
+                        n_units = int(m["samples"].shape[0])
+                        metric = int(m["samples"].astype(np.int64).sum())
+                    else:
+                        n_units = len(m["frames"])
+                        metric = int(
+                            sum(
+                                f.astype(np.int64).sum()
+                                for f in m["frames"]
+                            )
+                        )
+                    out.append((r["asset_id"], m["kind"], n_units, metric, None))
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "kind", "n_units", "metric_sum",
+                         "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        stats,
+        "asset_id long, kind string, n_units int, metric_sum long, "
+        "decode_error string",
+    )
+
+
 def sample_video_frames(
     assets: DataFrame, max_frames: int = 4
 ) -> DataFrame:

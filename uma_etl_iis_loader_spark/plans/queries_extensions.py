@@ -434,6 +434,38 @@ SELECT 'video_mjpeg', b.doc_id, CAST(f.i AS INT),
 FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 0) b,
      range(0, 5) f(i)
 WHERE f.i < 2 + b.doc_id % 4
+UNION ALL
+SELECT 'media_dispatch', p.doc_id, NULL, CAST(p.n_units AS INT),
+       NULL, NULL, concat(p.kind, ':', p.metric)
+FROM (
+    SELECT b.doc_id, 'image' AS kind, b.w * b.h AS n_units,
+           sum((b.doc_id + 11 * r.i + 13 * c.i) % 256
+             + (b.doc_id + 5 * r.i + 7 * c.i) % 256
+             + (b.doc_id + 2 * r.i + 3 * c.i) % 256) AS metric
+    FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+          FROM documents WHERE doc_id % 3 = 0) b,
+         range(0, 6) r(i), range(0, 8) c(i)
+    WHERE r.i < b.h AND c.i < b.w
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT d.doc_id, 'audio', 50 + d.doc_id % 60,
+           sum((d.doc_id * 31 + k.i * 17) % 4001 - 2000)
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) d,
+         range(0, 110) k(i)
+    WHERE k.i < 50 + d.doc_id % 60
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT b.doc_id, 'video', 2 + b.doc_id % 4,
+           sum((b.doc_id + 7 * f.i + 11 * r.i + 13 * c.i) % 256
+             + (b.doc_id + 3 * f.i + 5 * r.i + 7 * c.i) % 256
+             + (b.doc_id + f.i + 2 * r.i + 3 * c.i) % 256)
+    FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                 2 + doc_id % 4 AS nf
+          FROM documents WHERE doc_id % 3 = 2) b,
+         range(0, 5) f(i), range(0, 6) r(i), range(0, 8) c(i)
+    WHERE f.i < b.nf AND r.i < b.h AND c.i < b.w
+    GROUP BY 1, 2, 3
+) p
 """
 
 
@@ -650,7 +682,9 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     'decode_jpeg' rows (lossy codec), on 1/8 of the docs — the
     #     per-frame Python Huffman loops are the CPU-heavy rung.
     from ..operators.video import (
+        media_ingest_stats,
         synthesize_avi_assets,
+        synthesize_mixed_assets,
         synthesize_mjpeg_assets,
         video_frame_stats,
     )
@@ -715,6 +749,21 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("string").alias("tag"),
         )
     )
+    # 'media_dispatch' rows: the unified mixed-media ingest path —
+    # id % 3 picks BMP / WAV / AVI, one media_ingest_stats pass sniffs
+    # and decodes ALL of them through decode_media; kind + unit count +
+    # content metric are oracle-recomputed from the three synthesis
+    # formulas (a wrong dispatch, decode, or de-interleave flips the
+    # hashed kind:metric tag).
+    mixed = media_ingest_stats(synthesize_mixed_assets(aud_ids)).select(
+        F.lit("media_dispatch").alias("op"),
+        "asset_id",
+        null_i.alias("idx"),
+        F.col("n_units").cast("int").alias("width"),
+        null_i.alias("height"),
+        null_i.alias("n_bytes"),
+        F.concat_ws(":", "kind", F.col("metric_sum")).alias("tag"),
+    )
     return (
         stats.unionByName(frames)
         .unionByName(resized)
@@ -726,6 +775,7 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(resampled)
         .unionByName(vids)
         .unionByName(mjpeg)
+        .unionByName(mixed)
     )
 
 
