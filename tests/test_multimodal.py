@@ -482,3 +482,96 @@ def test_png_decode_bounded_against_bombs_and_bad_ihdr():
     ) + chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="IHDR"):
         decode_png(bad_ihdr)
+
+
+# --- perceptual hashing / image near-dup ---
+
+
+def test_dhash_deterministic_and_formula(spark):
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        _synthetic_pixels,
+        dhash_images,
+        synthesize_bmp_assets,
+    )
+
+    ids = spark.range(20).withColumnRenamed("id", "asset_id")
+    rows = {
+        r["asset_id"]: r
+        for r in dhash_images(synthesize_bmp_assets(ids)).collect()
+    }
+    assert len(rows) == 20
+    for i, r in rows.items():
+        assert r["decode_error"] is None
+        px = _synthetic_pixels(i)
+        g = px.astype(np.int64).sum(axis=2)
+        h, w = g.shape
+        grid = g[np.ix_((np.arange(8) * h) // 8, (np.arange(9) * w) // 9)]
+        bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).reshape(-1)
+        val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+        assert (r["hash_hi"], r["hash_lo"]) == (val >> 32, val & 0xFFFFFFFF)
+
+
+def test_image_near_dup_pairs_finds_planted_dup(spark):
+    import numpy as np
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        encode_bmp,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 4] = near[3, 4] ^ 1  # one-pixel perturbation
+    far = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3],
+                "payload": [encode_bmp(p) for p in (base, near, far)],
+            }
+        )
+    )
+    pairs = image_near_dup_pairs(assets, max_hamming=6).collect()
+    found = {(r["asset_a"], r["asset_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
+    for r in pairs:
+        assert r["hamming"] <= 6 and r["asset_a"] < r["asset_b"]
+
+
+def test_image_near_dup_identical_images_hamming_zero(spark):
+    import numpy as np
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        encode_bmp,
+        image_near_dup_pairs,
+    )
+
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3) * 9
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [10, 11], "payload": [encode_bmp(px)] * 2}
+        )
+    )
+    rows = image_near_dup_pairs(assets).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_image_near_dup_pigeonhole_guard(spark):
+    import pytest as _pytest
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    from pyspark.sql import functions as F
+
+    ids = spark.range(2).withColumnRenamed("id", "asset_id")
+    assets = ids.withColumn("payload", F.lit(b"x"))
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dup_pairs(assets, max_hamming=8, bands=8)

@@ -374,6 +374,115 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash, the public recipe) through the
+    REAL decode path: decode each payload, reduce to integer grayscale
+    (channel SUM — order-preserving vs the mean but exactly
+    integer-arithmetic, so the oracle can recompute it), nearest-neighbor
+    sample an (out_h, out_w+1) grid with floor-index arithmetic
+    src = (i · dim) // out, and emit one bit per adjacent-column
+    comparison. The 64-bit hash ships as two 32-bit halves (``hash_hi``,
+    ``hash_lo``) — BIGINT-safe on every engine, SQL-recomputable for
+    synthetic pixels, and reassembled as needed by the pairing join.
+    Near-identical images differ in a few bits; crops/shifts differ in
+    many — the standard cheap image-dedup signal. Zero shuffles."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    px = decode_image(bytes(r["payload"]))
+                    g = px.astype(np.int64).sum(axis=2)
+                    h, w = g.shape
+                    rows = (np.arange(out_h) * h) // out_h
+                    cols = (np.arange(out_w + 1) * w) // (out_w + 1)
+                    grid = g[np.ix_(rows, cols)]
+                    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64)
+                    flat = bits.reshape(-1)
+                    val = int(
+                        (flat << np.arange(out_h * out_w, dtype=np.uint64))
+                        .sum()
+                    )
+                    out.append(
+                        (r["asset_id"], val >> 32, val & 0xFFFFFFFF, None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "hash_hi", "hash_lo", "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hashes,
+        "asset_id long, hash_hi long, hash_lo long, decode_error string",
+    )
+
+
+def image_near_dup_pairs(
+    assets: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Image near-duplicate candidate pairs by banded dHash (the SimHash
+    pigeonhole recipe applied to the perceptual hash): split the 64-bit
+    hash into ``bands`` chunks — any pair within ``max_hamming`` bit
+    flips shares at least one identical chunk when
+    ``bands > max_hamming`` — bucket-join on (band_idx, chunk), then
+    verify the exact Hamming distance JVM-side (``bit_count`` of the
+    XOR, reassembled from the two halves). Shuffles hash rows × bands
+    (8-byte keys), NEVER the n²/2 pair space; verify touches candidate
+    ids only. Returns (asset_a, asset_b, hamming) with a < b."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming ({bands} <= {max_hamming})"
+        )
+    hashed = dhash_images(assets).where(
+        F.col("decode_error").isNull()
+    ).select(
+        "asset_id",
+        (
+            F.shiftleft(F.col("hash_hi"), 32)
+            .bitwiseOR(F.col("hash_lo"))
+        ).alias("sig"),
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashed.select(
+        "asset_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def _synthetic_pixels(i: int) -> np.ndarray:
     """Deterministic synthetic image for id ``i``: dims w = 4 + i % 5,
     h = 3 + i % 4; channel values are fixed affine functions of

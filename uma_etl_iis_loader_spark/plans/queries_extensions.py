@@ -435,6 +435,38 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = 0) b,
      range(0, 5) f(i)
 WHERE f.i < 2 + b.doc_id % 4
 UNION ALL
+SELECT 'dhash', d2.doc_id, NULL, NULL, NULL, NULL,
+       concat(d2.hi, ':', d2.lo)
+FROM (
+    SELECT doc_id,
+           sum(CASE WHEN p >= 32
+                    THEN CAST(bit AS BIGINT) << (p - 32) ELSE 0 END) AS hi,
+           sum(CASE WHEN p < 32
+                    THEN CAST(bit AS BIGINT) << p ELSE 0 END) AS lo
+    FROM (
+        SELECT b.doc_id, rr.i * 8 + cc.i AS p,
+               CASE WHEN
+                 ((b.doc_id + 11 * ((rr.i * b.h) // 8)
+                    + 13 * (((cc.i + 1) * b.w) // 9)) % 256
+                + (b.doc_id + 5 * ((rr.i * b.h) // 8)
+                    + 7 * (((cc.i + 1) * b.w) // 9)) % 256
+                + (b.doc_id + 2 * ((rr.i * b.h) // 8)
+                    + 3 * (((cc.i + 1) * b.w) // 9)) % 256)
+               >
+                 ((b.doc_id + 11 * ((rr.i * b.h) // 8)
+                    + 13 * ((cc.i * b.w) // 9)) % 256
+                + (b.doc_id + 5 * ((rr.i * b.h) // 8)
+                    + 7 * ((cc.i * b.w) // 9)) % 256
+                + (b.doc_id + 2 * ((rr.i * b.h) // 8)
+                    + 3 * ((cc.i * b.w) // 9)) % 256)
+               THEN 1 ELSE 0 END AS bit
+        FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents) b,
+             range(0, 8) rr(i), range(0, 8) cc(i)
+    ) bits
+    GROUP BY doc_id
+) d2
+UNION ALL
 SELECT 'media_dispatch', p.doc_id, NULL, CAST(p.n_units AS INT),
        NULL, NULL, concat(p.kind, ':', p.metric)
 FROM (
@@ -755,6 +787,24 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content metric are oracle-recomputed from the three synthesis
     # formulas (a wrong dispatch, decode, or de-interleave flips the
     # hashed kind:metric tag).
+    # 'dhash' rows: perceptual difference-hash through the REAL decode
+    # path (multimodal.dhash_images) — integer grayscale sums + floor-
+    # index grid sampling make the 64-bit hash exactly SQL-recomputable
+    # (shipped as hi:lo 32-bit halves); the hamming-banded pairing
+    # operator (image_near_dup_pairs) builds on this signature.
+    from ..operators.multimodal import dhash_images
+
+    dhash_rows = dhash_images(
+        synthesize_bmp_assets(aud_ids, id_col="asset_id")
+    ).select(
+        F.lit("dhash").alias("op"),
+        "asset_id",
+        null_i.alias("idx"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        null_i.alias("n_bytes"),
+        F.concat_ws(":", "hash_hi", "hash_lo").alias("tag"),
+    )
     mixed = media_ingest_stats(synthesize_mixed_assets(aud_ids)).select(
         F.lit("media_dispatch").alias("op"),
         "asset_id",
@@ -775,6 +825,7 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(resampled)
         .unionByName(vids)
         .unionByName(mjpeg)
+        .unionByName(dhash_rows)
         .unionByName(mixed)
     )
 
