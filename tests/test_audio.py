@@ -232,3 +232,53 @@ def test_audio_kernels_zero_shuffles(spark):
         synthesize_wav_assets(_ids(spark))
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- perceptual fingerprint / audio near-dup ---
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.audio import audio_fingerprint
+
+    rng = np.random.default_rng(3)
+    base = (rng.standard_normal(800) * 3000).astype(np.int16)
+    scaled = (base.astype(np.float64) * 0.5).astype(np.int16)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2],
+                "payload": [encode_wav(base, 8000), encode_wav(scaled, 8000)],
+            }
+        )
+    )
+    rows = {r["asset_id"]: r for r in audio_fingerprint(assets).collect()}
+    # energy-comparison bits are invariant to global gain
+    assert (rows[1]["hash_hi"], rows[1]["hash_lo"]) == (
+        rows[2]["hash_hi"], rows[2]["hash_lo"],
+    )
+
+
+def test_audio_near_dup_pairs_planted(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.audio import audio_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = (rng.standard_normal(800) * 3000).astype(np.int16)
+    near = base.copy()
+    near[100:110] = near[100:110] + 40  # tiny local perturbation
+    far = (rng.standard_normal(800) * 3000).astype(np.int16)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3],
+                "payload": [encode_wav(s, 8000) for s in (base, near, far)],
+            }
+        )
+    )
+    pairs = audio_near_dup_pairs(assets, max_hamming=6).collect()
+    found = {(r["asset_a"], r["asset_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)

@@ -284,6 +284,81 @@ def audio_spectral_features(assets: DataFrame, n_bands: int = 8) -> DataFrame:
     )
 
 
+def audio_fingerprint(
+    assets: DataFrame, n_frames: int = 9, n_bands: int = 8
+) -> DataFrame:
+    """Perceptual audio fingerprint (the public spectrogram-delta
+    recipe, a simplified Haitsma-Kalker / Chromaprint shape): decode,
+    mix to mono, split into ``n_frames`` equal segments, compute
+    ``n_bands`` rFFT band energies per segment, and emit one bit per
+    adjacent-FRAME energy comparison — bit(b, t) = E(b, t+1) > E(b, t)
+    — packed into a 64-bit signature (``hash_hi``/``hash_lo`` 32-bit
+    halves, like the image dHash). Energy RATIO comparisons make the
+    signature invariant to global gain (law-tested); near-identical
+    audio differs in a few bits. Pair with
+    :func:`multimodal.hamming_near_dup_pairs`. Zero shuffles."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    x, _rate = decode_wav(bytes(r["payload"]))
+                    mono = x.astype(np.float64).mean(axis=1)
+                    segs = np.array_split(mono, n_frames)
+                    energies = np.zeros((n_bands, n_frames))
+                    for t, seg in enumerate(segs):
+                        if len(seg) == 0:
+                            continue
+                        mag2 = np.abs(np.fft.rfft(seg)) ** 2
+                        for b_i, band in enumerate(
+                            np.array_split(mag2, n_bands)
+                        ):
+                            energies[b_i, t] = band.sum()
+                    bits = (
+                        energies[:, 1:] > energies[:, :-1]
+                    ).astype(np.uint64).reshape(-1)
+                    val = int(
+                        (bits << np.arange(len(bits), dtype=np.uint64)).sum()
+                    )
+                    out.append(
+                        (r["asset_id"], val >> 32, val & 0xFFFFFFFF, None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "hash_hi", "hash_lo", "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fp,
+        "asset_id long, hash_hi long, hash_lo long, decode_error string",
+    )
+
+
+def audio_near_dup_pairs(
+    assets: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Audio near-duplicate candidate pairs: spectrogram-delta
+    fingerprints through the real WAV decode path, paired by the shared
+    :func:`multimodal.hamming_near_dup_pairs` pigeonhole operator."""
+    from .multimodal import hamming_near_dup_pairs
+
+    sigs = audio_fingerprint(assets).where(
+        F.col("decode_error").isNull()
+    ).select(
+        "asset_id",
+        (
+            F.shiftleft(F.col("hash_hi"), 32)
+            .bitwiseOR(F.col("hash_lo"))
+        ).alias("sig"),
+    )
+    return hamming_near_dup_pairs(sigs, max_hamming, bands)
+
+
 def resample_audio(assets: DataFrame, target_rate: int = 16000) -> DataFrame:
     """Endpoint-aligned linear resample through the full
     decode → interpolate → re-encode pipeline. Output length is the

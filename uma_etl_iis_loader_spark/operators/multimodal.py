@@ -422,33 +422,32 @@ def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     )
 
 
-def image_near_dup_pairs(
-    assets: DataFrame, max_hamming: int = 6, bands: int = 8
+def hamming_near_dup_pairs(
+    signatures: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    id_col: str = "asset_id",
+    sig_col: str = "sig",
 ) -> DataFrame:
-    """Image near-duplicate candidate pairs by banded dHash (the SimHash
-    pigeonhole recipe applied to the perceptual hash): split the 64-bit
-    hash into ``bands`` chunks — any pair within ``max_hamming`` bit
-    flips shares at least one identical chunk when
-    ``bands > max_hamming`` — bucket-join on (band_idx, chunk), then
-    verify the exact Hamming distance JVM-side (``bit_count`` of the
-    XOR, reassembled from the two halves). Shuffles hash rows × bands
-    (8-byte keys), NEVER the n²/2 pair space; verify touches candidate
-    ids only. Returns (asset_a, asset_b, hamming) with a < b."""
+    """Generic 64-bit-signature near-duplicate pairing (the SimHash
+    pigeonhole recipe as a reusable operator): split each signature
+    into ``bands`` chunks — any pair within ``max_hamming`` bit flips
+    shares at least one identical chunk when ``bands > max_hamming`` —
+    bucket-join on (band_idx, chunk), then verify the exact Hamming
+    distance JVM-side (``bit_count`` of the XOR). Shuffles signature
+    rows × bands (8-byte keys), NEVER the n²/2 pair space; verify
+    touches candidates only. Used by the image dHash and audio
+    fingerprint dedup paths; any 64-bit perceptual signature plugs in.
+    Returns (asset_a, asset_b, hamming) with a < b."""
     if bands <= max_hamming:
         raise ValueError(
             f"pigeonhole needs bands > max_hamming ({bands} <= {max_hamming})"
         )
-    hashed = dhash_images(assets).where(
-        F.col("decode_error").isNull()
-    ).select(
-        "asset_id",
-        (
-            F.shiftleft(F.col("hash_hi"), 32)
-            .bitwiseOR(F.col("hash_lo"))
-        ).alias("sig"),
-    )
     width = 64 // bands
     mask = (1 << width) - 1
+    hashed = signatures.select(
+        F.col(id_col).alias("asset_id"), F.col(sig_col).alias("sig")
+    )
     banded = hashed.select(
         "asset_id",
         "sig",
@@ -463,7 +462,7 @@ def image_near_dup_pairs(
         ).alias("band", "chunk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -480,7 +479,23 @@ def image_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+
+
+def image_near_dup_pairs(
+    assets: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Image near-duplicate candidate pairs: dHash signatures through
+    the REAL decode path, paired by :func:`hamming_near_dup_pairs`."""
+    sigs = dhash_images(assets).where(
+        F.col("decode_error").isNull()
+    ).select(
+        "asset_id",
+        (
+            F.shiftleft(F.col("hash_hi"), 32)
+            .bitwiseOR(F.col("hash_lo"))
+        ).alias("sig"),
+    )
+    return hamming_near_dup_pairs(sigs, max_hamming, bands)
 
 
 def _synthetic_pixels(i: int) -> np.ndarray:
