@@ -575,3 +575,59 @@ def test_image_near_dup_pigeonhole_guard(spark):
     assets = ids.withColumn("payload", F.lit(b"x"))
     with _pytest.raises(ValueError, match="pigeonhole"):
         image_near_dup_pairs(assets, max_hamming=8, bands=8)
+
+
+def test_hamming_pairing_pigeonhole_recall_property(spark):
+    # completeness law: with bands > max_hamming, EVERY pair within
+    # max_hamming bits must be found — plant pairs at every distance
+    # 0..6 among random 64-bit signatures and require exact recall
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        hamming_near_dup_pairs,
+    )
+
+    rng = __import__("numpy").random.default_rng(42)
+    sigs = []
+    expected = set()
+    next_id = 0
+    for d in range(7):
+        base = int(rng.integers(0, 2**63))
+        flip_positions = rng.choice(64, size=d, replace=False)
+        other = base
+        for p in flip_positions:
+            other ^= 1 << int(p)
+
+        def to_i64(v):  # signed-64 wrap so the pandas column stays int64
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        a, b = next_id, next_id + 1
+        sigs += [(a, to_i64(base)), (b, to_i64(other))]
+        expected.add((a, b, d))
+        next_id += 100  # keep planted pairs far apart in id space
+    df = spark.createDataFrame(
+        pd.DataFrame(sigs, columns=["asset_id", "sig"])
+    )
+    found = {
+        (r["asset_a"], r["asset_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(df, max_hamming=6, bands=8).collect()
+    }
+    assert expected <= found  # pigeonhole guarantees every planted pair
+
+
+def test_hamming_pairing_no_cartesian(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        hamming_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"asset_id": range(10), "sig": range(10)})
+    )
+    plan = (
+        hamming_near_dup_pairs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
