@@ -282,3 +282,56 @@ def test_audio_near_dup_pairs_planted(spark):
     found = {(r["asset_a"], r["asset_b"]) for r in pairs}
     assert (1, 2) in found
     assert not any(3 in p for p in found)
+
+
+# --- mel / MFCC front end ---
+
+
+def test_mel_filterbank_shape_and_laws():
+    from uma_etl_iis_loader_spark.operators.audio import mel_filterbank
+
+    fb = mel_filterbank(16, 129, 16000)
+    assert fb.shape == (16, 129)
+    assert (fb >= 0).all()
+    # every filter peaks at (approximately) 1 and has support
+    assert (fb.max(axis=1) > 0.5).all() and (fb.max(axis=1) <= 1.0 + 1e-9).all()
+    # interior bins are covered by at least one filter
+    assert (fb.sum(axis=0)[3:-3] > 0).all()
+
+
+def test_dct2_orthonormal():
+    from uma_etl_iis_loader_spark.operators.audio import _dct2_orthonormal
+
+    d = _dct2_orthonormal(16, 16)
+    np.testing.assert_allclose(d @ d.T, np.eye(16), atol=1e-12)
+
+
+def test_mfcc_features_kernel(spark):
+    from uma_etl_iis_loader_spark.operators.audio import mfcc_features
+
+    rows = mfcc_features(synthesize_tone_assets(_ids(spark, n=20))).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["decode_error"] is None
+        assert len(r["mfcc"]) == 8
+        assert all(np.isfinite(v) for v in r["mfcc"])
+    # determinism: same asset → identical coefficients on a second run
+    again = mfcc_features(synthesize_tone_assets(_ids(spark, n=20))).collect()
+    assert {r["asset_id"]: list(r["mfcc"]) for r in rows} == {
+        r["asset_id"]: list(r["mfcc"]) for r in again
+    }
+
+
+def test_mfcc_distinguishes_tones(spark):
+    # different dominant frequencies must produce different MFCC vectors
+    from uma_etl_iis_loader_spark.operators.audio import mfcc_features
+
+    rows = {
+        r["asset_id"]: np.array(r["mfcc"])
+        for r in mfcc_features(synthesize_tone_assets(_ids(spark, n=8))).collect()
+    }
+    # ids 0..7 have tone bins 1..8 — all pairwise distinct
+    vecs = list(rows.values())
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            assert not np.allclose(vecs[i], vecs[j], atol=1e-3)

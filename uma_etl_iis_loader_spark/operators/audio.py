@@ -284,6 +284,87 @@ def audio_spectral_features(assets: DataFrame, n_bands: int = 8) -> DataFrame:
     )
 
 
+def mel_filterbank(n_mels: int, n_fft_bins: int, rate: int) -> np.ndarray:
+    """Triangular mel filterbank (the textbook construction): n_mels
+    filters with peaks at mel-equally-spaced center frequencies between
+    0 and Nyquist, each rising/falling linearly to its neighbors'
+    centers. Returns an (n_mels, n_fft_bins) nonnegative matrix; each
+    row peaks at 1. mel(f) = 2595·log10(1 + f/700)."""
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    nyquist = rate / 2.0
+    mel_pts = np.linspace(0.0, hz_to_mel(nyquist), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bin_freqs = np.linspace(0.0, nyquist, n_fft_bins)
+    fb = np.zeros((n_mels, n_fft_bins))
+    for m in range(n_mels):
+        lo, center, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        rising = (bin_freqs - lo) / max(center - lo, 1e-12)
+        falling = (hi - bin_freqs) / max(hi - center, 1e-12)
+        fb[m] = np.clip(np.minimum(rising, falling), 0.0, None)
+    return fb
+
+
+def _dct2_orthonormal(n_out: int, n_in: int) -> np.ndarray:
+    """DCT-II basis matrix (orthonormal scaling), rows = coefficients."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    basis = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in))
+    basis *= np.sqrt(2.0 / n_in)
+    basis[0] *= np.sqrt(0.5)
+    return basis
+
+
+def mfcc_features(
+    assets: DataFrame, n_mels: int = 16, n_mfcc: int = 8
+) -> DataFrame:
+    """MFCC feature extraction through the real decode path: decode →
+    mono → power spectrum → triangular mel filterbank → log → DCT-II →
+    first ``n_mfcc`` coefficients (the standard speech/audio embedding
+    front end; public textbook recipe). One whole-clip frame — chain
+    after a windowing splitter for framewise MFCCs at production scale.
+    Vectorized numpy per row, zero shuffles."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb_cache: dict = {}
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    x, rate = decode_wav(bytes(r["payload"]))
+                    mono = x.astype(np.float64).mean(axis=1)
+                    power = np.abs(np.fft.rfft(mono)) ** 2
+                    key = (len(power), rate)
+                    if key not in fb_cache:
+                        fb_cache[key] = (
+                            mel_filterbank(n_mels, len(power), rate),
+                            _dct2_orthonormal(n_mfcc, n_mels),
+                        )
+                    fb, dct = fb_cache[key]
+                    mel_e = np.log(fb @ power + 1e-10)
+                    mfcc = (dct @ mel_e).astype(np.float32)
+                    out.append((r["asset_id"], rate, mfcc, None))
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "sample_rate", "mfcc", "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        feats,
+        "asset_id long, sample_rate int, mfcc array<float>, "
+        "decode_error string",
+    )
+
+
 def audio_fingerprint(
     assets: DataFrame, n_frames: int = 9, n_bands: int = 8
 ) -> DataFrame:
