@@ -321,3 +321,50 @@ def test_media_ingest_stats_mixed_dispatch(spark):
                 for f in range(nf)
             )
             assert r["metric_sum"] == total
+
+
+def test_video_near_dup_pairs_planted(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.video import video_near_dup_pairs
+
+    rng = np.random.default_rng(21)
+    base_frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    near_frames = [f.copy() for f in base_frames]
+    near_frames[0][2, 2] ^= 1  # one-pixel change in one frame
+    far_frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3],
+                "payload": [
+                    encode_avi(base_frames),
+                    encode_avi(near_frames),
+                    encode_avi(far_frames),
+                ],
+            }
+        )
+    )
+    pairs = video_near_dup_pairs(assets, min_matching_frames=2).collect()
+    found = {(r["asset_a"], r["asset_b"]): r for r in pairs}
+    assert (1, 2) in found
+    r = found[(1, 2)]
+    assert r["n_matching_frames"] >= 3 and r["min_hamming"] == 0
+    assert not any(3 in k for k in found)
+
+
+def test_video_near_dup_max_frames_guard(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.video import video_near_dup_pairs
+
+    ids = spark.range(2).withColumnRenamed("id", "asset_id")
+    assets = ids.withColumn("payload", F.lit(b"x"))
+    with _pytest.raises(ValueError, match="max_frames"):
+        video_near_dup_pairs(assets, max_frames=100)

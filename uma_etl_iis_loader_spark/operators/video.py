@@ -444,6 +444,62 @@ def media_ingest_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def video_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    min_matching_frames: int = 2,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video near-duplicate candidate pairs — a pure composition of the
+    existing perceptual-dedup operators: sample up to ``max_frames``
+    evenly-spaced REAL frames per clip (:func:`sample_video_frames`),
+    dHash each frame (`multimodal.dhash_images`), pair frames by the
+    shared pigeonhole operator (`multimodal.hamming_near_dup_pairs`),
+    then lift frame pairs to clip pairs that share at least
+    ``min_matching_frames`` near-duplicate frames. Frame keys pack as
+    clip_id·64 + frame_idx (max_frames ≤ 64 enforced), so the whole
+    path reuses the 64-bit-signature machinery unchanged. Returns
+    (asset_a, asset_b, n_matching_frames, min_hamming) with a < b."""
+    from .multimodal import dhash_images, hamming_near_dup_pairs
+
+    if max_frames > 64:
+        raise ValueError("max_frames must be <= 64 (frame-key packing)")
+    frames = sample_video_frames(assets, max_frames=max_frames).where(
+        F.col("decode_error").isNull()
+    )
+    keyed = frames.select(
+        (F.col("asset_id") * 64 + F.col("frame_idx")).alias("asset_id"),
+        F.col("image_payload").alias("payload"),
+    )
+    sigs = dhash_images(keyed).where(F.col("decode_error").isNull()).select(
+        "asset_id",
+        (
+            F.shiftleft(F.col("hash_hi"), 32).bitwiseOR(F.col("hash_lo"))
+        ).alias("sig"),
+    )
+    frame_pairs = hamming_near_dup_pairs(sigs, max_hamming)
+    return (
+        frame_pairs.select(
+            F.expr("asset_a div 64").alias("clip_a"),  # exact long division
+            F.expr("asset_b div 64").alias("clip_b"),
+            "hamming",
+        )
+        .where(F.col("clip_a") < F.col("clip_b"))
+        .groupBy("clip_a", "clip_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_matching_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_matching_frames") >= min_matching_frames)
+        .select(
+            F.col("clip_a").alias("asset_a"),
+            F.col("clip_b").alias("asset_b"),
+            "n_matching_frames",
+            "min_hamming",
+        )
+    )
+
+
 def sample_video_frames(
     assets: DataFrame, max_frames: int = 4
 ) -> DataFrame:
