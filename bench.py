@@ -221,6 +221,13 @@ def main() -> None:
     # tail truncation when everything was inlined in one giant line.)
     # Per-query provenance notes the round artifacts should carry.
     notes = {
+        "_host_speed": "late-r7 observed uniform host-speed drift: "
+        "identical code measured 60.9 s (23:10 UTC, idle) and 75-76 s "
+        "(00:00 UTC, idle, load 0.0) with every query inflated "
+        "~15-25% — compare per-query ratios within a run, not absolute "
+        "seconds across runs; the committed sidecar is the clean "
+        "window. The op=dhash rows added after it cost ~+0.3 s in "
+        "multimodal_ops (visible as 2.06->2.4 in slow-window runs)",
         # r6 verdict flagged llm_prep_ops 0.273->0.436 s as a 1.60x
         # regression: the plan is UNCHANGED since r5 (git diff 3e882b5..
         # HEAD touches none of its four sub-operators) and an isolated
