@@ -335,3 +335,51 @@ def test_mfcc_distinguishes_tones(spark):
     for i in range(len(vecs)):
         for j in range(i + 1, len(vecs)):
             assert not np.allclose(vecs[i], vecs[j], atol=1e-3)
+
+
+def test_audio_fingerprint_packing_guard(spark):
+    # >64 comparison bits would hit numpy's UB shift-by->=64 — must raise
+    import pytest as _pytest
+
+    from uma_etl_iis_loader_spark.operators.audio import audio_fingerprint
+
+    with _pytest.raises(ValueError, match="64-bit signature"):
+        audio_fingerprint(
+            synthesize_tone_assets(_ids(spark, n=1)), n_frames=17, n_bands=8
+        )
+    # default params use exactly 64 bits — fine
+    audio_fingerprint(synthesize_tone_assets(_ids(spark, n=1)))
+
+
+def test_mel_sparse_matches_dense():
+    # sparse (start, weights) filters == nonzero slices of the dense
+    # matrix, for both even and odd FFT lengths (odd exercises the
+    # k*rate/N bin mapping that linspace-to-Nyquist would warp)
+    from uma_etl_iis_loader_spark.operators.audio import (
+        _mel_filters_sparse,
+        mel_filterbank,
+    )
+
+    for n_fft in (256, 1001):
+        n_bins = n_fft // 2 + 1
+        dense = mel_filterbank(16, n_bins, 8000, n_fft=n_fft)
+        sparse = _mel_filters_sparse(16, n_fft, 8000)
+        assert len(sparse) == 16
+        for m, (start, w) in enumerate(sparse):
+            rebuilt = np.zeros(n_bins)
+            rebuilt[start:start + len(w)] = w
+            np.testing.assert_allclose(rebuilt, dense[m], atol=1e-12)
+            assert w.sum() > 0  # every filter has support
+
+
+def test_mel_filterbank_odd_fft_top_bin():
+    # for an odd-length FFT the top bin is (N-1)/(2N)*rate, NOT Nyquist;
+    # filters must be placed on the true k*rate/N grid
+    from uma_etl_iis_loader_spark.operators.audio import mel_filterbank
+
+    n_fft = 1001
+    n_bins = 501
+    fb = mel_filterbank(16, n_bins, 8000, n_fft=n_fft)
+    fb_even_assumption = mel_filterbank(16, n_bins, 8000)
+    # the two grids genuinely differ (spacing 8000/1001 vs 8.0 Hz)
+    assert not np.allclose(fb, fb_even_assumption)

@@ -631,3 +631,17 @@ def test_hamming_pairing_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_grid_packing_guard(spark):
+    # >64 grid bits would hit numpy's UB shift-by->=64 — must raise
+    import pytest as _pytest
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        dhash_images,
+        synthesize_bmp_assets,
+    )
+
+    ids = spark.range(1).withColumnRenamed("id", "asset_id")
+    with _pytest.raises(ValueError, match="64"):
+        dhash_images(synthesize_bmp_assets(ids), out_h=16, out_w=8)

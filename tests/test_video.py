@@ -368,3 +368,88 @@ def test_video_near_dup_max_frames_guard(spark):
     assets = ids.withColumn("payload", F.lit(b"x"))
     with _pytest.raises(ValueError, match="max_frames"):
         video_near_dup_pairs(assets, max_frames=100)
+
+
+def test_video_near_dup_counts_distinct_frames_not_pairs(spark):
+    # a STATIC clip (4 identical frames) vs a clip with exactly one
+    # matching frame: the pigeonhole join yields 4 frame PAIRS, but the
+    # clips share only ONE distinct frame — min_matching_frames=2 must
+    # NOT report them as near-duplicates
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.video import video_near_dup_pairs
+
+    rng = np.random.default_rng(33)
+    shared = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    static_clip = [shared.copy() for _ in range(4)]
+    mixed_clip = [shared.copy()] + [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2],
+                "payload": [encode_avi(static_clip), encode_avi(mixed_clip)],
+            }
+        )
+    )
+    pairs = video_near_dup_pairs(assets, min_matching_frames=2).collect()
+    assert pairs == []
+    # with threshold 1 the pair IS reported, with the honest count of 1
+    pairs1 = video_near_dup_pairs(assets, min_matching_frames=1).collect()
+    assert len(pairs1) == 1
+    assert pairs1[0]["n_matching_frames"] == 1
+    assert pairs1[0]["min_hamming"] == 0
+
+
+def test_video_near_dup_long_clips_no_key_collision(spark):
+    # clips longer than 64 frames: the ORIGINAL frame index exceeds 63,
+    # so packing by it would alias frames into neighboring clips; the
+    # dense sample ordinal must keep adjacent unrelated clips unpaired
+    import pandas as pd
+
+    rng = np.random.default_rng(34)
+
+    from uma_etl_iis_loader_spark.operators.video import video_near_dup_pairs
+
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        return [
+            r.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(96)
+        ]
+
+    a, b = clip(1), clip(2)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [10, 11],
+                "payload": [encode_avi(a), encode_avi(b)],
+            }
+        )
+    )
+    # unrelated random clips: no near-dup pair may appear (with the old
+    # frame_idx packing, clip 10's frame 64 decoded as clip 11 frame 0)
+    pairs = video_near_dup_pairs(assets, min_matching_frames=1).collect()
+    assert pairs == []
+    # a true near-dup of clip 10 (one-pixel tweak) IS still found
+    near = [f.copy() for f in a]
+    near[0][1, 1] ^= 1
+    assets2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [10, 11, 12],
+                "payload": [
+                    encode_avi(a),
+                    encode_avi(b),
+                    encode_avi(near),
+                ],
+            }
+        )
+    )
+    pairs2 = {
+        (r["asset_a"], r["asset_b"])
+        for r in video_near_dup_pairs(
+            assets2, min_matching_frames=1
+        ).collect()
+    }
+    assert (10, 12) in pairs2 and (10, 11) not in pairs2

@@ -284,23 +284,37 @@ def audio_spectral_features(assets: DataFrame, n_bands: int = 8) -> DataFrame:
     )
 
 
-def mel_filterbank(n_mels: int, n_fft_bins: int, rate: int) -> np.ndarray:
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + f / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+
+def _mel_hz_points(n_mels: int, rate: int) -> np.ndarray:
+    """n_mels+2 mel-equally-spaced edge/center frequencies in [0, Nyquist]."""
+    nyquist = rate / 2.0
+    return _mel_to_hz(np.linspace(0.0, _hz_to_mel(nyquist), n_mels + 2))
+
+
+def mel_filterbank(
+    n_mels: int, n_fft_bins: int, rate: int, n_fft: int | None = None
+) -> np.ndarray:
     """Triangular mel filterbank (the textbook construction): n_mels
     filters with peaks at mel-equally-spaced center frequencies between
     0 and Nyquist, each rising/falling linearly to its neighbors'
     centers. Returns an (n_mels, n_fft_bins) nonnegative matrix; each
-    row peaks at 1. mel(f) = 2595·log10(1 + f/700)."""
+    row peaks at 1. mel(f) = 2595·log10(1 + f/700).
 
-    def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + f / 700.0)
-
-    def mel_to_hz(m):
-        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
-
-    nyquist = rate / 2.0
-    mel_pts = np.linspace(0.0, hz_to_mel(nyquist), n_mels + 2)
-    hz_pts = mel_to_hz(mel_pts)
-    bin_freqs = np.linspace(0.0, nyquist, n_fft_bins)
+    Bin k maps to frequency k·rate/n_fft. ``n_fft`` (the FFT length in
+    samples) defaults to 2·(n_fft_bins−1) — exact for even-length
+    rffts; pass it explicitly for odd-length FFTs, where assuming the
+    even spacing would stretch every filter placement by N/(N−1)."""
+    if n_fft is None:
+        n_fft = 2 * (n_fft_bins - 1)
+    hz_pts = _mel_hz_points(n_mels, rate)
+    bin_freqs = np.arange(n_fft_bins) * (rate / n_fft)
     fb = np.zeros((n_mels, n_fft_bins))
     for m in range(n_mels):
         lo, center, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
@@ -308,6 +322,38 @@ def mel_filterbank(n_mels: int, n_fft_bins: int, rate: int) -> np.ndarray:
         falling = (hi - bin_freqs) / max(hi - center, 1e-12)
         fb[m] = np.clip(np.minimum(rising, falling), 0.0, None)
     return fb
+
+
+def _mel_filters_sparse(
+    n_mels: int, n_fft: int, rate: int
+) -> list:
+    """Sparse triangular mel filters for an ``n_fft``-sample rfft:
+    a list of (start_bin, weights) pairs covering only each filter's
+    support. Mel triangles overlap at most pairwise, so total storage
+    is O(n_fft_bins) — versus O(n_mels · n_fft_bins) dense, which for
+    whole-clip FFTs of long recordings is multi-GB per cache entry.
+    Same construction (and bin→frequency mapping k·rate/n_fft) as
+    :func:`mel_filterbank`."""
+    n_bins = n_fft // 2 + 1
+    hz_pts = _mel_hz_points(n_mels, rate)
+    bin_hz = rate / n_fft
+    filters = []
+    for m in range(n_mels):
+        lo, center, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        start = max(int(np.floor(lo / bin_hz)) + 1, 0)
+        end = min(int(np.ceil(hi / bin_hz)) - 1, n_bins - 1)
+        if end < start:
+            # degenerate filter narrower than one bin: a unit delta at
+            # the bin nearest the peak, so every filter has support
+            start = min(max(int(round(center / bin_hz)), 0), n_bins - 1)
+            filters.append((start, np.ones(1)))
+            continue
+        freqs = np.arange(start, end + 1) * bin_hz
+        rising = (freqs - lo) / max(center - lo, 1e-12)
+        falling = (hi - freqs) / max(hi - center, 1e-12)
+        w = np.clip(np.minimum(rising, falling), 0.0, None)
+        filters.append((start, w))
+    return filters
 
 
 def _dct2_orthonormal(n_out: int, n_in: int) -> np.ndarray:
@@ -328,10 +374,17 @@ def mfcc_features(
     first ``n_mfcc`` coefficients (the standard speech/audio embedding
     front end; public textbook recipe). One whole-clip frame — chain
     after a windowing splitter for framewise MFCCs at production scale.
-    Vectorized numpy per row, zero shuffles."""
+    Vectorized numpy per row, zero shuffles.
+
+    Filters are held SPARSE — (start_bin, weights) per triangle, O(bins)
+    total — and cached per distinct (clip length, rate) in a small LRU
+    (mixed-length corpora would otherwise accrete one dense multi-GB
+    matrix per distinct length for the life of the executor)."""
+    from collections import OrderedDict
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fb_cache: dict = {}
+        fb_cache: OrderedDict = OrderedDict()
+        dct = _dct2_orthonormal(n_mfcc, n_mels)
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
@@ -341,14 +394,20 @@ def mfcc_features(
                     x, rate = decode_wav(bytes(r["payload"]))
                     mono = x.astype(np.float64).mean(axis=1)
                     power = np.abs(np.fft.rfft(mono)) ** 2
-                    key = (len(power), rate)
-                    if key not in fb_cache:
-                        fb_cache[key] = (
-                            mel_filterbank(n_mels, len(power), rate),
-                            _dct2_orthonormal(n_mfcc, n_mels),
+                    key = (len(mono), rate)
+                    if key in fb_cache:
+                        fb_cache.move_to_end(key)
+                    else:
+                        fb_cache[key] = _mel_filters_sparse(
+                            n_mels, len(mono), rate
                         )
-                    fb, dct = fb_cache[key]
-                    mel_e = np.log(fb @ power + 1e-10)
+                        if len(fb_cache) > 8:
+                            fb_cache.popitem(last=False)
+                    filters = fb_cache[key]
+                    mel_e = np.empty(n_mels)
+                    for m, (start, w) in enumerate(filters):
+                        mel_e[m] = w @ power[start:start + len(w)]
+                    mel_e = np.log(mel_e + 1e-10)
                     mfcc = (dct @ mel_e).astype(np.float32)
                     out.append((r["asset_id"], rate, mfcc, None))
                 except Exception as exc:  # noqa: BLE001 — decode boundary
@@ -378,6 +437,13 @@ def audio_fingerprint(
     signature invariant to global gain (law-tested); near-identical
     audio differs in a few bits. Pair with
     :func:`multimodal.hamming_near_dup_pairs`. Zero shuffles."""
+    if n_bands * (n_frames - 1) > 64:
+        # numpy uint64 << k for k >= 64 is C-undefined (silently zeroed
+        # or wrapped) — comparison bits must fit the 64-bit signature
+        raise ValueError(
+            f"n_bands*(n_frames-1) must be <= 64 (64-bit signature "
+            f"packing); got {n_bands}*{n_frames - 1}"
+        )
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -426,17 +492,9 @@ def audio_near_dup_pairs(
     """Audio near-duplicate candidate pairs: spectrogram-delta
     fingerprints through the real WAV decode path, paired by the shared
     :func:`multimodal.hamming_near_dup_pairs` pigeonhole operator."""
-    from .multimodal import hamming_near_dup_pairs
+    from .multimodal import hamming_near_dup_pairs, sig_from_halves
 
-    sigs = audio_fingerprint(assets).where(
-        F.col("decode_error").isNull()
-    ).select(
-        "asset_id",
-        (
-            F.shiftleft(F.col("hash_hi"), 32)
-            .bitwiseOR(F.col("hash_lo"))
-        ).alias("sig"),
-    )
+    sigs = sig_from_halves(audio_fingerprint(assets))
     return hamming_near_dup_pairs(sigs, max_hamming, bands)
 
 

@@ -386,6 +386,13 @@ def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     synthetic pixels, and reassembled as needed by the pairing join.
     Near-identical images differ in a few bits; crops/shifts differ in
     many — the standard cheap image-dedup signal. Zero shuffles."""
+    if out_h * out_w > 64:
+        # numpy uint64 << k for k >= 64 is C-undefined (silently zeroed
+        # or wrapped) — the grid must fit the 64-bit signature
+        raise ValueError(
+            f"out_h*out_w must be <= 64 (64-bit signature packing); "
+            f"got {out_h}x{out_w}"
+        )
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -419,6 +426,20 @@ def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     return assets.select("asset_id", "payload").mapInPandas(
         hashes,
         "asset_id long, hash_hi long, hash_lo long, decode_error string",
+    )
+
+
+def sig_from_halves(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Reassemble a 64-bit perceptual signature from its BIGINT-safe
+    32-bit halves (``hash_hi``/``hash_lo``), dropping decode failures —
+    the shared glue between every signature kernel (image dHash, audio
+    fingerprint, video frame dHash) and
+    :func:`hamming_near_dup_pairs`. Returns (id_col, sig)."""
+    return df.where(F.col("decode_error").isNull()).select(
+        id_col,
+        (
+            F.shiftleft(F.col("hash_hi"), 32).bitwiseOR(F.col("hash_lo"))
+        ).alias("sig"),
     )
 
 
@@ -486,15 +507,7 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """Image near-duplicate candidate pairs: dHash signatures through
     the REAL decode path, paired by :func:`hamming_near_dup_pairs`."""
-    sigs = dhash_images(assets).where(
-        F.col("decode_error").isNull()
-    ).select(
-        "asset_id",
-        (
-            F.shiftleft(F.col("hash_hi"), 32)
-            .bitwiseOR(F.col("hash_lo"))
-        ).alias("sig"),
-    )
+    sigs = sig_from_halves(dhash_images(assets))
     return hamming_near_dup_pairs(sigs, max_hamming, bands)
 
 

@@ -457,10 +457,21 @@ def video_near_dup_pairs(
     shared pigeonhole operator (`multimodal.hamming_near_dup_pairs`),
     then lift frame pairs to clip pairs that share at least
     ``min_matching_frames`` near-duplicate frames. Frame keys pack as
-    clip_id·64 + frame_idx (max_frames ≤ 64 enforced), so the whole
-    path reuses the 64-bit-signature machinery unchanged. Returns
+    clip_id·64 + sample_idx — the DENSE sample ordinal, which is
+    < max_frames ≤ 64 by construction (the original ``frame_idx`` can
+    be arbitrarily large and would collide across clips) — so the whole
+    path reuses the 64-bit-signature machinery unchanged.
+
+    ``n_matching_frames`` counts DISTINCT matched frames on the less-
+    covered side (min of the two per-side distinct counts), not raw
+    frame pairs — a static clip whose every frame matches one frame of
+    another clip shares ONE frame, not four. Returns
     (asset_a, asset_b, n_matching_frames, min_hamming) with a < b."""
-    from .multimodal import dhash_images, hamming_near_dup_pairs
+    from .multimodal import (
+        dhash_images,
+        hamming_near_dup_pairs,
+        sig_from_halves,
+    )
 
     if max_frames > 64:
         raise ValueError("max_frames must be <= 64 (frame-key packing)")
@@ -468,26 +479,25 @@ def video_near_dup_pairs(
         F.col("decode_error").isNull()
     )
     keyed = frames.select(
-        (F.col("asset_id") * 64 + F.col("frame_idx")).alias("asset_id"),
+        (F.col("asset_id") * 64 + F.col("sample_idx")).alias("asset_id"),
         F.col("image_payload").alias("payload"),
     )
-    sigs = dhash_images(keyed).where(F.col("decode_error").isNull()).select(
-        "asset_id",
-        (
-            F.shiftleft(F.col("hash_hi"), 32).bitwiseOR(F.col("hash_lo"))
-        ).alias("sig"),
-    )
+    sigs = sig_from_halves(dhash_images(keyed))
     frame_pairs = hamming_near_dup_pairs(sigs, max_hamming)
     return (
         frame_pairs.select(
             F.expr("asset_a div 64").alias("clip_a"),  # exact long division
             F.expr("asset_b div 64").alias("clip_b"),
+            (F.col("asset_a") % 64).alias("frame_a"),
+            (F.col("asset_b") % 64).alias("frame_b"),
             "hamming",
         )
         .where(F.col("clip_a") < F.col("clip_b"))
         .groupBy("clip_a", "clip_b")
         .agg(
-            F.count(F.lit(1)).alias("n_matching_frames"),
+            F.least(
+                F.countDistinct("frame_a"), F.countDistinct("frame_b")
+            ).alias("n_matching_frames"),
             F.min("hamming").alias("min_hamming"),
         )
         .where(F.col("n_matching_frames") >= min_matching_frames)
@@ -509,7 +519,9 @@ def sample_video_frames(
     resize / dedup pipeline downstream). Sampling positions follow the
     same stride contract as :func:`multimodal.frame_sample`
     (step = max(n // max_frames, 1), capped) so coverage is
-    deterministic. Zero shuffles."""
+    deterministic. Emits both the original in-clip ``frame_idx`` and
+    the dense sample ordinal ``sample_idx`` (0..max_frames−1 — the
+    bounded key downstream packers should use). Zero shuffles."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -522,20 +534,22 @@ def sample_video_frames(
                     n = len(frames)
                     step = max(n // max_frames, 1)
                     picked = list(range(0, n, step))[:max_frames]
-                    for fi in picked:
+                    for si, fi in enumerate(picked):
                         out.append(
-                            (r["asset_id"], fi, encode_bmp(frames[fi]), None)
+                            (r["asset_id"], fi, si,
+                             encode_bmp(frames[fi]), None)
                         )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+                    out.append((r["asset_id"], None, None, None,
+                                str(exc)[:200]))
             yield pd.DataFrame(
                 out,
-                columns=["asset_id", "frame_idx", "image_payload",
-                         "decode_error"],
+                columns=["asset_id", "frame_idx", "sample_idx",
+                         "image_payload", "decode_error"],
             )
 
     return assets.select("asset_id", "payload").mapInPandas(
         sample,
-        "asset_id long, frame_idx int, image_payload binary, "
-        "decode_error string",
+        "asset_id long, frame_idx int, sample_idx int, "
+        "image_payload binary, decode_error string",
     )
