@@ -431,3 +431,96 @@ def test_semantic_dedup_planted_near_dups(spark, sf_dir):
     }
     assert sem <= glob
     assert len(sem) >= 5  # every planted clone pair found (same cluster)
+
+
+def test_canonical_per_cluster_picks_best_score(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dedup import canonical_per_cluster
+
+    # two clusters + a singleton; scores make the HIGHEST-quality (not
+    # min-id) member the survivor in cluster 1
+    assignments = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": [1, 2, 3, 10, 11, 99],
+                "comp": [1, 1, 1, 10, 10, 99],
+            }
+        )
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 99],
+                "q": [0.2, 0.9, 0.5, 0.7, 0.7, 0.1],
+            }
+        )
+    )
+    rows = {
+        r["node"]: r
+        for r in canonical_per_cluster(
+            assignments, scores, id_col="doc_id", score_col="q"
+        ).collect()
+    }
+    assert len(rows) == 6
+    # cluster 1: node 2 wins on score despite not being min id
+    for n in (1, 2, 3):
+        assert rows[n]["keep_id"] == 2
+    assert rows[2]["is_canonical"] and not rows[1]["is_canonical"]
+    # cluster 10: score tie 0.7 == 0.7 → min id 10 wins
+    assert rows[10]["keep_id"] == 10 and rows[11]["keep_id"] == 10
+    # singleton keeps itself
+    assert rows[99]["keep_id"] == 99 and rows[99]["is_canonical"]
+
+
+def test_canonical_per_cluster_missing_scores_rank_lowest(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dedup import canonical_per_cluster
+
+    assignments = spark.createDataFrame(
+        pd.DataFrame({"node": [1, 2, 3], "comp": [1, 1, 1]})
+    )
+    # node 1 and 3 have no score row at all — node 2 (scored) must win;
+    # an all-unscored cluster falls back to min id
+    scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "q": [0.01]})
+    )
+    rows = {
+        r["node"]: r["keep_id"]
+        for r in canonical_per_cluster(
+            assignments, scores, id_col="doc_id", score_col="q"
+        ).collect()
+    }
+    assert rows == {1: 2, 2: 2, 3: 2}
+    no_scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [999], "q": [1.0]})
+    )
+    rows2 = {
+        r["node"]: r["keep_id"]
+        for r in canonical_per_cluster(
+            assignments, no_scores, id_col="doc_id", score_col="q"
+        ).collect()
+    }
+    assert rows2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_canonical_per_cluster_plan_partial_agg(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dedup import canonical_per_cluster
+
+    assignments = spark.createDataFrame(
+        pd.DataFrame({"node": [1, 2], "comp": [1, 1]})
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "q": [0.5, 0.6]})
+    )
+    plan = (
+        canonical_per_cluster(assignments, scores, id_col="doc_id", score_col="q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the max_by aggregate must combine map-side (partial_max_by before
+    # the exchange) and nothing may cartesian
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -723,6 +723,53 @@ def deduplicate_corpus(
     return docs.join(losers, id_col, "left_anti")
 
 
+def canonical_per_cluster(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: for each
+    connected component pick the member with the HIGHEST score (ties →
+    smallest id — fully deterministic), the step a corpus pipeline runs
+    between clustering and the final keep/drop write. ``deduplicate_corpus``
+    keeps the min id — correct but arbitrary; real curation keeps the
+    best-quality representative (e.g. ``functions.text.quality_score``
+    or a model score) so dedup never discards the cleanest copy.
+
+    ``assignments`` is ``connected_components`` output (node, comp);
+    ``scores`` is (id_col, score_col). Members missing a score rank
+    below every scored member (−inf), never above. Returns one row per
+    member: (node, comp, keep_id, is_canonical).
+
+    Scale shape: one shuffle joining scores onto members by id, one
+    ``max_by`` aggregation per component (partial/map-side — the struct
+    max combines associatively; giant components reduce tree-wise, no
+    per-component row materialization), and one broadcast-or-shuffle
+    join (AQE's call) of the |components|-sized keep table back onto
+    members. Nothing is ever collected."""
+    sc = scores.select(
+        F.col(id_col).alias("node"),
+        F.col(score_col).cast("double").alias("__score"),
+    )
+    members = assignments.select("node", "comp").join(sc, "node", "left")
+    keep = members.groupBy("comp").agg(
+        F.max_by(
+            "node",
+            F.struct(
+                F.coalesce(F.col("__score"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("node")).alias("tie"),
+            ),
+        ).alias("keep_id")
+    )
+    return members.join(keep, "comp").select(
+        "node",
+        "comp",
+        "keep_id",
+        (F.col("node") == F.col("keep_id")).alias("is_canonical"),
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1393,12 +1393,33 @@ WITH RECURSIVE g AS (
     SELECT src, src FROM sym
     UNION
     SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), comp AS (
+    SELECT src, min(dst) AS comp FROM reach GROUP BY src
+), quality AS (
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN length(text) > 0
+                      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END)
+           + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+           + 0.3 * (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                                    THEN CAST(length(text) AS DOUBLE)
+                                         / len(regexp_split_to_array(trim(text), '\\s+'))
+                                    ELSE 0.0 END) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.5 END), 6) AS q
+    FROM documents
+), canon AS (
+    SELECT c.comp, first(c.src ORDER BY quality.q DESC, c.src ASC) AS keep_id
+    FROM comp c JOIN quality ON quality.doc_id = c.src
+    GROUP BY c.comp
 )
 SELECT 'minhash_lsh' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS val
 FROM exact
 UNION ALL
-SELECT 'cluster', src, min(dst), CAST(NULL AS DOUBLE)
-FROM reach GROUP BY src
+SELECT 'cluster', src, comp, CAST(NULL AS DOUBLE)
+FROM comp
+UNION ALL
+SELECT 'canonical', c.src, k.keep_id, CAST(NULL AS DOUBLE)
+FROM comp c JOIN canon k ON c.comp = k.comp
 UNION ALL
 SELECT 'minhash_recall', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 1.0
 UNION ALL
@@ -1426,13 +1447,19 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       component). The oracle recomputes components with a recursive-CTE
       reachability over the exact pair set — a wrong merge, a missed
       transitive link, or early termination all hash-mismatch.
+    - `canonical` rows — quality-aware survivor selection
+      (operators/dedup.canonical_per_cluster): per component keep the
+      member with the highest `quality_score` (tie → min id), i.e.
+      dedup that never discards the cleanest copy. The oracle
+      recomputes the argmax with an ordered-first over the identical
+      rounded quality expression — a different survivor hash-mismatches.
     - `simhash_precision_ok` row — 1.0 iff ≥ 90% of SimHash64
       hamming ≤ 3 pairs (4-band pigeonhole + popcount verify) are in the
       exact J ≥ 0.35 set (measured precision: 1.0 at all SFs; SimHash
       pair identities themselves are signature-specific, so they stay
       pytest-pinned in tests/test_dedup.py).
     """
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import canonical_per_cluster, connected_components
 
     docs = read_fixture(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(
@@ -1450,10 +1477,22 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         null_d.alias("val"),
     )
-    cluster_rows = connected_components(mh).select(
+    comps = connected_components(mh)
+    cluster_rows = comps.select(
         F.lit("cluster").alias("method"),
         F.col("node").alias("id_a"),
         F.col("comp").alias("id_b"),
+        null_d.alias("val"),
+    )
+    canonical_rows = canonical_per_cluster(
+        comps,
+        docs.select("doc_id", quality_score("text").alias("q")),
+        id_col="doc_id",
+        score_col="q",
+    ).select(
+        F.lit("canonical").alias("method"),
+        F.col("node").alias("id_a"),
+        F.col("keep_id").alias("id_b"),
         null_d.alias("val"),
     )
     recall_row = (
@@ -1488,6 +1527,7 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pair_rows.unionByName(cluster_rows)
+        .unionByName(canonical_rows)
         .unionByName(recall_row)
         .unionByName(precision_row)
     )
