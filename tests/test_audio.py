@@ -383,3 +383,110 @@ def test_mel_filterbank_odd_fft_top_bin():
     fb_even_assumption = mel_filterbank(16, n_bins, 8000)
     # the two grids genuinely differ (spacing 8000/1001 vs 8.0 Hz)
     assert not np.allclose(fb, fb_even_assumption)
+
+
+# --- framewise MFCC ---
+
+
+def test_mfcc_frames_count_law_and_padding(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.audio import encode_wav, mfcc_frames
+
+    rng = np.random.default_rng(7)
+    clips = {
+        1: 300,  # 1 + (300-128)//64 = 3 frames
+        2: 128,  # exactly one frame
+        3: 50,   # shorter than frame_len -> zero-pad, one frame
+    }
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": list(clips),
+                "payload": [
+                    encode_wav(
+                        rng.integers(-2000, 2000, (n, 1)).astype(np.int16),
+                        16000,
+                    )
+                    for n in clips.values()
+                ],
+            }
+        )
+    )
+    rows = mfcc_frames(assets, frame_len=128, hop=64).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        assert r["decode_error"] is None
+        assert len(r["mfcc"]) == 8
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    assert sorted(by_asset[1]) == [0, 1, 2]
+    assert by_asset[2] == [0]
+    assert by_asset[3] == [0]
+
+
+def test_mfcc_frames_whole_clip_law(spark):
+    # window=None + frame_len == clip length -> the single frame equals
+    # the whole-clip mfcc_features output (shared mel construction)
+    from uma_etl_iis_loader_spark.operators.audio import (
+        mfcc_features,
+        mfcc_frames,
+    )
+
+    assets = synthesize_tone_assets(_ids(spark, n=8))
+    whole = {
+        r["asset_id"]: np.array(r["mfcc"])
+        for r in mfcc_features(assets).collect()
+    }
+    framed = mfcc_frames(assets, frame_len=64, hop=64, window=None).collect()
+    assert len(framed) == 8
+    for r in framed:
+        assert r["frame_idx"] == 0
+        np.testing.assert_allclose(
+            np.array(r["mfcc"]), whole[r["asset_id"]], atol=1e-4
+        )
+
+
+def test_mfcc_frames_hann_differs_and_localizes(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.audio import encode_wav, mfcc_frames
+
+    # tone in the first half, silence in the second: framewise MFCCs
+    # must differ across halves (the whole point of framing)
+    k = np.arange(256)
+    tone = np.round(12000 * np.sin(2 * np.pi * 8 * k / 256)).astype(np.int16)
+    sig = np.concatenate([tone, np.zeros(256, dtype=np.int16)])
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1], "payload": [encode_wav(sig[:, None], 16000)]}
+        )
+    )
+    rows = {
+        r["frame_idx"]: np.array(r["mfcc"])
+        for r in mfcc_frames(assets, frame_len=128, hop=128).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert not np.allclose(rows[0], rows[3], atol=1e-3)
+    # hann vs rectangular genuinely differ
+    rect = {
+        r["frame_idx"]: np.array(r["mfcc"])
+        for r in mfcc_frames(
+            assets, frame_len=128, hop=128, window=None
+        ).collect()
+    }
+    assert not np.allclose(rows[0], rect[0], atol=1e-3)
+
+
+def test_mfcc_frames_bad_window_and_error_isolation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from uma_etl_iis_loader_spark.operators.audio import mfcc_frames
+
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [b"not a wav"]})
+    )
+    with _pytest.raises(ValueError, match="window"):
+        mfcc_frames(assets, window="hamming")
+    rows = mfcc_frames(assets).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is not None

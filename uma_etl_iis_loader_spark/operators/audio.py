@@ -424,6 +424,83 @@ def mfcc_features(
     )
 
 
+def mfcc_frames(
+    assets: DataFrame,
+    frame_len: int = 512,
+    hop: int = 256,
+    n_mels: int = 16,
+    n_mfcc: int = 8,
+    window: str | None = "hann",
+) -> DataFrame:
+    """FRAMEWISE MFCCs — the production-shaped front end
+    (:func:`mfcc_features` is the whole-clip rung its docstring says to
+    chain a splitter in front of; this IS that splitter, fused): decode
+    → mono → overlapping ``frame_len``-sample frames every ``hop``
+    samples (strided view, no copy) → optional Hann window → ONE batched
+    rFFT over all frames (numpy vectorizes across the frame axis) → mel
+    filterbank → log → DCT-II. One output row per (clip, frame).
+
+    Frame-count law: n_frames = 1 + max(0, (n − frame_len) // hop);
+    clips shorter than ``frame_len`` zero-pad to a single frame.
+    With ``window=None`` and ``frame_len == n`` the single frame equals
+    the whole-clip :func:`mfcc_features` output exactly (law-tested) —
+    the two rungs share the mel construction and the k·rate/N bin grid.
+
+    The filterbank here is DENSE but tiny — frame_len is fixed, so bins
+    = frame_len//2+1 regardless of clip length; one cache entry per
+    distinct sample rate (bounded by the corpus's rate set, not its
+    clip-length set). Per-row work is numpy matrix ops over
+    (n_frames × bins); zero shuffles."""
+    win = None
+    if window == "hann":
+        win = np.hanning(frame_len)
+    elif window is not None:
+        raise ValueError(f"unknown window {window!r} (use 'hann' or None)")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb_cache: dict = {}
+        dct = _dct2_orthonormal(n_mfcc, n_mels)
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    x, rate = decode_wav(bytes(r["payload"]))
+                    mono = x.astype(np.float64).mean(axis=1)
+                    if len(mono) < frame_len:
+                        mono = np.pad(mono, (0, frame_len - len(mono)))
+                    frames = np.lib.stride_tricks.sliding_window_view(
+                        mono, frame_len
+                    )[::hop]
+                    if win is not None:
+                        frames = frames * win
+                    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    if rate not in fb_cache:
+                        fb_cache[rate] = mel_filterbank(
+                            n_mels, frame_len // 2 + 1, rate, n_fft=frame_len
+                        )
+                    fb = fb_cache[rate]
+                    mel_e = np.log(power @ fb.T + 1e-10)
+                    mfcc = (mel_e @ dct.T).astype(np.float32)
+                    for fi in range(mfcc.shape[0]):
+                        out.append((r["asset_id"], fi, rate, mfcc[fi], None))
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, None,
+                                str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "frame_idx", "sample_rate", "mfcc",
+                         "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        feats,
+        "asset_id long, frame_idx int, sample_rate int, "
+        "mfcc array<float>, decode_error string",
+    )
+
+
 def audio_fingerprint(
     assets: DataFrame, n_frames: int = 9, n_bands: int = 8
 ) -> DataFrame:
