@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pytest
 
 from uma_etl_iis_loader_spark.operators.multimodal import (
@@ -645,3 +646,89 @@ def test_dhash_grid_packing_guard(spark):
     ids = spark.range(1).withColumnRenamed("id", "asset_id")
     with _pytest.raises(ValueError, match="64"):
         dhash_images(synthesize_bmp_assets(ids), out_h=16, out_w=8)
+
+
+# --- pHash (DCT perceptual hash) ---
+
+
+def _phash_sig(spark, images):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        encode_bmp,
+        phash_images,
+        sig_from_halves,
+    )
+
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": list(range(len(images))),
+                "payload": [encode_bmp(im) for im in images],
+            }
+        )
+    )
+    return {
+        r["asset_id"]: r["sig"]
+        for r in sig_from_halves(phash_images(assets)).collect()
+    }
+
+
+def test_phash_affine_invariance(spark):
+    # pHash drops DC and thresholds ACs at their median, so any positive
+    # affine pixel transform a*px + b leaves every bit unchanged
+    rng = np.random.default_rng(5)
+    base = rng.integers(60, 160, (40, 40, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    contrast = np.clip(base.astype(np.float64) * 1.4 - 20, 0, 255).astype(
+        np.uint8
+    )
+    sigs = _phash_sig(spark, [base, brighter, contrast])
+    assert sigs[0] == sigs[1]
+    # contrast stretch clips/rounds a little — allow a few flipped bits
+    assert bin(sigs[0] ^ sigs[2]).count("1") <= 4
+
+
+def test_phash_near_dup_and_distinct(spark):
+    rng = np.random.default_rng(6)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 3] ^= 1  # one-pixel tweak
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    sigs = _phash_sig(spark, [base, near, other])
+    assert bin(sigs[0] ^ sigs[1]).count("1") <= 6
+    assert bin(sigs[0] ^ sigs[2]).count("1") > 10
+    # top bit is unused (63-bit signature)
+    for s in sigs.values():
+        assert s >= 0 and s < (1 << 63)
+
+
+def test_phash_pairing_method(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        encode_bmp,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = np.clip(base.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3],
+                "payload": [encode_bmp(x) for x in (base, near, other)],
+            }
+        )
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in image_near_dup_pairs(assets, method="phash").collect()
+    }
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        image_near_dup_pairs(assets, method="ahash")

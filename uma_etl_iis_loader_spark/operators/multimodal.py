@@ -429,6 +429,63 @@ def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     )
 
 
+def phash_images(assets: DataFrame, grid: int = 32) -> DataFrame:
+    """Perceptual DCT hash (pHash, the public recipe) through the REAL
+    decode path: decode → integer grayscale (channel sum, like
+    :func:`dhash_images`) → nearest-neighbor sample a ``grid``×``grid``
+    plane (floor-index arithmetic) → 2-D orthonormal DCT-II → keep the
+    top-left 8×8 low-frequency block MINUS the DC term (63 coefficients)
+    → one bit per coefficient vs their median, packed into the standard
+    ``hash_hi``/``hash_lo`` halves (bit 63 unused, always 0).
+
+    Dropping DC and thresholding at the median makes the signature
+    invariant to any positive affine pixel transform a·px + b (a > 0):
+    AC coefficients scale by ``a`` (linearity), the median scales with
+    them, and ``b`` lands entirely in the discarded DC — so global
+    brightness/contrast shifts cannot flip a bit (law-tested). dHash
+    only gets gain invariance; pHash survives the low-frequency edits
+    (blur, mild recompression) that flip many dHash bits, at the cost
+    of a DCT per row. Pair with :func:`hamming_near_dup_pairs` via
+    :func:`sig_from_halves`. Zero shuffles."""
+    from .audio import _dct2_orthonormal
+
+    dct = _dct2_orthonormal(grid, grid)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    px = decode_image(bytes(r["payload"]))
+                    g = px.astype(np.int64).sum(axis=2).astype(np.float64)
+                    h, w = g.shape
+                    rows = (np.arange(grid) * h) // grid
+                    cols = (np.arange(grid) * w) // grid
+                    plane = g[np.ix_(rows, cols)]
+                    coeffs = dct @ plane @ dct.T
+                    block = coeffs[:8, :8].reshape(-1)[1:]  # drop DC
+                    bits = (block > np.median(block)).astype(np.uint64)
+                    val = int(
+                        (bits << np.arange(63, dtype=np.uint64)).sum()
+                    )
+                    out.append(
+                        (r["asset_id"], val >> 32, val & 0xFFFFFFFF, None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "hash_hi", "hash_lo", "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        hashes,
+        "asset_id long, hash_hi long, hash_lo long, decode_error string",
+    )
+
+
 def sig_from_halves(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Reassemble a 64-bit perceptual signature from its BIGINT-safe
     32-bit halves (``hash_hi``/``hash_lo``), dropping decode failures —
@@ -503,11 +560,21 @@ def hamming_near_dup_pairs(
 
 
 def image_near_dup_pairs(
-    assets: DataFrame, max_hamming: int = 6, bands: int = 8
+    assets: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    method: str = "dhash",
 ) -> DataFrame:
-    """Image near-duplicate candidate pairs: dHash signatures through
-    the REAL decode path, paired by :func:`hamming_near_dup_pairs`."""
-    sigs = sig_from_halves(dhash_images(assets))
+    """Image near-duplicate candidate pairs: dHash (fast, gradient
+    signature) or pHash (DCT low-frequency signature — robust to
+    brightness/contrast and low-frequency edits) through the REAL
+    decode path, paired by :func:`hamming_near_dup_pairs`."""
+    if method == "dhash":
+        sigs = sig_from_halves(dhash_images(assets))
+    elif method == "phash":
+        sigs = sig_from_halves(phash_images(assets))
+    else:
+        raise ValueError(f"unknown method {method!r} (dhash | phash)")
     return hamming_near_dup_pairs(sigs, max_hamming, bands)
 
 
