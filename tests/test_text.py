@@ -481,3 +481,95 @@ def test_extract_domain_www_exception_rule(spark):
     )
     got = [r.d for r in df.select(extract_domain("url").alias("d")).collect()]
     assert got == ["www.ck", "example.com"]
+
+
+# --- C4 cleaning recipe ---
+
+
+def test_c4_kept_lines_filters(spark):
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import c4_kept_lines
+
+    doc = "\n".join(
+        [
+            "This line ends with a period.",   # kept
+            "Too short.",                      # 2 words -> dropped
+            "no terminal punctuation here",    # dropped
+            'He said "stop".',                 # kept (period)
+            'A quoted line ends well"',        # kept (quote terminal)
+            "   ",                             # blank -> dropped
+            "Does this survive a question?",   # kept
+        ]
+    )
+    df = spark.createDataFrame([(doc,)], "text string")
+    kept = df.select(c4_kept_lines("text").alias("k")).collect()[0]["k"]
+    assert kept == [
+        "This line ends with a period.",
+        'He said "stop".',
+        'A quoted line ends well"',
+        "Does this survive a question?",
+    ]
+
+
+def test_c4_page_keep_gates(spark):
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import (
+        c4_kept_lines,
+        c4_page_keep,
+        c4_sentence_count,
+    )
+
+    good = "\n".join(f"Sentence number {i} is fine." for i in range(6))
+    short = "Only one good sentence here."
+    lorem = good + "\nAnd some Lorem Ipsum filler."
+    braced = good + "\nfunction() { return; }"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, lorem), (4, braced)], "doc_id int, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.array_join(c4_kept_lines("text"), "\n").alias("cleaned"),
+        )
+        .select(
+            "doc_id",
+            c4_sentence_count("cleaned").alias("ns"),
+            c4_page_keep(F.col("cleaned"), F.col("cleaned")).alias("keep_clean"),
+        )
+        .collect()
+    }
+    assert rows[1]["ns"] == 6 and rows[1]["keep_clean"]
+    assert rows[2]["ns"] == 1 and not rows[2]["keep_clean"]
+    # gates evaluate on the RAW text (markers may sit on dropped lines)
+    raw_rows = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id",
+            c4_page_keep(
+                "text", F.array_join(c4_kept_lines("text"), "\n")
+            ).alias("keep"),
+        ).collect()
+    }
+    assert raw_rows == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_c4_zero_shuffle_plan(spark):
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import (
+        c4_kept_lines,
+        c4_page_keep,
+    )
+
+    df = spark.createDataFrame([("a.\nb.",)], "text string")
+    out = df.select(
+        c4_kept_lines("text").alias("k"),
+    ).select(
+        F.array_join("k", "\n").alias("cleaned"),
+        F.size("k").alias("n"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow, codegen'd column kit

@@ -457,6 +457,50 @@ _HTML_ENTITIES = [
 ]
 
 
+def c4_kept_lines(col: Column | str, min_words: int = 3) -> Column:
+    """C4 line filter (the public T5/C4 cleaning recipe): keep only
+    lines that end in a terminal punctuation mark (``. ! ? "``) and
+    contain at least ``min_words`` whitespace-separated words. Returns
+    the KEPT-LINE ARRAY (callers take ``size`` for the count and
+    ``array_join(…, '\\n')`` for the cleaned text, without recomputing
+    the filter). Pure JVM higher-order function over ``split`` — no
+    Python, no shuffle, codegen'd linear per byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(c, "\n"),
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words),
+    )
+
+
+def c4_sentence_count(col: Column | str) -> Column:
+    """Terminal-punctuation count — the deterministic, SQL-matched
+    sentence proxy the C4 page gate uses (the paper ran a sentence
+    splitter; the count of ``. ! ?`` over the CLEANED text is the same
+    signal, exactly reproducible on any engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, r"[.!?]", ""))
+    ).cast("long")
+
+
+def c4_page_keep(
+    raw: Column | str, cleaned: Column | str, min_sentences: int = 5
+) -> Column:
+    """C4 page gate: drop any page mentioning "lorem ipsum" (placeholder
+    text), containing ``{`` (leaked code), or with fewer than
+    ``min_sentences`` sentences after line cleaning. Compose with
+    :func:`c4_kept_lines`; the three predicates are the document-level
+    half of the public C4 recipe (boilerplate-heavy and code-like pages
+    out, prose in)."""
+    r = F.col(raw) if isinstance(raw, str) else raw
+    return (
+        ~F.lower(r).contains("lorem ipsum")
+        & ~r.contains("{")
+        & (c4_sentence_count(cleaned) >= min_sentences)
+    )
+
+
 def strip_html(col: Column | str) -> Column:
     """Markup → text: drop <script>/<style> blocks WITH their contents,
     turn block-level tags into newlines (paragraph structure survives for

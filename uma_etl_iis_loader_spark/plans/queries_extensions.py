@@ -2349,6 +2349,38 @@ FROM (
             CROSS JOIN voc v
     GROUP BY doc_id
 ) lmq
+UNION ALL
+SELECT 'c4', CAST(doc_id AS BIGINT),
+       CAST(len(kept) AS BIGINT),
+       CAST(len(string_split(text, chr(10))) AS BIGINT),
+       CAST(length(cleaned)
+            - length(regexp_replace(cleaned, '[.!?]', '', 'g')) AS BIGINT),
+       CAST(CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{{')
+                  AND length(cleaned)
+                      - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+             THEN 1 ELSE 0 END AS BIGINT),
+       cleaned
+FROM (
+    SELECT doc_id, text, kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+    FROM (
+        SELECT doc_id, text,
+               list_filter(
+                   string_split(text, chr(10)),
+                   ln -> regexp_matches(trim(ln), '[.!?"]$')
+                         AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+               ) AS kept
+        FROM (
+            SELECT doc_id,
+                   concat(replace(text, ' value ', '.' || chr(10)),
+                          CASE WHEN doc_id % 7 = 0 THEN ' {{' ELSE '' END,
+                          CASE WHEN doc_id % 11 = 0 THEN ' Lorem Ipsum'
+                               ELSE '' END) AS text
+            FROM documents WHERE text IS NOT NULL
+        )
+    )
+)
 """
 
 
@@ -2460,9 +2492,46 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("k4"),
         F.lit(None).cast("string").alias("txt"),
     )
+    # 'c4' rows: the public T5/C4 cleaning recipe (functions/text
+    # c4_kept_lines + c4_page_keep) over a line-structured corpus
+    # synthesized DETERMINISTICALLY from the fixture (word 'value' →
+    # sentence boundary; '{' / 'Lorem Ipsum' markers injected by
+    # doc_id residue so the page gates actually fire). k1 = lines
+    # kept, k2 = lines total, k3 = sentence count over the cleaned
+    # text, k4 = page keep flag, txt = the cleaned text itself —
+    # the whole filter output is hash-adjudicated. Pure JVM
+    # higher-order functions; zero shuffles in this subtree.
+    from ..functions.text import c4_kept_lines, c4_page_keep, c4_sentence_count
+
+    c4_src = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " value ", ".\n"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" {")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" Lorem Ipsum")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    c4_mid = c4_src.select(
+        "doc_id",
+        "text",
+        c4_kept_lines("text").alias("kept"),
+    ).withColumn("cleaned", F.array_join("kept", "\n"))
+    c4 = c4_mid.select(
+        F.lit("c4").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("kept").cast("long").alias("k1"),
+        F.size(F.split("text", "\n")).cast("long").alias("k2"),
+        c4_sentence_count("cleaned").alias("k3"),
+        c4_page_keep("text", "cleaned").cast("long").alias("k4"),
+        F.col("cleaned").alias("txt"),
+    )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
-        .unionByName(bpe).unionByName(lm_rows)
+        .unionByName(bpe).unionByName(lm_rows).unionByName(c4)
     )
 
 
