@@ -573,3 +573,70 @@ def test_c4_zero_shuffle_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow, codegen'd column kit
+
+
+# --- Gopher quality rules ---
+
+
+def _gopher_row(spark, text):
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import (
+        gopher_keep,
+        gopher_metrics,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        gopher_metrics("text").alias("m"),
+    ).select("m.*", gopher_keep(F.col("m")).alias("keep")).collect()[0]
+
+
+def test_gopher_metrics_counts(spark):
+    text = "\n".join(
+        [
+            "the cat sat on the mat with a hat and that",  # stopwords
+            "the cat sat on the mat with a hat and that",  # dup line
+            "- bullet line here",
+            "trailing ellipsis line...",
+            "plain prose line to have some body of text",
+        ]
+    )
+    r = _gopher_row(spark, text)
+    assert r["n_words"] == 38  # 11 + 11 + 4 + 3 + 9
+    # 'the be to of and that have with' -> the, with, and, that, have, to? text has: the, with, and, that, to(no), have(yes in last line)
+    assert r["stop_hits"] >= 4
+    assert r["bullet_frac_q6"] == 200000   # 1/5
+    assert r["ellipsis_frac_q6"] == 200000  # 1/5
+    assert r["dup_line_frac_q6"] == 200000  # 1 - 4/5
+    # dup chars: the duplicated line occurs twice (2*43 chars)
+    line = "the cat sat on the mat with a hat and that"
+    total = len(text.replace("\n", ""))
+    import math
+
+    assert r["dup_char_frac_q6"] == round(2 * len(line) / total * 1e6)
+    assert r["alpha_frac_q6"] >= 900000
+    # too short for the 50-word floor -> dropped
+    assert not r["keep"]
+
+
+def test_gopher_keep_accepts_good_prose(spark):
+    good = " ".join(
+        "the quick brown fox jumps over that lazy dog to have fun with energy and grace of motion be swift".split()
+    )
+    text = "\n".join(f"{good} line {i}." for i in range(4))
+    r = _gopher_row(spark, text)
+    assert r["n_words"] >= 50
+    assert r["keep"]
+
+
+def test_gopher_rejects_symbol_and_dup_heavy(spark):
+    base = "the quick brown fox jumps over that lazy dog to have fun with grace"
+    # symbol-heavy: one '#' per word
+    hashy = " ".join("#" + w for w in (base + " ") * 5 == "" and [] or ((base + " ") * 5).split())
+    r = _gopher_row(spark, hashy)
+    assert r["symbol_ratio_q6"] > 100000 and not r["keep"]
+    # dup-heavy: same line 10x
+    dup = "\n".join([base + "."] * 10)
+    r2 = _gopher_row(spark, dup)
+    assert r2["dup_line_frac_q6"] == 900000 and not r2["keep"]

@@ -501,6 +501,123 @@ def c4_page_keep(
     )
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_metrics(col: Column | str) -> Column:
+    """Gopher/MassiveText quality metrics (the public DeepMind recipe —
+    the other canonical corpus filter next to :func:`c4_kept_lines`):
+    a STRUCT of per-document signals, each either an exact count or a
+    ratio of exact counts quantized to 1e-6 (ratios of integers divide
+    identically in IEEE double on every engine, so the quantized values
+    are hash-stable cross-engine):
+
+    - ``n_words``, ``mean_wlen_q6`` — word count, mean word length
+    - ``alpha_frac_q6`` — fraction of words containing a letter
+    - ``stop_hits`` — how many of the 8 Gopher stop words appear
+    - ``symbol_ratio_q6`` — (# chars + '...' occurrences) / words
+    - ``bullet_frac_q6`` / ``ellipsis_frac_q6`` — lines starting with a
+      bullet / ending with an ellipsis
+    - ``dup_line_frac_q6`` — 1 − distinct/total lines
+    - ``dup_char_frac_q6`` — chars in lines occurring ≥2× / line chars
+      (quadratic in lines-per-doc via nested ``filter`` — JVM-side and
+      fine at real line counts; the banded dedup operators are the
+      cross-document path)
+
+    All higher-order array expressions over one ``split`` — zero
+    shuffles, zero Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words).cast("long")
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    q6 = lambda x: F.round(x * 1e6, 0).cast("long")  # noqa: E731
+    mean_wlen = F.when(n_words > 0, sum_wlen / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array([F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
+    )
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda ln: F.size(F.filter(lines, lambda x: x == ln)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, ln: a + F.length(ln),
+    )
+    dup_char_frac = F.when(
+        line_chars > 0, dup_chars / line_chars
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n_words.alias("n_words"),
+        q6(mean_wlen).alias("mean_wlen_q6"),
+        q6(alpha_frac).alias("alpha_frac_q6"),
+        stop_hits.alias("stop_hits"),
+        q6(symbol_ratio).alias("symbol_ratio_q6"),
+        q6(bullet_frac).alias("bullet_frac_q6"),
+        q6(ellipsis_frac).alias("ellipsis_frac_q6"),
+        q6(dup_line_frac).alias("dup_line_frac_q6"),
+        q6(dup_char_frac).alias("dup_char_frac_q6"),
+    )
+
+
+def gopher_keep(metrics: Column) -> Column:
+    """The Gopher page gate over :func:`gopher_metrics` (public paper
+    thresholds): 50 ≤ words ≤ 100k, mean word length in [3, 10],
+    symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis lines,
+    ≥ 80% alphabetic words, ≥ 2 stop words, duplicate-line fraction
+    ≤ 0.30, duplicate-line char fraction ≤ 0.20."""
+    m = metrics
+    return (
+        (m.n_words >= 50)
+        & (m.n_words <= 100_000)
+        & (m.mean_wlen_q6 >= 3_000_000)
+        & (m.mean_wlen_q6 <= 10_000_000)
+        & (m.symbol_ratio_q6 <= 100_000)
+        & (m.bullet_frac_q6 <= 900_000)
+        & (m.ellipsis_frac_q6 <= 300_000)
+        & (m.alpha_frac_q6 >= 800_000)
+        & (m.stop_hits >= 2)
+        & (m.dup_line_frac_q6 <= 300_000)
+        & (m.dup_char_frac_q6 <= 200_000)
+    )
+
+
 def strip_html(col: Column | str) -> Column:
     """Markup → text: drop <script>/<style> blocks WITH their contents,
     turn block-level tags into newlines (paragraph structure survives for

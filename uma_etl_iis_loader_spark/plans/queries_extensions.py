@@ -2381,6 +2381,80 @@ FROM (
         )
     )
 )
+UNION ALL
+SELECT 'gopher', CAST(doc_id AS BIGINT),
+       n_words, mean_wlen_q6, stop_hits,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND mean_wlen_q6 BETWEEN 3000000 AND 10000000
+                  AND symbol_ratio_q6 <= 100000
+                  AND bullet_frac_q6 <= 900000
+                  AND ellipsis_frac_q6 <= 300000
+                  AND alpha_frac_q6 >= 800000
+                  AND stop_hits >= 2
+                  AND dup_line_frac_q6 <= 300000
+                  AND dup_char_frac_q6 <= 200000
+             THEN 1 ELSE 0 END AS BIGINT),
+       concat_ws(':', alpha_frac_q6, symbol_ratio_q6, bullet_frac_q6,
+                 ellipsis_frac_q6, dup_line_frac_q6, dup_char_frac_q6)
+FROM (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(round(CASE WHEN len(words) > 0 THEN
+                    CAST(coalesce(list_sum(list_transform(words,
+                         w -> length(w))), 0) AS DOUBLE) / len(words)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS mean_wlen_q6,
+           CAST(round(CASE WHEN len(words) > 0 THEN
+                    CAST(len(list_filter(words,
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                    / len(words)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS alpha_frac_q6,
+           CAST(len(list_intersect(
+                list_distinct(list_transform(words, w -> lower(w))),
+                ['the','be','to','of','and','that','have','with']
+           )) AS BIGINT) AS stop_hits,
+           CAST(round(CASE WHEN len(words) > 0 THEN
+                    (CAST(length(text) - length(replace(text, '#', ''))
+                          AS DOUBLE)
+                     + CAST(length(text) - length(replace(text, '...', ''))
+                            AS DOUBLE) / 3)
+                    / len(words)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS symbol_ratio_q6,
+           CAST(round(CASE WHEN len(lines) > 0 THEN
+                    CAST(len(list_filter(lines,
+                         ln -> regexp_matches(trim(ln), '^[-*•]')))
+                         AS DOUBLE) / len(lines)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS bullet_frac_q6,
+           CAST(round(CASE WHEN len(lines) > 0 THEN
+                    CAST(len(list_filter(lines,
+                         ln -> regexp_matches(trim(ln), '\\.\\.\\.$')))
+                         AS DOUBLE) / len(lines)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS ellipsis_frac_q6,
+           CAST(round(CASE WHEN len(lines) > 0 THEN
+                    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                          / len(lines)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS dup_line_frac_q6,
+           CAST(round(CASE WHEN coalesce(list_sum(list_transform(lines,
+                         ln -> length(ln))), 0) > 0 THEN
+                    CAST(coalesce(list_sum(list_transform(
+                         list_filter(lines,
+                             ln -> len(list_filter(lines, x -> x = ln)) > 1),
+                         ln -> length(ln))), 0) AS DOUBLE)
+                    / list_sum(list_transform(lines, ln -> length(ln)))
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS dup_char_frac_q6
+    FROM (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM (
+            SELECT doc_id,
+                   concat(replace(text, ' value ', '.' || chr(10)),
+                          CASE WHEN doc_id % 7 = 0 THEN ' {{' ELSE '' END,
+                          CASE WHEN doc_id % 11 = 0 THEN ' Lorem Ipsum'
+                               ELSE '' END) AS text
+            FROM documents WHERE text IS NOT NULL
+        )
+    )
+)
 """
 
 
@@ -2529,9 +2603,38 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4_page_keep("text", "cleaned").cast("long").alias("k4"),
         F.col("cleaned").alias("txt"),
     )
+    # 'gopher' rows: the Gopher/MassiveText quality gate
+    # (functions/text.gopher_metrics + gopher_keep) over the same
+    # line-structured corpus as the c4 rows. Every metric is an exact
+    # count or a 1e-6-quantized ratio of exact counts, so the oracle
+    # recomputes ALL of them bit-for-bit: k1=n_words, k2=mean word
+    # length (q6), k3=stop-word hits, k4=page keep flag, txt=the six
+    # remaining q6 metrics joined ':'. Zero shuffles in this subtree.
+    from ..functions.text import gopher_keep, gopher_metrics
+
+    gopher = c4_src.select(
+        "doc_id", gopher_metrics("text").alias("m")
+    ).select(
+        F.lit("gopher").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("m.n_words").alias("k1"),
+        F.col("m.mean_wlen_q6").alias("k2"),
+        F.col("m.stop_hits").alias("k3"),
+        gopher_keep(F.col("m")).cast("long").alias("k4"),
+        F.concat_ws(
+            ":",
+            F.col("m.alpha_frac_q6"),
+            F.col("m.symbol_ratio_q6"),
+            F.col("m.bullet_frac_q6"),
+            F.col("m.ellipsis_frac_q6"),
+            F.col("m.dup_line_frac_q6"),
+            F.col("m.dup_char_frac_q6"),
+        ).alias("txt"),
+    )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
         .unionByName(bpe).unionByName(lm_rows).unionByName(c4)
+        .unionByName(gopher)
     )
 
 
