@@ -640,3 +640,60 @@ def test_gopher_rejects_symbol_and_dup_heavy(spark):
     dup = "\n".join([base + "."] * 10)
     r2 = _gopher_row(spark, dup)
     assert r2["dup_line_frac_q6"] == 900000 and not r2["keep"]
+
+
+# --- n-gram repetition metrics (operators/repetition) ---
+
+
+def test_repetition_metrics_planted(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    spammy = " ".join(["buy now"] * 10)            # one dominant 2-gram
+    fiver = "a b c d e " * 3 + "unique tail here"  # repeated 5-gram
+    clean = "every word here appears exactly once in this document"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [spammy, fiver, clean, None],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r for r in repetition_metrics(docs).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # NULL text dropped
+    # doc 1: 'now buy' x9 and 'buy now' x10 - top = 10*7=70 chars of 89
+    assert rows[1]["n_chars"] == len(spammy)
+    assert rows[1]["top_frac_q6"] == round(70 / len(spammy) * 1e6)
+    # doc 3: no repeated gram at all
+    assert rows[3]["top_frac_q6"] <= round(
+        max(len(a) + len(b) + 1 for a, b in zip(clean.split(), clean.split()[1:]))
+        / len(clean) * 1e6
+    )
+    assert rows[3]["dup_frac_q6"] == 0
+    # doc 2: 'a b c d e' occurs 3x (9 chars) plus the overlapping
+    # rotations 'b c d e a' x2, 'c d e a b' x2, 'd e a b c' x2,
+    # 'e a b c d' x2 -> dup_score = 3*9 + 4*(2*9) = 99 of n_chars
+    assert rows[2]["dup_frac_q6"] == round(
+        min(99 / rows[2]["n_chars"], 1.0) * 1e6
+    )
+
+
+def test_repetition_metrics_short_docs_zero(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["one", ""]})
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["top_frac_q6"] == 0 and rows[1]["dup_frac_q6"] == 0
+    assert rows[2]["top_frac_q6"] == 0 and rows[2]["dup_frac_q6"] == 0

@@ -2455,6 +2455,45 @@ FROM (
         )
     )
 )
+UNION ALL
+SELECT 'repgram', CAST(r.doc_id AS BIGINT), r.n_chars,
+       r.top_frac_q6, r.dup_frac_q6, NULL, CAST(NULL AS VARCHAR)
+FROM (
+    WITH w AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g2 AS (
+        SELECT doc_id, concat_ws(' ', words[i], words[i+1]) AS gram
+        FROM w, unnest(range(1, greatest(len(words) - 1, 0) + 1)) u(i)
+    ),
+    g5 AS (
+        SELECT doc_id, concat_ws(' ', words[i], words[i+1], words[i+2],
+                                 words[i+3], words[i+4]) AS gram
+        FROM w, unnest(range(1, greatest(len(words) - 4, 0) + 1)) u(i)
+    ),
+    c2 AS (
+        SELECT doc_id, max(cnt * length(gram)) AS top_score
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    c5 AS (
+        SELECT doc_id,
+               sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END)
+                   AS dup_score
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT w.doc_id, w.n_chars,
+           CAST(round(CASE WHEN n_chars > 0
+                THEN coalesce(top_score, 0) / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS top_frac_q6,
+           CAST(round(least(CASE WHEN n_chars > 0
+                THEN coalesce(dup_score, 0) / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END, 1.0) * 1e6, 0) AS BIGINT) AS dup_frac_q6
+    FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+) r
 """
 
 
@@ -2631,10 +2670,27 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.dup_char_frac_q6"),
         ).alias("txt"),
     )
+    # 'repgram' rows: the n-gram half of the Gopher repetition rules
+    # (operators/repetition.repetition_metrics — explode + two partial
+    # aggs, the scalable shape; the line-level half lives in the gopher
+    # rows above). k1=n_chars, k2=top-2-gram char fraction (q6),
+    # k3=dup-5-gram char fraction (q6, capped proxy), all
+    # hash-adjudicated against a DuckDB unnest+group recomputation.
+    from ..operators.repetition import repetition_metrics
+
+    repgram = repetition_metrics(docs).select(
+        F.lit("repgram").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").alias("k1"),
+        F.col("top_frac_q6").alias("k2"),
+        F.col("dup_frac_q6").alias("k3"),
+        null_l.alias("k4"),
+        F.lit(None).cast("string").alias("txt"),
+    )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
         .unionByName(bpe).unionByName(lm_rows).unionByName(c4)
-        .unionByName(gopher)
+        .unionByName(gopher).unionByName(repgram)
     )
 
 
