@@ -524,3 +524,37 @@ def test_canonical_per_cluster_plan_partial_agg(spark):
     # the exchange) and nothing may cartesian
     assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_deduplicate_corpus_with_scores_keeps_best(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dedup import deduplicate_corpus
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 9],
+                "text": ["dup a", "dup b", "dup c", "loner"],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 9], "q": [0.1, 0.9, 0.5, 0.2]})
+    )
+    # default: min id survives
+    kept_min = {
+        r["doc_id"] for r in deduplicate_corpus(docs, pairs).collect()
+    }
+    assert kept_min == {1, 9}
+    # scored: the best-quality member survives instead
+    kept_best = {
+        r["doc_id"]
+        for r in deduplicate_corpus(
+            docs, pairs, scores=scores, score_col="q"
+        ).collect()
+    }
+    assert kept_best == {2, 9}

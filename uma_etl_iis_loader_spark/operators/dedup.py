@@ -703,12 +703,19 @@ def deduplicate_corpus(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    scores: DataFrame | None = None,
+    score_col: str = "score",
 ) -> DataFrame:
     """Apply a near-dup pair set to a corpus: keep ONE survivor per
-    connected component (the min id — same deterministic pick as
-    exact_dedup) plus every document in no pair at all. This is the
-    end-state a dedup pipeline writes; the pair generators above
+    connected component plus every document in no pair at all. This is
+    the end-state a dedup pipeline writes; the pair generators above
     (Jaccard / MinHash-LSH / SimHash / embedding-cosine) are its input.
+
+    Survivor pick: min id by default (same deterministic rule as
+    exact_dedup); pass ``scores`` — an (id_col, score_col) frame, e.g.
+    ``functions.text.quality_score`` output — to keep the HIGHEST-scored
+    member instead (via :func:`canonical_per_cluster`, tie → min id),
+    so dedup never discards the cleanest copy.
 
     One anti-join against the non-survivor set (|paired docs| −
     |components|). Join strategy is left to AQE: on lightly-duplicated
@@ -717,9 +724,18 @@ def deduplicate_corpus(
     broadcast here would OOM the driver exactly when dedup matters most.
     """
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
-    )
+    if scores is None:
+        losers = comps.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = (
+            canonical_per_cluster(
+                comps, scores, id_col=id_col, score_col=score_col
+            )
+            .filter(~F.col("is_canonical"))
+            .select(F.col("node").alias(id_col))
+        )
     return docs.join(losers, id_col, "left_anti")
 
 
