@@ -2516,6 +2516,12 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'lm_ppl' rows (operators/lm): k1=trigrams scored, k2=total
       log-prob in exact 1e-4 units (decimal-quantized smoothing
       arithmetic, fully hash-adjudicated).
+    - 'c4' rows (functions/text c4_* kit): k1/k2=lines kept/total,
+      k3=sentence count, k4=page keep flag, txt=the cleaned text.
+    - 'gopher' rows (functions/text gopher_metrics): k1=words, k2=mean
+      word length (q6), k3=stop hits, k4=keep flag, txt=six q6 ratios.
+    - 'repgram' rows (operators/repetition): k1=n_chars, k2=top-2-gram
+      char fraction (q6), k3=dup-5-gram char fraction (q6).
 
     The union is lazy and each subtree independent — Spark executes the
     four plans side by side; no cross-family shuffle is introduced.
