@@ -300,3 +300,63 @@ def test_occupancy_stream_equals_batch(spark):
     # spot-check semantics: Monday week-1 room 501-2 holds both groups
     monday = {key(r): r.groups for r in batch}
     assert monday[("Понедельник", 1, 28800, 33600, 10)] == ["g1", "g2"]
+
+
+def test_c4_gopher_kits_stream_equals_batch(spark, sf_dir):
+    """The C4/Gopher cleaning kits are stateless narrow projections —
+    they must run UNCHANGED on a stream and emit exactly the batch
+    result (append mode, no watermark needed)."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import (
+        c4_kept_lines,
+        c4_page_keep,
+        gopher_keep,
+        gopher_metrics,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    # line-structure the corpus the same way the llm_prep_ops rows do
+    src = docs.select(
+        "doc_id", F.regexp_replace("text", " value ", ".\n").alias("text")
+    )
+    d = _tf.mkdtemp(prefix="docs_stream_")
+    src.repartition(3).write.mode("overwrite").parquet(d)
+
+    def kit(df):
+        return df.select(
+            "doc_id",
+            F.size(c4_kept_lines("text")).alias("n_kept"),
+            c4_page_keep(
+                "text", F.array_join(c4_kept_lines("text"), "\n")
+            ).alias("c4_keep"),
+            gopher_metrics("text").alias("m"),
+        ).select(
+            "doc_id", "n_kept", "c4_keep",
+            F.col("m.n_words").alias("n_words"),
+            gopher_keep(F.col("m")).alias("g_keep"),
+        )
+
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    q = (
+        kit(stream)
+        .writeStream.format("memory")
+        .queryName("c4_gopher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_kept"], r["c4_keep"], r["n_words"], r["g_keep"])
+        for r in spark.sql("SELECT * FROM c4_gopher_stream").collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_kept"], r["c4_keep"], r["n_words"], r["g_keep"])
+        for r in kit(src).collect()
+    }
+    assert got == batch and len(got) > 0
