@@ -558,3 +558,58 @@ def test_deduplicate_corpus_with_scores_keeps_best(spark):
         ).collect()
     }
     assert kept_best == {2, 9}
+
+
+def test_dedup_sentence_spans_c4(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dedup import dedup_sentence_spans
+
+    A = "s1. s2. s3"
+    B = "t1. t2. t3"
+    C = "u1. u2. u3"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [f"{A}. {B}", f"{B}. {C}", f"{A}. {B}"],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in dedup_sentence_spans(docs).collect()}
+    # doc 1 is first everywhere: keeps both spans, text unchanged
+    assert rows[1]["text"] == f"{A}. {B}"
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_spans_kept"] == 2
+    # doc 2: span B already seen in doc 1 -> only C survives
+    assert rows[2]["text"] == C
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_spans_kept"] == 1
+    # doc 3 duplicates doc 1 entirely -> nothing survives
+    assert rows[3]["text"] == "" and rows[3]["n_spans_kept"] == 0
+    # ragged tail (< span sentences) is a chunk of its own
+    docs2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": ["a. b. c. d"]})
+    )
+    r7 = dedup_sentence_spans(docs2).collect()[0]
+    assert r7["n_spans"] == 2 and r7["text"] == "a. b. c. d"
+
+
+def test_dedup_sentence_spans_deterministic_first(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dedup import dedup_sentence_spans
+
+    # same span in many docs under heavy parallelism: the SMALLEST
+    # doc_id must keep it, every time
+    span = "x1. x2. x3"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(range(20)), "text": [span] * 20}
+        )
+    ).repartition(8)
+    for _ in range(2):
+        rows = {
+            r["doc_id"]: r["n_spans_kept"]
+            for r in dedup_sentence_spans(docs).collect()
+        }
+        assert rows[0] == 1
+        assert all(v == 0 for k, v in rows.items() if k > 0)

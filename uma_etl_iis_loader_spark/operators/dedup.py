@@ -34,7 +34,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import char_ngrams, fingerprint, word_ngrams
@@ -784,6 +784,76 @@ def canonical_per_cluster(
         "keep_id",
         (F.col("node") == F.col("keep_id")).alias("is_canonical"),
     )
+
+
+def dedup_sentence_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """Corpus-wide sentence-span deduplication — the OTHER half of the
+    public C4 recipe (``functions/text.c4_kept_lines`` is the per-page
+    line filter; this is the global "remove all but one occurrence of
+    any three-sentence span" pass): split each document into sentences
+    at the deterministic ``'. '`` boundary, group consecutive sentences
+    into NON-overlapping ``span``-sized chunks, keep only the FIRST
+    occurrence of each chunk text corpus-wide (first = smallest
+    (doc_id, chunk_idx) — deterministic under any partitioning), and
+    reassemble each document from its surviving chunks in order.
+    Returns (id, text, n_spans, n_spans_kept); documents whose every
+    span was seen earlier come back with empty text (callers filter).
+
+    Sentence/segment normalization is documented convention: chunks
+    rejoin with ``'. '``, so runs of other whitespace around sentence
+    boundaries do not survive — same contract as the TFDS C4
+    implementation, which operates on sentence lists, not raw offsets.
+
+    Scale shape: spans EXPLODE (rows ∝ corpus sentences / span); first
+    occurrence is a row_number window PARTITIONED BY the span key (an
+    8-byte ``xxhash64``, so the wide shuffles move hashes, not span
+    strings — the repeated_passages recipe); reassembly is one
+    partial-agg'able sort-struct collect per doc. No driver
+    participation anywhere."""
+    sents = F.split(F.col(text_col), r"\. ")
+    n_chunks = F.ceil(F.size(sents) / F.lit(span)).cast("int")
+    chunks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    ". ", F.slice(sents, i * span + 1, span)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy(F.xxhash64("chunk_text")).orderBy(
+        "__id", "chunk_idx"
+    )
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__first", F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.groupBy("__id").agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__first"),
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s.chunk_text,
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__first").cast("long")).alias("n_spans_kept"),
+    ).withColumnRenamed("__id", id_col)
 
 
 def connected_components_star(

@@ -2494,6 +2494,39 @@ FROM (
                 ELSE 0.0 END, 1.0) * 1e6, 0) AS BIGINT) AS dup_frac_q6
     FROM w LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
 ) r
+UNION ALL
+SELECT 'span_dedup', CAST(doc_id AS BIGINT), n_spans, kept, NULL, NULL, txt
+FROM (
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'shared span one. shared span two. shared span three. '
+                         || replace(text, ' table ', '. ')
+                    ELSE replace(text, ' table ', '. ') END AS text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sent AS (
+        SELECT doc_id, string_split(text, '. ') AS sents FROM src
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+               array_to_string(sents[u.i*3+1 : u.i*3+3], '. ') AS chunk_text
+        FROM sent,
+             unnest(range(0, CAST(ceil(len(sents) / 3.0) AS BIGINT))) u(i)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+        ) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               '. ' ORDER BY chunk_idx), '') AS txt
+    FROM ranked GROUP BY doc_id
+)
 """
 
 
@@ -2522,6 +2555,8 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       word length (q6), k3=stop hits, k4=keep flag, txt=six q6 ratios.
     - 'repgram' rows (operators/repetition): k1=n_chars, k2=top-2-gram
       char fraction (q6), k3=dup-5-gram char fraction (q6).
+    - 'span_dedup' rows (operators/dedup.dedup_sentence_spans):
+      k1/k2=spans total/kept, txt=the reassembled deduped text.
 
     The union is lazy and each subtree independent — Spark executes the
     four plans side by side; no cross-family shuffle is introduced.
@@ -2693,10 +2728,40 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("k4"),
         F.lit(None).cast("string").alias("txt"),
     )
+    # 'span_dedup' rows: C4's corpus-wide three-sentence-span dedup
+    # (operators/dedup.dedup_sentence_spans) over a sentence-structured
+    # corpus synthesized deterministically from the fixture (word
+    # 'table' → sentence boundary) with a SHARED leading span planted
+    # on every doc_id % 3 == 0 — so first-occurrence-wins is exercised
+    # corpus-wide and the oracle pins exactly which doc keeps it.
+    # k1=n_spans, k2=n_spans_kept, txt=the reassembled text.
+    from ..operators.dedup import dedup_sentence_spans
+
+    shared = "shared span one. shared span two. shared span three. "
+    span_src = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(shared), F.regexp_replace("text", " table ", ". ")
+            ),
+        )
+        .otherwise(F.regexp_replace("text", " table ", ". "))
+        .alias("text"),
+    )
+    span_rows = dedup_sentence_spans(span_src).select(
+        F.lit("span_dedup").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("k1"),
+        F.col("n_spans_kept").cast("long").alias("k2"),
+        null_l.alias("k3"),
+        null_l.alias("k4"),
+        F.col("text").alias("txt"),
+    )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
         .unionByName(bpe).unionByName(lm_rows).unionByName(c4)
-        .unionByName(gopher).unionByName(repgram)
+        .unionByName(gopher).unionByName(repgram).unionByName(span_rows)
     )
 
 
