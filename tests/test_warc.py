@@ -1,0 +1,102 @@
+"""WARC ingest rung: real parse path, gzip members, error isolation."""
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from uma_etl_iis_loader_spark.operators.warc import (
+    _synthetic_records,
+    encode_warc,
+    encode_warc_gz,
+    parse_warc,
+    synthesize_warc_assets,
+    warc_records,
+)
+
+
+def test_warc_round_trip_plain_and_gz():
+    recs = [
+        ("response", "http://a/1", b"hello world"),
+        ("request", "http://a/2", b""),
+        ("response", "http://a/3", b"x" * 1000),
+    ]
+    for enc in (encode_warc, encode_warc_gz):
+        got = parse_warc(enc(recs))
+        assert [(r["warc_type"], r["target_uri"], r["payload"]) for r in got] == [
+            (t, u, p) for t, u, p in recs
+        ]
+        assert [r["content_length"] for r in got] == [11, 0, 1000]
+
+
+def test_warc_payload_may_contain_crlf_and_warc_marker():
+    # Content-Length framing means the BODY can contain anything,
+    # including the record marker itself
+    tricky = b"WARC/1.0\r\n\r\nnot a real record\r\n\r\n"
+    got = parse_warc(encode_warc([("response", "http://t", tricky)]))
+    assert len(got) == 1 and got[0]["payload"] == tricky
+
+
+def test_warc_malformed_raises():
+    with pytest.raises(ValueError, match="marker"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    # truncated body
+    good = encode_warc([("response", "http://t", b"abcdef")])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(good[:-10])
+    # corrupt gzip
+    gz = encode_warc_gz([("response", "http://t", b"abc")])
+    with pytest.raises(Exception):
+        parse_warc(gz[:8] + b"\x00\x00\x00\x00" + gz[12:])
+
+
+def test_gzip_members_concatenate():
+    # each record its own member; parse sees them all
+    a = encode_warc_gz([("response", "http://a", b"one")])
+    b = encode_warc_gz([("response", "http://b", b"two")])
+    got = parse_warc(a + b)
+    assert [r["payload"] for r in got] == [b"one", b"two"]
+
+
+def test_warc_records_kernel(spark):
+    ids = spark.range(12).withColumnRenamed("id", "asset_id")
+    for gz in (False, True):
+        rows = warc_records(
+            synthesize_warc_assets(ids, gz=gz)
+        ).collect()
+        ok = [r for r in rows if r["parse_error"] is None]
+        assert len(ok) == sum(1 + i % 3 for i in range(12))
+        for r in ok:
+            i, x = r["asset_id"], r["record_idx"]
+            want = _synthetic_records(i)[x]
+            assert r["target_uri"] == want[1]
+            assert r["content_length"] == len(want[2])
+            assert r["text"] == want[2].decode()
+
+
+def test_warc_records_error_isolation(spark):
+    import pandas as pd
+
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2],
+                "payload": [
+                    encode_warc([("response", "http://ok", b"fine")]),
+                    b"garbage bytes",
+                ],
+            }
+        )
+    )
+    rows = {r["asset_id"]: r for r in warc_records(assets).collect()}
+    assert rows[1]["parse_error"] is None and rows[1]["text"] == "fine"
+    assert rows[2]["parse_error"] is not None
+
+
+def test_warc_kernel_zero_shuffles(spark):
+    ids = spark.range(4).withColumnRenamed("id", "asset_id")
+    plan = (
+        warc_records(synthesize_warc_assets(ids))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

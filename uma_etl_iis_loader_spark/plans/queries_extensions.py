@@ -498,6 +498,17 @@ FROM (
     WHERE f.i < b.nf AND r.i < b.h AND c.i < b.w
     GROUP BY 1, 2, 3
 ) p
+UNION ALL
+SELECT 'warc', w.doc_id, CAST(w.r AS INT), NULL, NULL,
+       CAST(length(w.body) AS INT),
+       concat('response', ':', 'http://example.com/', w.doc_id, '/', w.r,
+              ':', w.body)
+FROM (
+    SELECT d.doc_id, u.r,
+           repeat('doc-' || d.doc_id || '-rec-' || u.r || ' ', u.r + 1)
+               AS body
+    FROM documents d, unnest(range(0, 1 + d.doc_id % 3)) u(r)
+) w
 """
 
 
@@ -814,6 +825,23 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_i.alias("n_bytes"),
         F.concat_ws(":", "kind", F.col("metric_sum")).alias("tag"),
     )
+    # 'warc' rows: the REAL WARC/1.0 ingest path (operators/warc) —
+    # per-record gzip members inflated, headers parsed, Content-Length
+    # framing honored; record type, URI, byte count AND body text are
+    # oracle-recomputed from the synthesis formulas.
+    from ..operators.warc import synthesize_warc_assets, warc_records
+
+    warc_rows = warc_records(
+        synthesize_warc_assets(aud_ids, gz=True)
+    ).select(
+        F.lit("warc").alias("op"),
+        "asset_id",
+        F.col("record_idx").alias("idx"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        F.col("content_length").cast("int").alias("n_bytes"),
+        F.concat_ws(":", "warc_type", "target_uri", "text").alias("tag"),
+    )
     return (
         stats.unionByName(frames)
         .unionByName(resized)
@@ -827,6 +855,7 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mjpeg)
         .unionByName(dhash_rows)
         .unionByName(mixed)
+        .unionByName(warc_rows)
     )
 
 
