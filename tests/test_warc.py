@@ -100,3 +100,61 @@ def test_warc_kernel_zero_shuffles(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_crawl_to_corpus_pipeline_end_to_end(spark):
+    """The whole crawl-ingest story in one Catalyst plan: .warc.gz
+    archives → records → HTML strip → C4 line filter + page gates.
+    Every stage is individually adjudicated elsewhere; this pins the
+    COMPOSITION (schemas line up, filters compose, one plan)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.functions.text import (
+        c4_kept_lines,
+        c4_page_keep,
+        strip_html,
+    )
+
+    good_html = (
+        "<html><body>"
+        + "".join(
+            f"<p>This is sentence number {i} of the good page.</p>"
+            for i in range(6)
+        )
+        + "</body></html>"
+    )
+    junk_html = "<html><script>var x = {a: 1};</script><p>hi.</p></html>"
+    archives = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1],
+                "payload": [
+                    encode_warc_gz(
+                        [
+                            ("response", "http://good", good_html.encode()),
+                            ("response", "http://junk", junk_html.encode()),
+                        ]
+                    )
+                ],
+            }
+        )
+    )
+    recs = warc_records(archives).where(F.col("parse_error").isNull())
+    cleaned = recs.select(
+        "target_uri",
+        strip_html("text").alias("plain"),
+    ).select(
+        "target_uri",
+        F.array_join(c4_kept_lines("plain"), "\n").alias("cleaned"),
+    ).withColumn(
+        "keep", c4_page_keep(F.col("cleaned"), F.col("cleaned"))
+    )
+    rows = {r["target_uri"]: r for r in cleaned.collect()}
+    assert rows["http://good"]["keep"]
+    assert "sentence number 0" in rows["http://good"]["cleaned"]
+    assert not rows["http://junk"]["keep"]  # <3 sentences after strip
+    # single narrow plan: no exchange anywhere in the composition
+    plan = cleaned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
