@@ -128,3 +128,53 @@ def test_lm_score_invariant_under_repartitioning(spark, sf_dir):
         for r in score_perplexity(docs.repartition(17), lm).collect()
     }
     assert base == shuffled
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.lm import (
+        perplexity_buckets,
+        score_perplexity,
+        train_char_lm,
+    )
+
+    # 9 docs in two languages; scores come from the real LM so ordering
+    # is by the exact integer logp_q4
+    texts = {
+        i: ("the common phrase " * (1 + i % 3)) + f"tail {i}"
+        for i in range(9)
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": ["en"] * 6 + ["de"] * 3,
+            }
+        )
+    )
+    lm = train_char_lm(docs)
+    ppl = score_perplexity(docs, lm)
+    rows = perplexity_buckets(ppl, docs).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # en: 6 docs -> buckets of 2/2/2; de: 3 docs -> 1/1/1
+    from collections import Counter
+
+    assert Counter(r["bucket"] for r in by_lang["en"]) == {1: 2, 2: 2, 3: 2}
+    assert Counter(r["bucket"] for r in by_lang["de"]) == {1: 1, 2: 1, 3: 1}
+    # bucket 1 holds the highest logp (most fluent) docs per language
+    for lang, rs in by_lang.items():
+        b1 = min(r["logp_q4"] for r in rs if r["bucket"] == 1)
+        b3 = max(r["logp_q4"] for r in rs if r["bucket"] == 3)
+        assert b1 >= b3
+    # deterministic across partitionings
+    again = {
+        (r["doc_id"]): r["bucket"]
+        for r in perplexity_buckets(
+            ppl.repartition(13), docs.repartition(7)
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["bucket"] for r in rows}

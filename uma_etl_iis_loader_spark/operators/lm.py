@@ -173,3 +173,39 @@ def score_perplexity(
             F.exp(-F.col("s").cast("double") / F.col("n_grams")).alias("ppl"),
         )
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's signature head/middle/tail split (the public recipe):
+    within each language, rank documents by LM score and cut into
+    ``n_buckets`` equal groups — bucket 1 = most-fluent "head" the
+    pipeline trains on first. Ordering uses ``logp_q4`` DESC (the exact
+    integer log-prob from :func:`score_perplexity` — higher = more
+    probable = lower perplexity) with an ``id`` tie-break, so the
+    assignment is deterministic and engine-portable (float perplexity
+    ordering is not). Returns (id, lang, logp_q4, bucket).
+
+    Scale shape: one window per language partition — ntile streams over
+    the sorted partition with O(1) state; a dominant language makes one
+    big (but never materialized) partition, the same bound as every
+    per-group window in the engine. Nothing collected."""
+    from pyspark.sql import Window
+
+    ranked = scores.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("logp_q4").desc(), F.col(id_col)
+    )
+    return ranked.select(
+        id_col,
+        lang_col,
+        "logp_q4",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

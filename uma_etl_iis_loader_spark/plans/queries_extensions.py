@@ -2379,6 +2379,50 @@ FROM (
     GROUP BY doc_id
 ) lmq
 UNION ALL
+SELECT 'ccnet_bucket', CAST(b.doc_id AS BIGINT), CAST(b.bucket AS BIGINT),
+       CAST(b.logp_q4 AS BIGINT), NULL, NULL, b.lang
+FROM (
+    SELECT s.doc_id, d.lang, s.logp_q4,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.logp_q4 DESC, s.doc_id) AS bucket
+    FROM (
+    
+    WITH tr AS (
+        SELECT substr(text, 1, 512) AS t FROM documents
+        WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    ),
+    tri AS (
+        SELECT substr(t, u.i, 3) AS gram, count(*) AS c_tri
+        FROM (SELECT t FROM tr WHERE length(t) >= 3) s,
+             unnest(range(1, length(t) - 1)) u(i)
+        GROUP BY 1
+    ),
+    ctx AS (
+        SELECT substr(gram, 1, 2) AS ctx, sum(c_tri) AS c_ctx
+        FROM tri GROUP BY 1
+    ),
+    voc AS (
+        SELECT count(DISTINCT substr(t, u.i, 1)) AS v
+        FROM tr, unnest(range(1, length(t) + 1)) u(i)
+    ),
+    sc AS (
+        SELECT d.doc_id, substr(substr(d.text, 1, 512), u.i, 3) AS gram
+        FROM documents d,
+             unnest(range(1, length(substr(d.text, 1, 512)) - 1)) u(i)
+        WHERE d.text IS NOT NULL AND length(substr(d.text, 1, 512)) >= 3
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(round(sum(CAST(round(ln((coalesce(t.c_tri, 0) + 1.0)
+                                      / (coalesce(c.c_ctx, 0) + v.v)), 8)
+                               AS DECIMAL(20,8))), 4) * 10000 AS BIGINT)
+               AS logp_q4
+    FROM sc LEFT JOIN tri t USING (gram)
+            LEFT JOIN ctx c ON substr(sc.gram, 1, 2) = c.ctx
+            CROSS JOIN voc v
+    GROUP BY doc_id
+    ) s JOIN documents d USING (doc_id)
+) b
+UNION ALL
 SELECT 'c4', CAST(doc_id AS BIGINT),
        CAST(len(kept) AS BIGINT),
        CAST(len(string_split(text, chr(10))) AS BIGINT),
@@ -2586,6 +2630,8 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       char fraction (q6), k3=dup-5-gram char fraction (q6).
     - 'span_dedup' rows (operators/dedup.dedup_sentence_spans):
       k1/k2=spans total/kept, txt=the reassembled deduped text.
+    - 'ccnet_bucket' rows (operators/lm.perplexity_buckets): k1=the
+      per-language head/middle/tail bucket, k2=logp_q4, txt=lang.
 
     The union is lazy and each subtree independent — Spark executes the
     four plans side by side; no cross-family shuffle is introduced.
@@ -2663,10 +2709,15 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # units (per-gram decimal(20,8) quantization before the sum — the
     # BM25 stable-score recipe — so the hash adjudicates the full
     # smoothing arithmetic, not a float approximation).
-    from ..operators.lm import score_perplexity, train_char_lm
+    from ..operators.lm import (
+        perplexity_buckets,
+        score_perplexity,
+        train_char_lm,
+    )
 
     lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
-    lm_rows = score_perplexity(docs, lm).select(
+    ppl = score_perplexity(docs, lm)
+    lm_rows = ppl.select(
         F.lit("lm_ppl").alias("method"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_grams").cast("long").alias("k1"),
@@ -2674,6 +2725,19 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("k3"),
         null_l.alias("k4"),
         F.lit(None).cast("string").alias("txt"),
+    )
+    # 'ccnet_bucket' rows: CCNet's head/middle/tail perplexity split
+    # (operators/lm.perplexity_buckets) — per-language ntile(3) over
+    # the EXACT integer logp_q4 (DESC, id tie-break), so the bucket
+    # assignment is deterministic and fully hash-adjudicated.
+    bucket_rows = perplexity_buckets(ppl, docs).select(
+        F.lit("ccnet_bucket").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bucket").cast("long").alias("k1"),
+        F.col("logp_q4").cast("long").alias("k2"),
+        null_l.alias("k3"),
+        null_l.alias("k4"),
+        F.col("lang").alias("txt"),
     )
     # 'c4' rows: the public T5/C4 cleaning recipe (functions/text
     # c4_kept_lines + c4_page_keep) over a line-structured corpus
@@ -2789,7 +2853,8 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
-        .unionByName(bpe).unionByName(lm_rows).unionByName(c4)
+        .unionByName(bpe).unionByName(lm_rows).unionByName(bucket_rows)
+        .unionByName(c4)
         .unionByName(gopher).unionByName(repgram).unionByName(span_rows)
     )
 
