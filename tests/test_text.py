@@ -697,3 +697,31 @@ def test_repetition_metrics_short_docs_zero(spark):
     rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
     assert rows[1]["top_frac_q6"] == 0 and rows[1]["dup_frac_q6"] == 0
     assert rows[2]["top_frac_q6"] == 0 and rows[2]["dup_frac_q6"] == 0
+
+
+# --- URL canonicalization ---
+
+
+def test_canonicalize_url_rules(spark):
+    from uma_etl_iis_loader_spark.functions.text import canonicalize_url
+
+    cases = [
+        # fragment stripped, scheme+host lowered, path case kept
+        ("HTTPS://WWW.Ex.COM/Path/File#sec", "https://www.ex.com/Path/File"),
+        # default ports dropped, non-default kept
+        ("https://a.com:443/x", "https://a.com/x"),
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),
+        ("https://a.com:80/x", "https://a.com:80/x"),  # 80 not https default
+        # utm params dropped wherever they sit; order of others kept
+        ("http://a/p?utm_source=x&id=1&utm_b=2&z=3", "http://a/p?id=1&z=3"),
+        ("http://a/p?utm_a=1&utm_b=2", "http://a/p"),
+        ("http://a/p?id=1", "http://a/p?id=1"),
+        # no query, no fragment: unchanged
+        ("http://a/p", "http://a/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]

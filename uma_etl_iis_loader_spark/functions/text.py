@@ -501,6 +501,43 @@ def c4_page_keep(
     )
 
 
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL key for URL-level dedup — the standard first pass
+    before any content dedup (two crawls of one page must collide HERE,
+    not survive to MinHash). Deterministic rule chain, all JVM regex /
+    higher-order exprs, zero shuffle:
+
+    1. strip the fragment (``#…``);
+    2. lowercase scheme and authority (path/query case is significant);
+    3. drop explicit default ports (``https…:443``, ``http…:80``);
+    4. drop ``utm_*`` tracking params (split/filter/rejoin the query
+       string — handles any number of them, unlike chained regex
+       deletes which miss adjacent params);
+    5. drop a now-empty ``?``.
+
+    NOT done (documented): path normalization (``/a/../b``), percent-
+    decoding, param sorting — those change semantics on hostile servers;
+    this key under-merges rather than over-merges."""
+    c = F.col(col) if isinstance(col, str) else col
+    u0 = F.regexp_replace(c, "#.*$", "")
+    auth = F.regexp_extract(u0, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    rest = u0.substr(F.length(auth) + 1, F.length(u0))
+    auth = F.lower(auth)
+    auth = F.regexp_replace(auth, "^(https://[^/:]*):443$", "$1")
+    auth = F.regexp_replace(auth, "^(http://[^/:]*):80$", "$1")
+    u1 = F.concat(auth, rest)
+    base = F.regexp_replace(u1, r"\?.*$", "")
+    qs = F.regexp_extract(u1, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(qs, "&"), lambda p: ~p.startswith("utm_")
+    )
+    return F.when(qs == "", u1).otherwise(
+        F.when(F.size(kept) == 0, base).otherwise(
+            F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )
+
+
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -2600,6 +2600,53 @@ FROM (
                                '. ' ORDER BY chunk_idx), '') AS txt
     FROM ranked GROUP BY doc_id
 )
+UNION ALL
+SELECT 'url_canon', CAST(doc_id AS BIGINT), CAST(length(canon) AS BIGINT),
+       NULL, NULL, NULL, canon
+FROM (
+    SELECT doc_id,
+           CASE WHEN qs = '' THEN u1
+                WHEN len(kept) = 0 THEN base
+                ELSE base || '?' || array_to_string(kept, '&') END AS canon
+    FROM (
+        SELECT doc_id, u1, base, qs,
+               list_filter(string_split(qs, '&'),
+                           p -> NOT starts_with(p, 'utm_')) AS kept
+        FROM (
+            SELECT doc_id, u1,
+                   regexp_replace(u1, '\\?.*$', '') AS base,
+                   coalesce(regexp_extract(u1, '\\?(.*)$', 1), '') AS qs
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(lower(auth),
+                                          '^(https://[^/:]*):443$', '\\1'),
+                           '^(http://[^/:]*):80$', '\\1')
+                       || substr(u0, length(auth) + 1) AS u1
+                FROM (
+                    SELECT doc_id, u0,
+                           regexp_extract(u0,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
+                               AS auth
+                    FROM (
+                        SELECT doc_id,
+                               regexp_replace(url, '#.*$', '') AS u0
+                        FROM (
+                            SELECT doc_id,
+                                   'HTTPS://WWW.Site' || (doc_id % 7)
+                                   || '.COM:443/Path/' || doc_id
+                                   || CASE WHEN doc_id % 2 = 0
+                                        THEN '?utm_source=a&id=' || doc_id
+                                             || '&utm_b=2#frag'
+                                        ELSE '#top' END AS url
+                            FROM documents WHERE text IS NOT NULL
+                        )
+                    )
+                )
+            )
+        )
+    )
+)
 """
 
 
@@ -2632,6 +2679,8 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       k1/k2=spans total/kept, txt=the reassembled deduped text.
     - 'ccnet_bucket' rows (operators/lm.perplexity_buckets): k1=the
       per-language head/middle/tail bucket, k2=logp_q4, txt=lang.
+    - 'url_canon' rows (functions/text.canonicalize_url): k1=length,
+      txt=the canonical URL (the oracle replays the rule chain).
 
     The union is lazy and each subtree independent — Spark executes the
     four plans side by side; no cross-family shuffle is introduced.
@@ -2851,11 +2900,45 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("k4"),
         F.col("text").alias("txt"),
     )
+    # 'url_canon' rows: canonical URL keys (functions/text
+    # canonicalize_url) over URLs synthesized deterministically from
+    # doc_id (mixed-case scheme/host, default port, utm params,
+    # fragment — every rule fires); the oracle REPLAYS the identical
+    # rule chain, so any divergence in any rule hash-mismatches.
+    from ..functions.text import canonicalize_url
+
+    url_src = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("?utm_source=a&id="),
+                    F.col("doc_id").cast("string"),
+                    F.lit("&utm_b=2#frag"),
+                ),
+            ).otherwise(F.lit("#top")),
+        ).alias("url"),
+    )
+    url_rows = url_src.select(
+        F.lit("url_canon").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(canonicalize_url("url")).cast("long").alias("k1"),
+        null_l.alias("k2"),
+        null_l.alias("k3"),
+        null_l.alias("k4"),
+        canonicalize_url("url").alias("txt"),
+    )
     return (
         chunk.unionByName(pack).unionByName(cap).unionByName(pii)
         .unionByName(bpe).unionByName(lm_rows).unionByName(bucket_rows)
         .unionByName(c4)
         .unionByName(gopher).unionByName(repgram).unionByName(span_rows)
+        .unionByName(url_rows)
     )
 
 
