@@ -725,3 +725,24 @@ def test_canonicalize_url_rules(spark):
         r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_idempotent(spark):
+    # canonicalization is a projection: applying it twice == once
+    from uma_etl_iis_loader_spark.functions.text import canonicalize_url
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/Path?utm_a=1&id=2&utm_b=3#frag",
+        "http://a.com:80/",
+        "http://a.com:8080/x?y=1",
+        "https://b.org/p?utm_only=1",
+        "ftp://weird.example/thing#x",
+        "not a url at all",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c"))
+    twice = once.select(canonicalize_url("c").alias("c"))
+    assert [r["c"] for r in once.collect()] == [
+        r["c"] for r in twice.collect()
+    ]
