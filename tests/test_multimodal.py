@@ -732,3 +732,65 @@ def test_phash_pairing_method(spark):
 
     with _pytest.raises(ValueError, match="method"):
         image_near_dup_pairs(assets, method="ahash")
+
+
+# --- EXIF metadata: scan + scrub ---
+
+
+def test_image_metadata_and_strip(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.jpeg import (
+        build_exif_app1,
+        encode_jpeg,
+    )
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        image_metadata,
+        strip_image_metadata,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    plain = encode_jpeg(px)
+    tagged = plain[:2] + build_exif_app1(
+        orientation=6, gps=(52.52, -13.405)
+    ) + plain[2:]
+    bmp = encode_bmp(px)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3, 4],
+                "payload": [tagged, plain, bmp, b"junk"],
+            }
+        )
+    )
+    meta = {r["asset_id"]: r for r in image_metadata(assets).collect()}
+    assert meta[1]["has_gps"] and meta[1]["orientation"] == 6
+    assert abs(meta[1]["gps_lat"] - 52.52) < 1e-3
+    assert abs(meta[1]["gps_lon"] + 13.405) < 1e-3
+    assert not meta[2]["has_gps"] and meta[2]["orientation"] is None
+    assert not meta[3]["has_gps"] and meta[3]["decode_error"] is None
+    # junk is not a JPEG: reported as no-EXIF, not an error (sniff path)
+    assert not meta[4]["has_gps"]
+
+    scrubbed = {
+        r["asset_id"]: r for r in strip_image_metadata(assets).collect()
+    }
+    assert scrubbed[1]["n_bytes_removed"] > 0
+    # geotags gone, pixels bit-identical
+    clean = bytes(scrubbed[1]["payload"])
+    meta2 = {
+        r["asset_id"]: r
+        for r in image_metadata(
+            spark.createDataFrame(
+                pd.DataFrame({"asset_id": [1], "payload": [clean]})
+            )
+        ).collect()
+    }
+    assert not meta2[1]["has_gps"]
+    np.testing.assert_array_equal(decode_image(clean), decode_image(plain))
+    # non-JPEG passthrough untouched
+    assert bytes(scrubbed[3]["payload"]) == bmp
+    assert scrubbed[3]["n_bytes_removed"] == 0

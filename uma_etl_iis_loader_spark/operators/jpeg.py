@@ -643,3 +643,181 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     return np.clip(
         np.round(np.stack([r, g, b], axis=2)), 0, 255
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# metadata segments: walk / strip / EXIF (the PII face of image ingest —
+# GPS geotags ride in APP1; training pipelines must be able to find and
+# remove them without re-encoding pixels)
+# ---------------------------------------------------------------------------
+
+
+def iter_segments(payload: bytes):
+    """Yield (marker, seg_start, seg_end) for each marker segment up to
+    SOS (after which entropy data runs to EOI). seg_start/seg_end bound
+    the WHOLE segment including the 0xFF-marker bytes, so callers can
+    splice segments out byte-exactly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        if payload[pos + 1] == 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            return
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("truncated JPEG segment")
+        yield marker, pos, pos + 2 + seg_len
+        if marker == 0xDA:  # SOS — entropy-coded data follows
+            return
+        pos += 2 + seg_len
+
+
+def strip_jpeg_metadata(payload: bytes) -> bytes:
+    """Remove every APPn (0xE0–0xEF) and COM (0xFE) segment — EXIF
+    (GPS!), XMP, ICC, thumbnails, comments — WITHOUT touching entropy
+    data: pure byte splicing, the decoded pixels are bit-identical.
+    (JFIF's APP0 is also dropped; decoders, including this module's,
+    don't need it.)"""
+    drops = [
+        (s, e)
+        for m, s, e in iter_segments(payload)
+        if 0xE0 <= m <= 0xEF or m == 0xFE
+    ]
+    if not drops:
+        return payload
+    out = []
+    pos = 0
+    for s, e in drops:
+        out.append(payload[pos:s])
+        pos = e
+    out.append(payload[pos:])
+    return b"".join(out)
+
+
+_EXIF_GPS_IFD = 0x8825
+_EXIF_ORIENTATION = 0x0112
+
+
+def _tiff_u16(data, off, le):
+    return struct.unpack_from("<H" if le else ">H", data, off)[0]
+
+
+def _tiff_u32(data, off, le):
+    return struct.unpack_from("<I" if le else ">I", data, off)[0]
+
+
+def _ifd_entries(tiff, ifd_off, le):
+    n = _tiff_u16(tiff, ifd_off, le)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag = _tiff_u16(tiff, e, le)
+        typ = _tiff_u16(tiff, e + 2, le)
+        cnt = _tiff_u32(tiff, e + 4, le)
+        yield tag, typ, cnt, e + 8
+    return
+
+
+def _rational(tiff, off, le):
+    num = _tiff_u32(tiff, off, le)
+    den = _tiff_u32(tiff, off + 4, le)
+    return num / den if den else 0.0
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Minimal EXIF reader over the APP1 TIFF structure (public
+    EXIF/TIFF 6.0 layout): returns {orientation, has_gps, gps_lat,
+    gps_lon} — the fields a curation pipeline actually gates on
+    (rotation-aware decode; geotag PII). Missing EXIF → all-None/False.
+    Degree-minute-second rationals reduce to signed decimal degrees."""
+    out = {"orientation": None, "has_gps": False,
+           "gps_lat": None, "gps_lon": None}
+    app1 = None
+    for m, s, e in iter_segments(payload):
+        if m == 0xE1 and payload[s + 4:s + 10] == b"Exif\x00\x00":
+            app1 = payload[s + 10:e]
+            break
+    if app1 is None:
+        return out
+    le = app1[:2] == b"II"
+    if not le and app1[:2] != b"MM":
+        raise ValueError("bad TIFF byte-order mark in EXIF")
+    ifd0 = _tiff_u32(app1, 4, le)
+    gps_off = None
+    for tag, typ, cnt, val_off in _ifd_entries(app1, ifd0, le):
+        if tag == _EXIF_ORIENTATION:
+            out["orientation"] = _tiff_u16(app1, val_off, le)
+        elif tag == _EXIF_GPS_IFD:
+            gps_off = _tiff_u32(app1, val_off, le)
+    if gps_off is not None:
+        out["has_gps"] = True
+        refs, coords = {}, {}
+        for tag, typ, cnt, val_off in _ifd_entries(app1, gps_off, le):
+            if tag in (1, 3):  # LatRef / LonRef: ASCII inline
+                refs[tag] = app1[val_off:val_off + 1].decode("ascii", "?")
+            elif tag in (2, 4) and typ == 5 and cnt == 3:  # 3 rationals
+                off = _tiff_u32(app1, val_off, le)
+                d = _rational(app1, off, le)
+                mi = _rational(app1, off + 8, le)
+                sec = _rational(app1, off + 16, le)
+                coords[tag] = d + mi / 60.0 + sec / 3600.0
+        if 2 in coords:
+            out["gps_lat"] = coords[2] * (-1 if refs.get(1) == "S" else 1)
+        if 4 in coords:
+            out["gps_lon"] = coords[4] * (-1 if refs.get(3) == "W" else 1)
+    return out
+
+
+def build_exif_app1(
+    orientation: int | None = None,
+    gps: tuple[float, float] | None = None,
+) -> bytes:
+    """Fabricate a spec-shaped APP1 EXIF segment (little-endian TIFF)
+    for tests and deterministic fixtures: optional orientation tag and
+    optional GPS IFD with DMS-rational lat/lon."""
+    def u16(v):
+        return struct.pack("<H", v)
+
+    def u32(v):
+        return struct.pack("<I", v)
+
+    def dms(value):
+        v = abs(value)
+        d = int(v)
+        m = int((v - d) * 60)
+        s = round(((v - d) * 60 - m) * 60 * 10000)
+        return (u32(d) + u32(1) + u32(m) + u32(1) + u32(s) + u32(10000))
+
+    entries0 = []
+    extra = b""
+    # offsets are from the TIFF header start; IFD0 begins at 8
+    n0 = (1 if orientation is not None else 0) + (1 if gps else 0)
+    ifd0_size = 2 + 12 * n0 + 4
+    data_cursor = 8 + ifd0_size
+    if orientation is not None:
+        entries0.append(u16(0x0112) + u16(3) + u32(1) + u16(orientation) + u16(0))
+    if gps:
+        gps_ifd_off = data_cursor
+        entries0.append(u16(0x8825) + u16(4) + u32(1) + u32(gps_ifd_off))
+        lat, lon = gps
+        ng = 4
+        gps_size = 2 + 12 * ng + 4
+        lat_off = gps_ifd_off + gps_size
+        lon_off = lat_off + 24
+        g = [
+            u16(1) + u16(2) + u32(2)
+            + (b"N\x00" if lat >= 0 else b"S\x00") + u16(0),
+            u16(2) + u16(5) + u32(3) + u32(lat_off),
+            u16(3) + u16(2) + u32(2)
+            + (b"E\x00" if lon >= 0 else b"W\x00") + u16(0),
+            u16(4) + u16(5) + u32(3) + u32(lon_off),
+        ]
+        extra = u16(ng) + b"".join(g) + u32(0) + dms(lat) + dms(lon)
+    tiff = b"II*\x00" + u32(8) + u16(n0) + b"".join(entries0) + u32(0) + extra
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body

@@ -486,6 +486,91 @@ def phash_images(assets: DataFrame, grid: int = 32) -> DataFrame:
     )
 
 
+def image_metadata(assets: DataFrame) -> DataFrame:
+    """EXIF metadata scan — the PII face of image ingest: orientation
+    (rotation-aware decode) and GPS geotags (location PII that MUST be
+    found before payloads ship). JPEG APP1/TIFF walk via
+    ``operators/jpeg.parse_exif``; non-JPEG payloads report no EXIF
+    (BMP/PNG carry none in these rungs). Zero shuffles."""
+    from .jpeg import parse_exif
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    p = bytes(r["payload"])
+                    if p[:2] == b"\xff\xd8":
+                        e = parse_exif(p)
+                    else:
+                        e = {"orientation": None, "has_gps": False,
+                             "gps_lat": None, "gps_lon": None}
+                    out.append(
+                        (r["asset_id"], e["orientation"], e["has_gps"],
+                         e["gps_lat"], e["gps_lon"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "orientation", "has_gps", "gps_lat",
+                         "gps_lon", "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        scan,
+        "asset_id long, orientation int, has_gps boolean, "
+        "gps_lat double, gps_lon double, decode_error string",
+    )
+
+
+def strip_image_metadata(assets: DataFrame) -> DataFrame:
+    """Metadata scrub — remove EXIF/XMP/ICC/comment segments from JPEG
+    payloads by pure byte splicing (``operators/jpeg.
+    strip_jpeg_metadata``): decoded pixels are bit-identical, geotags
+    and thumbnails are gone. Non-JPEG payloads pass through untouched.
+    Returns (asset_id, payload, n_bytes_removed, decode_error); the
+    text-side sibling of ``functions/text.redact_pii``. Zero shuffles —
+    payloads never leave the task."""
+    from .jpeg import strip_jpeg_metadata
+
+    def scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    p = bytes(r["payload"])
+                    cleaned = (
+                        strip_jpeg_metadata(p)
+                        if p[:2] == b"\xff\xd8"
+                        else p
+                    )
+                    out.append(
+                        (r["asset_id"], cleaned, len(p) - len(cleaned),
+                         None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "payload", "n_bytes_removed",
+                         "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        scrub,
+        "asset_id long, payload binary, n_bytes_removed int, "
+        "decode_error string",
+    )
+
+
 def sig_from_halves(df: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Reassemble a 64-bit perceptual signature from its BIGINT-safe
     32-bit halves (``hash_hi``/``hash_lo``), dropping decode failures —
@@ -637,6 +722,35 @@ def synthesize_jpeg_assets(
 
     return _synthesize_assets(
         ids, id_col, lambda px: encode_jpeg(px, quality=quality)
+    )
+
+
+def synthesize_exif_jpeg_assets(
+    ids: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """Synthetic JPEGs with a REAL EXIF APP1 injected (orientation
+    1 + id % 8; GPS lat (id % 90) + 0.5, lon −((id % 180) + 0.25) —
+    values whose degree/minute encoding round-trips EXACTLY in float,
+    so the oracle can assert the decoded coordinates to the digit)."""
+    from .jpeg import build_exif_app1, encode_jpeg
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                base = encode_jpeg(_synthetic_pixels(i), quality=92)
+                app1 = build_exif_app1(
+                    orientation=1 + i % 8,
+                    gps=((i % 90) + 0.5, -((i % 180) + 0.25)),
+                )
+                payloads.append(base[:2] + app1 + base[2:])
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col], "payload": payloads}
+            )
+
+    return ids.select(id_col).mapInPandas(
+        synth, f"{id_col} long, payload binary"
     )
 
 

@@ -326,7 +326,27 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     zlib encode (encode_png) + the stdlib zlib/unfilter decoder;
 #     width/height/pixel-sum oracle-recomputed (n_bytes NULL: a zlib
 #     stream's length is not SQL-expressible).
-_MM_OPS_ORACLE = """
+def _exif_strip_bytes() -> int:
+    """Constant bytes removed by strip_image_metadata from a synthesized
+    EXIF JPEG: the injected APP1 (fixed-size by construction) plus the
+    encoder's own JFIF APP0 — measured, not hard-coded, so an encoder
+    change can't silently desync the oracle."""
+    import numpy as np
+
+    from ..operators.jpeg import (
+        build_exif_app1,
+        encode_jpeg,
+        strip_jpeg_metadata,
+    )
+
+    plain = encode_jpeg(np.zeros((1, 1, 3), dtype=np.uint8))
+    app0 = len(plain) - len(strip_jpeg_metadata(plain))
+    return len(build_exif_app1(orientation=1, gps=(0.5, -0.25))) + app0
+
+
+_EXIF_STRIP_BYTES = _exif_strip_bytes()
+
+_MM_OPS_ORACLE = f"""
 WITH meta AS (
     SELECT doc_id AS asset_id,
            greatest(octet_length(encode(text)) // 1024, 1) AS n_frames
@@ -509,6 +529,12 @@ FROM (
                AS body
     FROM documents d, unnest(range(0, 1 + d.doc_id % 3)) u(r)
 ) w
+UNION ALL
+SELECT 'exif', d.doc_id, CAST(1 + d.doc_id % 8 AS INT), NULL, NULL,
+       CAST({_EXIF_STRIP_BYTES} AS INT),
+       concat('true', ':', (d.doc_id % 90) * 10000 + 5000, ':',
+              -((d.doc_id % 180) * 10000) - 2500)
+FROM documents d
 """
 
 
@@ -831,6 +857,38 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-recomputed from the synthesis formulas.
     from ..operators.warc import synthesize_warc_assets, warc_records
 
+    # 'exif' rows: the image-PII path — synthesized JPEGs carry a REAL
+    # EXIF APP1 (orientation + exactly-representable GPS DMS); the scan
+    # kernel (image_metadata) must read them back to the digit and the
+    # scrub kernel (strip_image_metadata) must remove exactly the
+    # metadata bytes (APP1 + the encoder's JFIF APP0 — measured into
+    # the oracle constant, never hard-coded).
+    from ..operators.multimodal import (
+        image_metadata,
+        strip_image_metadata,
+        synthesize_exif_jpeg_assets,
+    )
+
+    exif_assets = synthesize_exif_jpeg_assets(aud_ids)
+    exif_rows = image_metadata(exif_assets).join(
+        strip_image_metadata(exif_assets).select(
+            "asset_id", "n_bytes_removed"
+        ),
+        "asset_id",
+    ).select(
+        F.lit("exif").alias("op"),
+        "asset_id",
+        F.col("orientation").alias("idx"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        F.col("n_bytes_removed").alias("n_bytes"),
+        F.concat_ws(
+            ":",
+            F.col("has_gps").cast("string"),
+            F.round(F.col("gps_lat") * 10000, 0).cast("long"),
+            F.round(F.col("gps_lon") * 10000, 0).cast("long"),
+        ).alias("tag"),
+    )
     warc_rows = warc_records(
         synthesize_warc_assets(aud_ids, gz=True)
     ).select(
@@ -856,6 +914,7 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dhash_rows)
         .unionByName(mixed)
         .unionByName(warc_rows)
+        .unionByName(exif_rows)
     )
 
 
