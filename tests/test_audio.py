@@ -490,3 +490,48 @@ def test_mfcc_frames_bad_window_and_error_isolation(spark):
         mfcc_frames(assets, window="hamming")
     rows = mfcc_frames(assets).collect()
     assert len(rows) == 1 and rows[0]["decode_error"] is not None
+
+
+def test_detect_active_segments_planted(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.audio import (
+        detect_active_segments,
+        encode_wav,
+    )
+
+    # tone(1024) | silence(1024) | tone(512): two active segments
+    k = np.arange(1024)
+    tone = np.round(8000 * np.sin(2 * np.pi * 16 * k / 1024))
+    sig = np.concatenate([tone, np.zeros(1024), tone[:512]]).astype(np.int16)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1], "payload": [encode_wav(sig[:, None], 16000)]}
+        )
+    )
+    rows = detect_active_segments(
+        assets, frame_len=256, hop=256
+    ).collect()
+    assert [r["seg_idx"] for r in rows] == [0, 1]
+    a, b = rows
+    assert a["start_sample"] == 0 and a["end_sample"] == 1024
+    assert b["start_sample"] == 2048 and b["end_sample"] == 2560
+    assert a["rms_mean"] > 0 and a["decode_error"] is None
+    # all-silence clip emits nothing; garbage isolates as an error row
+    assets2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [2, 3],
+                "payload": [
+                    encode_wav(np.zeros((512, 1), dtype=np.int16), 16000),
+                    b"junk",
+                ],
+            }
+        )
+    )
+    rows2 = detect_active_segments(assets2, frame_len=256, hop=256).collect()
+    by_id: dict[int, list] = {}
+    for r in rows2:
+        by_id.setdefault(r["asset_id"], []).append(r)
+    assert 2 not in by_id
+    assert by_id[3][0]["decode_error"] is not None

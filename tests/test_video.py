@@ -453,3 +453,29 @@ def test_video_near_dup_long_clips_no_key_collision(spark):
         ).collect()
     }
     assert (10, 12) in pairs2 and (10, 11) not in pairs2
+
+
+def test_detect_scene_cuts_planted(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.video import detect_scene_cuts
+
+    rng = np.random.default_rng(41)
+    scene_a = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    scene_b = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    # 3 near-identical frames of A, hard cut, 2 frames of B
+    frames = [scene_a, scene_a.copy(), scene_a.copy(), scene_b, scene_b.copy()]
+    frames[1][0, 0] ^= 1  # sub-threshold wiggle
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [encode_avi(frames)]})
+    )
+    rows = detect_scene_cuts(assets).collect()
+    assert len(rows) == 1
+    assert rows[0]["frame_idx"] == 3 and rows[0]["delta"] > 0.25
+    # static clip: no cuts
+    static = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [2], "payload": [encode_avi([scene_a] * 4)]}
+        )
+    )
+    assert detect_scene_cuts(static).collect() == []

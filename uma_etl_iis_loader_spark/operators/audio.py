@@ -501,6 +501,83 @@ def mfcc_frames(
     )
 
 
+def detect_active_segments(
+    assets: DataFrame,
+    frame_len: int = 256,
+    hop: int = 256,
+    threshold_ratio: float = 0.1,
+    min_frames: int = 1,
+) -> DataFrame:
+    """Energy-based activity detection (the classic VAD baseline — the
+    public energy-threshold recipe): frame the clip, compute per-frame
+    RMS, mark frames whose RMS exceeds ``threshold_ratio`` × the clip's
+    peak frame RMS, and merge consecutive active frames into segments
+    of at least ``min_frames``. One row per segment: (asset_id,
+    seg_idx, start_sample, end_sample, n_frames, rms_mean). Clips with
+    no active frame emit nothing; decode failures emit one error row.
+    The front gate of any speech pipeline — silence never reaches the
+    expensive downstream kernels. Vectorized numpy, zero shuffles."""
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    x, _rate = decode_wav(bytes(r["payload"]))
+                    mono = x.astype(np.float64).mean(axis=1)
+                    if len(mono) < frame_len:
+                        mono = np.pad(mono, (0, frame_len - len(mono)))
+                    frames = np.lib.stride_tricks.sliding_window_view(
+                        mono, frame_len
+                    )[::hop]
+                    rms = np.sqrt((frames**2).mean(axis=1))
+                    peak = rms.max()
+                    active = rms > threshold_ratio * peak if peak > 0 else (
+                        np.zeros(len(rms), dtype=bool)
+                    )
+                    seg_idx = 0
+                    i = 0
+                    while i < len(active):
+                        if not active[i]:
+                            i += 1
+                            continue
+                        j = i
+                        while j < len(active) and active[j]:
+                            j += 1
+                        if j - i >= min_frames:
+                            out.append(
+                                (
+                                    r["asset_id"], seg_idx,
+                                    int(i * hop),
+                                    int((j - 1) * hop + frame_len),
+                                    int(j - i),
+                                    float(rms[i:j].mean()),
+                                    None,
+                                )
+                            )
+                            seg_idx += 1
+                        i = j
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "seg_idx", "start_sample",
+                         "end_sample", "n_frames", "rms_mean",
+                         "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        vad,
+        "asset_id long, seg_idx int, start_sample long, end_sample long, "
+        "n_frames int, rms_mean double, decode_error string",
+    )
+
+
 def audio_fingerprint(
     assets: DataFrame, n_frames: int = 9, n_bands: int = 8
 ) -> DataFrame:

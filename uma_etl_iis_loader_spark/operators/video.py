@@ -510,6 +510,59 @@ def video_near_dup_pairs(
     )
 
 
+def detect_scene_cuts(
+    assets: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Scene-cut detection (the public frame-difference baseline):
+    decode every frame, compute the mean absolute per-pixel delta
+    between consecutive frames normalized to [0, 1], and emit one row
+    per cut where the delta exceeds ``threshold`` — the segmentation a
+    video pipeline runs before sampling keyframes per SCENE instead of
+    per fixed stride. (asset_id, cut_idx, frame_idx, delta); clips with
+    no cut emit nothing, decode failures one error row. Frames diff one
+    pair at a time — no whole-clip pixel materialization. Zero
+    shuffles."""
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["payload"] is None:
+                        raise ValueError("NULL payload")
+                    frames, _meta = decode_avi(bytes(r["payload"]))
+                    cut_idx = 0
+                    prev = None
+                    for fi, f in enumerate(frames):
+                        cur = f.astype(np.int16)
+                        if prev is not None:
+                            delta = float(
+                                np.abs(cur - prev).mean() / 255.0
+                            )
+                            if delta > threshold:
+                                out.append(
+                                    (r["asset_id"], cut_idx, fi, delta,
+                                     None)
+                                )
+                                cut_idx += 1
+                        prev = cur
+                except Exception as exc:  # noqa: BLE001 — decode boundary
+                    out.append(
+                        (r["asset_id"], None, None, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "cut_idx", "frame_idx", "delta",
+                         "decode_error"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        cuts,
+        "asset_id long, cut_idx int, frame_idx int, delta double, "
+        "decode_error string",
+    )
+
+
 def sample_video_frames(
     assets: DataFrame, max_frames: int = 4
 ) -> DataFrame:
