@@ -794,3 +794,47 @@ def test_image_metadata_and_strip(spark):
     # non-JPEG passthrough untouched
     assert bytes(scrubbed[3]["payload"]) == bmp
     assert scrubbed[3]["n_bytes_removed"] == 0
+
+
+def test_image_sharpness_orders_blur(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        encode_bmp,
+        image_sharpness,
+    )
+
+    rng = np.random.default_rng(11)
+    sharp = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # box-blur the sharp image (valid interior conv, cast back)
+    f = sharp.astype(np.float64)
+    blurred = f.copy()
+    blurred[1:-1, 1:-1] = (
+        f[:-2, :-2] + f[:-2, 1:-1] + f[:-2, 2:]
+        + f[1:-1, :-2] + f[1:-1, 1:-1] + f[1:-1, 2:]
+        + f[2:, :-2] + f[2:, 1:-1] + f[2:, 2:]
+    ) / 9.0
+    blurred = np.clip(np.round(blurred), 0, 255).astype(np.uint8)
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2, 3, 4],
+                "payload": [
+                    encode_bmp(sharp),
+                    encode_bmp(blurred),
+                    encode_bmp(flat),
+                    b"junk",
+                ],
+            }
+        )
+    )
+    rows = {r["asset_id"]: r for r in image_sharpness(assets).collect()}
+    assert rows[1]["sharpness"] > rows[2]["sharpness"] > 0
+    assert rows[3]["sharpness"] == 0.0  # constant image: no edges
+    assert rows[4]["decode_error"] is not None
+    # reference equality: kernel == direct numpy on the same pixels
+    g = sharp.astype(np.int64).sum(axis=2).astype(np.float64)
+    lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+           - g[1:-1, :-2] - g[1:-1, 2:])
+    assert abs(rows[1]["sharpness"] - lap.var()) < 1e-6

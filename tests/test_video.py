@@ -479,3 +479,32 @@ def test_detect_scene_cuts_planted(spark):
         )
     )
     assert detect_scene_cuts(static).collect() == []
+
+
+def test_sample_keyframes_per_scene(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.video import (
+        sample_keyframes_per_scene,
+    )
+
+    rng = np.random.default_rng(43)
+    a = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (10, 10, 3), dtype=np.uint8)
+    # scene A: frames 0-3 (static), scene B: frames 4-5
+    frames = [a, a.copy(), a.copy(), a.copy(), b, b.copy()]
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [encode_avi(frames)]})
+    )
+    rows = sample_keyframes_per_scene(assets).collect()
+    assert [(r["scene_idx"], r["frame_idx"]) for r in rows] == [
+        (0, 1),  # middle of frames 0..3 -> (0+3)//2 = 1
+        (1, 4),  # middle of frames 4..5 -> (4+5)//2 = 4
+    ]
+    # payloads decode back to the scene's pixels
+    np.testing.assert_array_equal(
+        decode_bmp(bytes(rows[0]["image_payload"])), a
+    )
+    np.testing.assert_array_equal(
+        decode_bmp(bytes(rows[1]["image_payload"])), b
+    )
