@@ -156,6 +156,9 @@ def test_perplexity_buckets_ccnet_split(spark):
     )
     lm = train_char_lm(docs)
     ppl = score_perplexity(docs, lm)
+    per_gram = {
+        r["doc_id"]: r["logp_q4"] / r["n_grams"] for r in ppl.collect()
+    }
     rows = perplexity_buckets(ppl, docs).collect()
     by_lang: dict = {}
     for r in rows:
@@ -165,10 +168,12 @@ def test_perplexity_buckets_ccnet_split(spark):
 
     assert Counter(r["bucket"] for r in by_lang["en"]) == {1: 2, 2: 2, 3: 2}
     assert Counter(r["bucket"] for r in by_lang["de"]) == {1: 1, 2: 1, 3: 1}
-    # bucket 1 holds the highest logp (most fluent) docs per language
+    # bucket 1 holds the highest PER-GRAM logp (most fluent, length-
+    # normalized) docs per language — raw total logp would rank by
+    # document length instead
     for lang, rs in by_lang.items():
-        b1 = min(r["logp_q4"] for r in rs if r["bucket"] == 1)
-        b3 = max(r["logp_q4"] for r in rs if r["bucket"] == 3)
+        b1 = min(per_gram[r["doc_id"]] for r in rs if r["bucket"] == 1)
+        b3 = max(per_gram[r["doc_id"]] for r in rs if r["bucket"] == 3)
         assert b1 >= b3
     # deterministic across partitionings
     again = {

@@ -810,9 +810,13 @@ def dedup_sentence_spans(
     implementation, which operates on sentence lists, not raw offsets.
 
     Scale shape: spans EXPLODE (rows ∝ corpus sentences / span); first
-    occurrence is a row_number window PARTITIONED BY the span key (an
-    8-byte ``xxhash64``, so the wide shuffles move hashes, not span
-    strings — the repeated_passages recipe); reassembly is one
+    occurrence is a row_number window partitioned by
+    ``(xxhash64(chunk_text), chunk_text)`` — the rows already carry the
+    span text through the exchange for reassembly, so including it in
+    the key costs no extra bytes and makes the keep/drop decision
+    collision-proof (hash-only partitioning would drop a distinct span
+    that collides in 64 bits, a real event at 10¹⁰+ spans); the hash
+    prefix keeps exchange key comparison cheap. Reassembly is one
     partial-agg'able sort-struct collect per doc. No driver
     participation anywhere."""
     sents = F.split(F.col(text_col), r"\. ")
@@ -828,9 +832,9 @@ def dedup_sentence_spans(
             )
         ).alias("chunk_idx", "chunk_text"),
     )
-    w = Window.partitionBy(F.xxhash64("chunk_text")).orderBy(
-        "__id", "chunk_idx"
-    )
+    w = Window.partitionBy(
+        F.xxhash64("chunk_text"), F.col("chunk_text")
+    ).orderBy("__id", "chunk_idx")
     kept = (
         chunks.withColumn("__rn", F.row_number().over(w))
         .withColumn("__first", F.col("__rn") == 1)

@@ -183,13 +183,16 @@ def perplexity_buckets(
     n_buckets: int = 3,
 ) -> DataFrame:
     """CCNet's signature head/middle/tail split (the public recipe):
-    within each language, rank documents by LM score and cut into
+    within each language, rank documents by fluency and cut into
     ``n_buckets`` equal groups — bucket 1 = most-fluent "head" the
-    pipeline trains on first. Ordering uses ``logp_q4`` DESC (the exact
-    integer log-prob from :func:`score_perplexity` — higher = more
-    probable = lower perplexity) with an ``id`` tie-break, so the
-    assignment is deterministic and engine-portable (float perplexity
-    ordering is not). Returns (id, lang, logp_q4, bucket).
+    pipeline trains on first. Ordering is by PER-GRAM log-probability
+    (``logp_q4 / n_grams`` DESC — the length-normalized quantity
+    perplexity monotonically inverts; raw total log-prob would rank by
+    document LENGTH, putting short gibberish above long fluent prose)
+    with an ``id`` tie-break. The ratio divides two exact integers in
+    IEEE double, so the assignment is deterministic and engine-portable
+    (chained-float perplexity ordering is not). Returns
+    (id, lang, logp_q4, bucket).
 
     Scale shape: one window per language partition — ntile streams over
     the sorted partition with O(1) state; a dominant language makes one
@@ -201,7 +204,8 @@ def perplexity_buckets(
         docs.select(F.col(id_col), F.col(lang_col)), id_col
     )
     w = Window.partitionBy(lang_col).orderBy(
-        F.col("logp_q4").desc(), F.col(id_col)
+        (F.col("logp_q4").cast("double") / F.col("n_grams")).desc(),
+        F.col(id_col),
     )
     return ranked.select(
         id_col,

@@ -2443,7 +2443,8 @@ SELECT 'ccnet_bucket', CAST(b.doc_id AS BIGINT), CAST(b.bucket AS BIGINT),
 FROM (
     SELECT s.doc_id, d.lang, s.logp_q4,
            ntile(3) OVER (PARTITION BY d.lang
-                          ORDER BY s.logp_q4 DESC, s.doc_id) AS bucket
+                          ORDER BY CAST(s.logp_q4 AS DOUBLE) / s.n_grams
+                                   DESC, s.doc_id) AS bucket
     FROM (
     
     WITH tr AS (
@@ -2836,8 +2837,9 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'ccnet_bucket' rows: CCNet's head/middle/tail perplexity split
     # (operators/lm.perplexity_buckets) — per-language ntile(3) over
-    # the EXACT integer logp_q4 (DESC, id tie-break), so the bucket
-    # assignment is deterministic and fully hash-adjudicated.
+    # per-gram log-prob logp_q4/n_grams (DESC, id tie-break; a ratio of
+    # two exact integers in IEEE double is identical on both engines),
+    # so the bucket assignment is deterministic and hash-adjudicated.
     bucket_rows = perplexity_buckets(ppl, docs).select(
         F.lit("ccnet_bucket").alias("method"),
         F.col("doc_id").cast("long").alias("doc_id"),
