@@ -535,3 +535,25 @@ def test_detect_active_segments_planted(spark):
         by_id.setdefault(r["asset_id"], []).append(r)
     assert 2 not in by_id
     assert by_id[3][0]["decode_error"] is not None
+
+
+def test_detect_active_segments_short_clip_end_clamped(spark):
+    # a 100-sample tone zero-pads to one 256-sample frame; end_sample
+    # must report the REAL clip length, not the padded frame end
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.audio import (
+        detect_active_segments,
+        encode_wav,
+    )
+
+    k = np.arange(100)
+    tone = np.round(8000 * np.sin(2 * np.pi * 8 * k / 100)).astype(np.int16)
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {"asset_id": [1], "payload": [encode_wav(tone[:, None], 16000)]}
+        )
+    )
+    rows = detect_active_segments(assets, frame_len=256, hop=256).collect()
+    assert len(rows) == 1
+    assert rows[0]["start_sample"] == 0 and rows[0]["end_sample"] == 100

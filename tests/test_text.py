@@ -620,6 +620,17 @@ def test_gopher_metrics_counts(spark):
     assert not r["keep"]
 
 
+def test_gopher_empty_text_counts_zero_words(spark):
+    # split('') yields [''] — the phantom word must not count
+    for text in ("", "   \n  "):
+        r = _gopher_row(spark, text)
+        assert r["n_words"] == 0
+        assert r["mean_wlen_q6"] == 0
+        assert r["alpha_frac_q6"] == 0
+        assert r["symbol_ratio_q6"] == 0
+        assert not r["keep"]
+
+
 def test_gopher_keep_accepts_good_prose(spark):
     good = " ".join(
         "the quick brown fox jumps over that lazy dog to have fun with energy and grace of motion be swift".split()
@@ -697,6 +708,22 @@ def test_repetition_metrics_short_docs_zero(spark):
     rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
     assert rows[1]["top_frac_q6"] == 0 and rows[1]["dup_frac_q6"] == 0
     assert rows[2]["top_frac_q6"] == 0 and rows[2]["dup_frac_q6"] == 0
+
+
+def test_repetition_top_frac_capped_at_one(spark):
+    # overlapping 2-grams over 'ab ab ab ab': 'ab ab' x3, 3*5=15 chars
+    # attributed vs n_chars=11 — the fraction must cap at 1.0
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["ab ab ab ab"]})
+    )
+    r = repetition_metrics(docs).collect()[0]
+    assert r["top_frac_q6"] == 1_000_000
 
 
 # --- URL canonicalization ---

@@ -93,6 +93,49 @@ def test_warc_records_error_isolation(spark):
     assert rows[2]["parse_error"] is not None
 
 
+def test_warc_gz_member_isolation(spark):
+    """In the .warc.gz layout each record is its own gzip member, so a
+    bad member quarantines ONE row and the next member re-syncs; a
+    corrupt (non-inflatable) member loses only the archive tail."""
+    import zlib
+
+    import pandas as pd
+
+    def gz_member(raw: bytes) -> bytes:
+        co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(raw) + co.flush()
+
+    good0 = encode_warc_gz([("response", "http://a", b"one")])
+    bad_header = gz_member(b"HTTP/1.1 200 OK\r\n\r\n")  # not WARC/
+    good2 = encode_warc_gz([("response", "http://c", b"three")])
+    corrupt = b"\x1f\x8b\x08\x00" + b"\x00" * 8  # inflater can't finish
+
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "asset_id": [1, 2],
+                "payload": [
+                    good0 + bad_header + good2,
+                    good0 + corrupt + good2,
+                ],
+            }
+        )
+    )
+    rows = {}
+    for r in warc_records(assets).collect():
+        rows.setdefault(r["asset_id"], []).append(r)
+    by_idx = {r["record_idx"]: r for r in rows[1]}
+    assert len(by_idx) == 3
+    assert by_idx[0]["text"] == "one" and by_idx[0]["parse_error"] is None
+    assert by_idx[1]["parse_error"] is not None
+    assert by_idx[2]["text"] == "three" and by_idx[2]["parse_error"] is None
+    # corrupt member: record 0 survives, one tail error row, no more
+    tail = {r["record_idx"]: r for r in rows[2]}
+    assert len(tail) == 2
+    assert tail[0]["text"] == "one" and tail[0]["parse_error"] is None
+    assert tail[1]["parse_error"] is not None
+
+
 def test_warc_kernel_zero_shuffles(spark):
     ids = spark.range(4).withColumnRenamed("id", "asset_id")
     plan = (

@@ -564,7 +564,11 @@ def gopher_metrics(col: Column | str) -> Column:
     All higher-order array expressions over one ``split`` — zero
     shuffles, zero Python."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
+    # split emits '' tokens at whitespace edges (and [''] for empty
+    # text) — filter them so empty/whitespace-only docs count 0 words
+    # and leading newlines don't add phantom words (trim strips only
+    # spaces, not \n)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
     n_words = F.size(words).cast("long")
     sum_wlen = F.aggregate(
         words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)

@@ -527,6 +527,7 @@ def detect_active_segments(
                         raise ValueError("NULL payload")
                     x, _rate = decode_wav(bytes(r["payload"]))
                     mono = x.astype(np.float64).mean(axis=1)
+                    orig_n = len(mono)
                     if len(mono) < frame_len:
                         mono = np.pad(mono, (0, frame_len - len(mono)))
                     frames = np.lib.stride_tricks.sliding_window_view(
@@ -551,7 +552,12 @@ def detect_active_segments(
                                 (
                                     r["asset_id"], seg_idx,
                                     int(i * hop),
-                                    int((j - 1) * hop + frame_len),
+                                    # last frame may be zero-padded:
+                                    # clamp to the real clip length
+                                    min(
+                                        int((j - 1) * hop + frame_len),
+                                        orig_n,
+                                    ),
                                     int(j - i),
                                     float(rms[i:j].mean()),
                                     None,

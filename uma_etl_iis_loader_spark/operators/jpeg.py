@@ -759,7 +759,9 @@ def parse_exif(payload: bytes) -> dict:
         refs, coords = {}, {}
         for tag, typ, cnt, val_off in _ifd_entries(app1, gps_off, le):
             if tag in (1, 3):  # LatRef / LonRef: ASCII inline
-                refs[tag] = app1[val_off:val_off + 1].decode("ascii", "?")
+                refs[tag] = app1[val_off:val_off + 1].decode(
+                    "ascii", "replace"
+                )
             elif tag in (2, 4) and typ == 5 and cnt == 3:  # 3 rationals
                 off = _tiff_u32(app1, val_off, le)
                 d = _rational(app1, off, le)

@@ -52,7 +52,9 @@ def repetition_metrics(
     """Per-document repetition metrics, 1e-6-quantized (ratios of exact
     integer counts — engine-stable, hash-adjudicable):
     (id, n_chars, top_frac_q6, dup_frac_q6). Docs shorter than the gram
-    sizes (or empty) report 0 for the affected metric."""
+    sizes (or empty) report 0 for the affected metric; both fractions
+    are capped at 1.0 (overlapping grams can attribute more characters
+    than the doc holds)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
@@ -94,11 +96,19 @@ def repetition_metrics(
         .select(
             F.col("__id").alias(id_col),
             "n_chars",
+            # capped at 1.0: overlapping grams count shared characters
+            # once per gram, so cnt*len(gram) can exceed n_chars on
+            # pathological repeats — the fraction is a FILTER signal,
+            # not a measure, and must stay in [0, 1]
             q6(
-                F.when(
-                    F.col("n_chars") > 0,
-                    F.coalesce(F.col("top_score"), F.lit(0)) / F.col("n_chars"),
-                ).otherwise(F.lit(0.0))
+                F.least(
+                    F.when(
+                        F.col("n_chars") > 0,
+                        F.coalesce(F.col("top_score"), F.lit(0))
+                        / F.col("n_chars"),
+                    ).otherwise(F.lit(0.0)),
+                    F.lit(1.0),
+                )
             ).alias("top_frac_q6"),
             q6(
                 F.least(

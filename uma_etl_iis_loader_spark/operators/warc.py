@@ -8,9 +8,13 @@ codec-less container and is oracle-adjudicated from deterministic
 synthesis formulas (the WAV/BMP recipe applied to the archive layer).
 
 Scale shape: one ``mapInPandas`` pass, zero shuffles — archive bytes
-never leave the task that read them; rows out = Σ records. Per-record
-error isolation: a malformed record quarantines that ROW, a malformed
-archive quarantines that asset, neither fails the task.
+never leave the task that read them; rows out = Σ records. Error
+isolation follows what the container can actually promise: in the
+``.warc.gz`` layout each record is its own gzip member, so a malformed
+MEMBER quarantines that record row and parsing resumes at the next
+member boundary; in a plain concatenated stream Content-Length framing
+cannot resync, so a framing error quarantines the rest of THAT asset
+(records already parsed survive). Neither fails the task.
 
 Cite: the reference has no ingest-container surface (`iis_etl/` reads
 REST JSON); extension surface per SURVEY.md §6 — the front door a
@@ -56,28 +60,37 @@ def encode_warc_gz(records: list[tuple[str, str, bytes]]) -> bytes:
     return b"".join(out)
 
 
-def _gunzip_members(payload: bytes) -> bytes:
-    """Inflate a concatenated-member gzip stream (the .warc.gz layout);
-    plain bytes pass through untouched."""
-    if not payload.startswith(b"\x1f\x8b"):
-        return payload
-    out = []
+def _iter_gzip_members(payload: bytes) -> Iterator[bytes]:
+    """Inflate a concatenated-member gzip stream (the .warc.gz layout)
+    one MEMBER at a time — the unit of error isolation: a member that
+    fails to inflate raises from ITS ``next()`` call, after every
+    earlier member was already yielded intact."""
     rest = payload
     while rest:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
-        if d.unused_data == rest:  # no progress — corrupt tail
+        member = d.decompress(rest) + d.flush()
+        if d.unused_data == rest:  # no progress — corrupt member
             raise ValueError("corrupt gzip member")
+        yield member
         rest = d.unused_data
-    return b"".join(out)
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Inflate a whole concatenated-member gzip stream; plain bytes pass
+    through untouched. Any corrupt member is fatal here — the member-
+    isolated path is :func:`warc_records`."""
+    if not payload.startswith(b"\x1f\x8b"):
+        return payload
+    return b"".join(_iter_gzip_members(payload))
 
 
 def parse_warc(payload: bytes) -> list[dict]:
     """Parse a (possibly per-record-gzipped) WARC stream into records:
     [{warc_type, target_uri, content_length, payload}]. Framing errors
-    raise; per-record header errors surface as that record's ``error``.
-    """
+    (bad marker, bad Content-Length, truncated body, corrupt gzip)
+    raise — in a concatenated stream the parser cannot resync past
+    them. For per-member isolation on the ``.warc.gz`` layout use
+    :func:`warc_records`, which parses each gzip member separately."""
     data = _gunzip_members(bytes(payload))
     records = []
     pos = 0
@@ -151,36 +164,73 @@ def synthesize_warc_assets(
 
 def warc_records(assets: DataFrame, text_encoding: str = "utf-8") -> DataFrame:
     """Explode WARC archives into one row per record through the REAL
-    parse path (gzip members inflated when present): (asset_id,
-    record_idx, warc_type, target_uri, content_length, text,
-    parse_error). Zero shuffles; archive bytes stay in-task."""
+    parse path: (asset_id, record_idx, warc_type, target_uri,
+    content_length, text, parse_error). Zero shuffles; archive bytes
+    stay in-task.
+
+    Error isolation matches the container's structure: a ``.warc.gz``
+    payload is parsed one gzip MEMBER at a time, so a malformed member
+    becomes one error row (``record_idx`` = its running position) and
+    later members still parse; a corrupt member the inflater cannot
+    step past quarantines the archive TAIL behind one error row. A
+    plain stream has only Content-Length framing — no resync point —
+    so its first framing error quarantines the rest of that asset."""
+
+    def rows_for(asset_id, payload, out) -> None:
+        if payload is None:
+            out.append((asset_id, None, None, None, None, None,
+                        "NULL payload"))
+            return
+        data = bytes(payload)
+        idx = 0
+
+        def emit(rec) -> None:
+            nonlocal idx
+            out.append(
+                (
+                    asset_id,
+                    idx,
+                    rec["warc_type"],
+                    rec["target_uri"],
+                    rec["content_length"],
+                    rec["payload"].decode(text_encoding, "replace"),
+                    None,
+                )
+            )
+            idx += 1
+
+        if data.startswith(b"\x1f\x8b"):
+            members = _iter_gzip_members(data)
+            while True:
+                try:
+                    member = next(members)
+                except StopIteration:
+                    return
+                except Exception as exc:  # noqa: BLE001 — corrupt member
+                    # inflater can't step past it: tail is lost
+                    out.append((asset_id, idx, None, None, None, None,
+                                str(exc)[:200]))
+                    return
+                try:
+                    for rec in parse_warc(member):
+                        emit(rec)
+                except Exception as exc:  # noqa: BLE001 — bad member
+                    out.append((asset_id, idx, None, None, None, None,
+                                str(exc)[:200]))
+                    idx += 1  # next member re-syncs
+        else:
+            try:
+                for rec in parse_warc(data):
+                    emit(rec)
+            except Exception as exc:  # noqa: BLE001 — framing-fatal
+                out.append((asset_id, idx, None, None, None, None,
+                            str(exc)[:200]))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                try:
-                    if r["payload"] is None:
-                        raise ValueError("NULL payload")
-                    for idx, rec in enumerate(parse_warc(bytes(r["payload"]))):
-                        out.append(
-                            (
-                                r["asset_id"],
-                                idx,
-                                rec["warc_type"],
-                                rec["target_uri"],
-                                rec["content_length"],
-                                rec["payload"].decode(
-                                    text_encoding, "replace"
-                                ),
-                                None,
-                            )
-                        )
-                except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append(
-                        (r["asset_id"], None, None, None, None, None,
-                         str(exc)[:200])
-                    )
+                rows_for(r["asset_id"], r["payload"], out)
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "record_idx", "warc_type",

@@ -2576,7 +2576,8 @@ FROM (
                 ELSE 0.0 END * 1e6, 0) AS BIGINT) AS dup_char_frac_q6
     FROM (
         SELECT doc_id, text,
-               regexp_split_to_array(trim(text), '\\s+') AS words,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           w -> w <> '') AS words,
                string_split(text, chr(10)) AS lines
         FROM (
             SELECT doc_id,
@@ -2619,9 +2620,9 @@ FROM (
         GROUP BY 1
     )
     SELECT w.doc_id, w.n_chars,
-           CAST(round(CASE WHEN n_chars > 0
+           CAST(round(least(CASE WHEN n_chars > 0
                 THEN coalesce(top_score, 0) / CAST(n_chars AS DOUBLE)
-                ELSE 0.0 END * 1e6, 0) AS BIGINT) AS top_frac_q6,
+                ELSE 0.0 END, 1.0) * 1e6, 0) AS BIGINT) AS top_frac_q6,
            CAST(round(least(CASE WHEN n_chars > 0
                 THEN coalesce(dup_score, 0) / CAST(n_chars AS DOUBLE)
                 ELSE 0.0 END, 1.0) * 1e6, 0) AS BIGINT) AS dup_frac_q6
