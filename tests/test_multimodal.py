@@ -795,6 +795,15 @@ def test_image_metadata_and_strip(spark):
     assert bytes(scrubbed[3]["payload"]) == bmp
     assert scrubbed[3]["n_bytes_removed"] == 0
 
+    # fused scan+scrub-stats pass agrees with the scrub kernel's count
+    fused = {
+        r["asset_id"]: r
+        for r in image_metadata(assets, with_scrub_stats=True).collect()
+    }
+    for i in (1, 2, 3):
+        assert fused[i]["n_bytes_removed"] == scrubbed[i]["n_bytes_removed"]
+    assert fused[1]["has_gps"] and fused[1]["orientation"] == 6
+
 
 def test_image_sharpness_orders_blur(spark):
     import pandas as pd

@@ -486,13 +486,21 @@ def phash_images(assets: DataFrame, grid: int = 32) -> DataFrame:
     )
 
 
-def image_metadata(assets: DataFrame) -> DataFrame:
+def image_metadata(
+    assets: DataFrame, with_scrub_stats: bool = False
+) -> DataFrame:
     """EXIF metadata scan — the PII face of image ingest: orientation
     (rotation-aware decode) and GPS geotags (location PII that MUST be
     found before payloads ship). JPEG APP1/TIFF walk via
     ``operators/jpeg.parse_exif``; non-JPEG payloads report no EXIF
-    (BMP/PNG carry none in these rungs). Zero shuffles."""
-    from .jpeg import parse_exif
+    (BMP/PNG carry none in these rungs). Zero shuffles.
+
+    ``with_scrub_stats=True`` adds an ``n_bytes_removed`` column —
+    what :func:`strip_image_metadata` would splice out — computed in
+    the SAME pass over the payload bytes (the strip is a cheap segment
+    walk; re-reading every payload through a second kernel just to
+    count removed bytes would double the scan I/O)."""
+    from .jpeg import parse_exif, strip_jpeg_metadata
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -504,29 +512,35 @@ def image_metadata(assets: DataFrame) -> DataFrame:
                     p = bytes(r["payload"])
                     if p[:2] == b"\xff\xd8":
                         e = parse_exif(p)
+                        removed = (
+                            len(p) - len(strip_jpeg_metadata(p))
+                            if with_scrub_stats
+                            else None
+                        )
                     else:
                         e = {"orientation": None, "has_gps": False,
                              "gps_lat": None, "gps_lon": None}
-                    out.append(
-                        (r["asset_id"], e["orientation"], e["has_gps"],
-                         e["gps_lat"], e["gps_lon"], None)
-                    )
+                        removed = 0 if with_scrub_stats else None
+                    row = (r["asset_id"], e["orientation"], e["has_gps"],
+                           e["gps_lat"], e["gps_lon"], None)
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append(
-                        (r["asset_id"], None, None, None, None,
-                         str(exc)[:200])
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=["asset_id", "orientation", "has_gps", "gps_lat",
-                         "gps_lon", "decode_error"],
-            )
+                    row = (r["asset_id"], None, None, None, None,
+                           str(exc)[:200])
+                    removed = None
+                out.append(row + ((removed,) if with_scrub_stats else ()))
+            cols = ["asset_id", "orientation", "has_gps", "gps_lat",
+                    "gps_lon", "decode_error"]
+            if with_scrub_stats:
+                cols.append("n_bytes_removed")
+            yield pd.DataFrame(out, columns=cols)
 
-    return assets.select("asset_id", "payload").mapInPandas(
-        scan,
+    schema = (
         "asset_id long, orientation int, has_gps boolean, "
-        "gps_lat double, gps_lon double, decode_error string",
+        "gps_lat double, gps_lon double, decode_error string"
     )
+    if with_scrub_stats:
+        schema += ", n_bytes_removed int"
+    return assets.select("asset_id", "payload").mapInPandas(scan, schema)
 
 
 def strip_image_metadata(assets: DataFrame) -> DataFrame:

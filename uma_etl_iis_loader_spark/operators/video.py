@@ -510,6 +510,26 @@ def video_near_dup_pairs(
     )
 
 
+def _scene_deltas(
+    frames: list[np.ndarray], threshold: float
+) -> list[tuple[int, float]]:
+    """Shared cut detector for the two scene kernels: mean absolute
+    per-pixel delta between consecutive frames, normalized to [0, 1];
+    returns (frame_idx, delta) for every frame whose delta from its
+    predecessor exceeds ``threshold``. Diffs one pair at a time — no
+    whole-clip pixel materialization."""
+    cuts = []
+    prev = None
+    for fi, f in enumerate(frames):
+        cur = f.astype(np.int16)
+        if prev is not None:
+            delta = float(np.abs(cur - prev).mean() / 255.0)
+            if delta > threshold:
+                cuts.append((fi, delta))
+        prev = cur
+    return cuts
+
+
 def detect_scene_cuts(
     assets: DataFrame, threshold: float = 0.3
 ) -> DataFrame:
@@ -531,21 +551,12 @@ def detect_scene_cuts(
                     if r["payload"] is None:
                         raise ValueError("NULL payload")
                     frames, _meta = decode_avi(bytes(r["payload"]))
-                    cut_idx = 0
-                    prev = None
-                    for fi, f in enumerate(frames):
-                        cur = f.astype(np.int16)
-                        if prev is not None:
-                            delta = float(
-                                np.abs(cur - prev).mean() / 255.0
-                            )
-                            if delta > threshold:
-                                out.append(
-                                    (r["asset_id"], cut_idx, fi, delta,
-                                     None)
-                                )
-                                cut_idx += 1
-                        prev = cur
+                    for cut_idx, (fi, delta) in enumerate(
+                        _scene_deltas(frames, threshold)
+                    ):
+                        out.append(
+                            (r["asset_id"], cut_idx, fi, delta, None)
+                        )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
                         (r["asset_id"], None, None, None, str(exc)[:200])
@@ -583,17 +594,11 @@ def sample_keyframes_per_scene(
                     if r["payload"] is None:
                         raise ValueError("NULL payload")
                     frames, _meta = decode_avi(bytes(r["payload"]))
-                    bounds = [0]
-                    prev = None
-                    for fi, f in enumerate(frames):
-                        cur = f.astype(np.int16)
-                        if prev is not None:
-                            if float(
-                                np.abs(cur - prev).mean() / 255.0
-                            ) > threshold:
-                                bounds.append(fi)
-                        prev = cur
-                    bounds.append(len(frames))
+                    bounds = (
+                        [0]
+                        + [fi for fi, _ in _scene_deltas(frames, threshold)]
+                        + [len(frames)]
+                    )
                     for si in range(min(len(bounds) - 1, max_frames)):
                         lo, hi = bounds[si], bounds[si + 1]
                         if hi <= lo:

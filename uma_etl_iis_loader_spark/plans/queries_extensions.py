@@ -859,23 +859,19 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 'exif' rows: the image-PII path — synthesized JPEGs carry a REAL
     # EXIF APP1 (orientation + exactly-representable GPS DMS); the scan
-    # kernel (image_metadata) must read them back to the digit and the
-    # scrub kernel (strip_image_metadata) must remove exactly the
-    # metadata bytes (APP1 + the encoder's JFIF APP0 — measured into
-    # the oracle constant, never hard-coded).
+    # kernel (image_metadata) must read them back to the digit, and
+    # with_scrub_stats=True counts in the SAME pass exactly the bytes
+    # strip_image_metadata would splice out (APP1 + the encoder's JFIF
+    # APP0 — measured into the oracle constant, never hard-coded).
+    # One kernel subtree: the join-of-two-kernels shape re-ran the
+    # synthesis/encode for both branches.
     from ..operators.multimodal import (
         image_metadata,
-        strip_image_metadata,
         synthesize_exif_jpeg_assets,
     )
 
     exif_assets = synthesize_exif_jpeg_assets(aud_ids)
-    exif_rows = image_metadata(exif_assets).join(
-        strip_image_metadata(exif_assets).select(
-            "asset_id", "n_bytes_removed"
-        ),
-        "asset_id",
-    ).select(
+    exif_rows = image_metadata(exif_assets, with_scrub_stats=True).select(
         F.lit("exif").alias("op"),
         "asset_id",
         F.col("orientation").alias("idx"),
