@@ -1,0 +1,136 @@
+"""DSIR importance resampling: weight laws + Gumbel top-k selection."""
+
+import pandas as pd
+import pytest
+
+from uma_etl_iis_loader_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_select,
+    fit_dsir,
+)
+
+
+def _corpora(spark):
+    # target: cooking-ish; raw: half cooking-ish, half legal-ish
+    target = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 101, 102],
+                "text": [
+                    "stir the sauce and simmer the sauce",
+                    "chop the onion then stir the pan",
+                    "simmer the broth and season the broth",
+                ],
+            }
+        )
+    )
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "stir the sauce and season the pan",  # on-target
+                    "simmer the onion and stir the broth",  # on-target
+                    "the party of the first part hereby agrees",
+                    "witness the clause herein and the statute thereof",
+                ],
+            }
+        )
+    )
+    return raw, target
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    raw, target = _corpora(spark)
+    model = fit_dsir(raw, target)
+    w = {
+        r["doc_id"]: r["logw_q4"]
+        for r in dsir_log_weights(raw, model).collect()
+    }
+    assert set(w) == {1, 2, 3, 4}
+    # both cooking docs outscore both legal docs
+    assert min(w[1], w[2]) > max(w[3], w[4])
+
+
+def test_dsir_bucketed_equals_string_when_collision_free(spark):
+    raw, target = _corpora(spark)
+    exact = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(raw, fit_dsir(raw, target)).collect()
+    }
+    # 1<<20 buckets over a ~60-gram vocab: collision-free w.h.p. for
+    # this fixed fixture (verified by the equality itself)
+    bucketed = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(
+            raw, fit_dsir(raw, target, num_buckets=1 << 20)
+        ).collect()
+    }
+    assert exact == bucketed
+
+
+def test_dsir_weights_partition_invariant(spark):
+    raw, target = _corpora(spark)
+    base = {
+        r["doc_id"]: r["logw_q4"]
+        for r in dsir_log_weights(raw, fit_dsir(raw, target)).collect()
+    }
+    shuffled = {
+        r["doc_id"]: r["logw_q4"]
+        for r in dsir_log_weights(
+            raw.repartition(7), fit_dsir(raw.repartition(5), target)
+        ).collect()
+    }
+    assert base == shuffled
+
+
+def test_dsir_empty_and_null_docs_absent(spark):
+    raw, target = _corpora(spark)
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9, 10], "text": ["", None]})
+    )
+    w = dsir_log_weights(
+        raw.unionByName(extra), fit_dsir(raw, target)
+    ).collect()
+    assert {r["doc_id"] for r in w} == {1, 2, 3, 4}
+
+
+def test_dsir_select_tilts_and_is_deterministic(spark):
+    raw, target = _corpora(spark)
+    model = fit_dsir(raw, target)
+    w = dsir_log_weights(raw, model)
+    picked = {r["doc_id"] for r in dsir_select(w, 2).collect()}
+    assert len(picked) == 2
+    # temperature → 0 makes selection greedy: exactly the top-2 weights
+    greedy = {
+        r["doc_id"] for r in dsir_select(w, 2, temperature=1e-9).collect()
+    }
+    assert greedy == {1, 2}
+    # deterministic replay, partition-invariant
+    again = {
+        r["doc_id"]
+        for r in dsir_select(w.repartition(11), 2).collect()
+    }
+    assert picked == again
+
+
+def test_dsir_select_k_exceeding_corpus_returns_all(spark):
+    raw, target = _corpora(spark)
+    w = dsir_log_weights(raw, fit_dsir(raw, target))
+    assert len(dsir_select(w, 50).collect()) == 4
+
+
+def test_dsir_select_plan_is_take_ordered(spark):
+    raw, target = _corpora(spark)
+    w = dsir_log_weights(raw, fit_dsir(raw, target))
+    plan = (
+        dsir_select(w, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_bucketed_ratio_table_is_bounded(spark):
+    raw, target = _corpora(spark)
+    model = fit_dsir(raw, target, num_buckets=16)
+    assert model["ratios"].count() <= 16

@@ -1,0 +1,219 @@
+"""DSIR-style importance resampling — data selection for LM pretraining
+(the public recipe of Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"): estimate how much each RAW document
+looks like a small TARGET corpus using hashed-n-gram bag features, score
+it with the log importance ratio between the two feature distributions,
+and resample the raw corpus with probability tilted toward high-ratio
+documents (Gumbel top-k — the standard without-replacement form).
+
+Everything is declarative DataFrame algebra — model-as-TABLE, the
+``operators/lm.py`` pattern: the "model" is a (feature, log-ratio)
+DataFrame joined into scoring, so fit and score are both pure Catalyst
+plans with no Python kernels and no driver collect. That also makes the
+operator oracle-adjudicable end to end: counting, Laplace smoothing,
+per-feature decimal quantization, the weighted sum, and even the Gumbel
+keys replay exactly in ANSI SQL (integer-hash uniforms, single-``ln``
+terms rounded to 8 decimals — the BM25/LM stable-score recipe).
+
+Model: unigram+bigram bag with Laplace smoothing —
+    log w(d) = Σ_f c_d(f) · [ln p_target(f) − ln p_raw(f)]
+    p_X(f) = (count_X(f) + 1) / (total_X + V)
+with V the joint feature vocabulary size. Features unseen in BOTH
+corpora fall back to the constant ratio ln((total_raw+V)/(total_target+V))
+(the +1/+V floor on each side).
+
+Scale notes (100 TB shape): the string-feature variant's ratio table is
+corpus-vocabulary-sized — fine for adjudication, wrong for the cluster.
+``num_buckets`` switches features to ``xxhash64(gram) % B`` (the paper
+uses B = 10k): the ratio table is then EXACTLY B rows — broadcast — and
+the whole scoring pass is explode → broadcast join → per-doc partial
+agg, one shuffle on doc_id. Selection is Gumbel top-k via
+``TakeOrderedAndProject`` (k rows per partition then k at the driver),
+never a global sort. Bucketed == string weights whenever no two vocab
+grams collide in a bucket (law-tested); at B=10k collisions just blur
+the estimate, which is the paper's own trade.
+
+Cite: reference has no data-selection surface (`iis_etl/` is relational
+ETL); extension surface per SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constants — the engine-portable integer-hash
+#: uniform used across the sampling family (see operators/sampling.py).
+_MULT = 2654435761
+_INC = 1013904223
+_MOD = 4294967296
+
+
+def _gram_rows(docs: DataFrame, id_col: str, text_col: str):
+    """Explode each doc into one row per unigram+bigram OCCURRENCE
+    (counts matter — no distinct): lowercased whitespace tokens, empty
+    tokens filtered (split('') yields [''] — the phantom-word trap).
+    Docs with no tokens produce no rows, and are absent from scores —
+    same contract as ``lm.score_perplexity`` for sub-trigram docs."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(words, bigrams)).alias("gram"),
+        )
+    )
+
+
+def _featurize(grams, num_buckets: int | None):
+    """Feature key per gram row: the gram string, or its xxhash64
+    bucket when ``num_buckets`` is set (the 100 TB path — the ratio
+    table becomes exactly B rows and broadcasts)."""
+    if num_buckets is None:
+        return grams.select("id", F.col("gram").alias("feat"))
+    return grams.select(
+        "id",
+        F.pmod(F.xxhash64("gram"), F.lit(num_buckets))
+        .cast("string")
+        .alias("feat"),
+    )
+
+
+def fit_dsir(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> dict:
+    """Fit the importance-ratio model: per-feature Laplace-smoothed
+    log p_target − log p_raw. Returns lazy DataFrames (never collected):
+
+    - ``ratios``: (feat, r) for every feature seen in either corpus,
+      r = round(ln((ct+1)/(Tt+V)) − ln((cr+1)/(Tr+V)), 8) as
+      decimal(20,8) — quantized per-feature, the exact-sum recipe;
+    - ``totals``: 1 row (tt, tr, v) — corpus totals + joint vocab size;
+    - ``fallback``: 1 row (r0) — the unseen-feature ratio.
+    """
+    t_counts = (
+        _featurize(_gram_rows(target_docs, id_col, text_col), num_buckets)
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    r_counts = (
+        _featurize(_gram_rows(raw_docs, id_col, text_col), num_buckets)
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    joined = t_counts.join(r_counts, "feat", "full_outer")
+    totals = joined.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    q = lambda x: F.round(x, 8).cast("decimal(20,8)")  # noqa: E731
+    ratios = joined.crossJoin(F.broadcast(totals)).select(
+        "feat",
+        q(
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                / (F.col("tt") + F.col("v"))
+            )
+            - F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+                / (F.col("tr") + F.col("v"))
+            )
+        ).alias("r"),
+    )
+    fallback = totals.select(
+        q(
+            F.log(1.0 / (F.col("tt") + F.col("v")))
+            - F.log(1.0 / (F.col("tr") + F.col("v")))
+        ).alias("r0")
+    )
+    return {
+        "ratios": ratios,
+        "fallback": fallback,
+        "num_buckets": num_buckets,
+    }
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a fitted model: (doc_id, n_feats,
+    logw_q4) — total feature occurrences and the log importance weight
+    as an exact integer in 1e-4 units (per-feature decimal(20,8) terms
+    summed exactly, then round(·,4)·10⁴ — hash-adjudicable).
+
+    Plan shape: gram explode (narrow) → join the ratio table (broadcast
+    when bucketed — B rows; string-feature tables join shuffled and are
+    the adjudication rung, not the scale rung) → one per-doc sum with
+    map-side partial aggregation."""
+    feats = _featurize(
+        _gram_rows(docs, id_col, text_col), model["num_buckets"]
+    )
+    ratios = model["ratios"]
+    if model["num_buckets"] is not None:
+        ratios = F.broadcast(ratios)
+    return (
+        feats.join(ratios, "feat", "left")
+        .crossJoin(F.broadcast(model["fallback"]))
+        .select("id", F.coalesce(F.col("r"), F.col("r0")).alias("r"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("r").alias("s"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_feats",
+            (F.round(F.col("s"), 4) * 10000).cast("long").alias("logw_q4"),
+        )
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: int = _INC,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gumbel top-k resampling over the scored weights — draw ``k``
+    documents without replacement with P(pick) tilted by
+    exp(logw / temperature): key = logw/T + Gumbel(doc), take the k
+    largest. The Gumbel uniform is the integer-hash scheme shared by
+    the sampling family (engine-portable, append-stable — a document's
+    noise never changes as the corpus grows), and both addends are
+    rounded to 8 decimals, so ordering replays exactly in the oracle.
+    Returns (doc_id, logw_q4); ordering inside the result is by key
+    (TakeOrderedAndProject — k rows per partition, never a global
+    sort)."""
+    u = (
+        (F.col(id_col) * _MULT + F.lit(seed)) % _MOD + 0.5
+    ) / F.lit(float(_MOD))
+    gumbel = F.round(-F.log(-F.log(u)), 8)
+    key = (
+        F.round(
+            F.col("logw_q4") / F.lit(10000.0) / F.lit(float(temperature)), 8
+        )
+        + gumbel
+    )
+    return (
+        weights.select(id_col, "logw_q4", key.alias("__key"))
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
+    )

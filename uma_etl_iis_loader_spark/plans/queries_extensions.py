@@ -1222,6 +1222,70 @@ JOIN (
           FROM (SELECT count(*) AS n2 FROM documents GROUP BY lang))
 ) r ON t.lang = r.lang
 WHERE t.b < round(r.rate * 10000)
+UNION ALL
+SELECT m.method, m.doc_id, CAST(NULL AS VARCHAR), m.k1, m.k2
+FROM (
+    WITH g AS (
+        SELECT doc_id, u.g AS gram
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS wds
+            FROM documents WHERE text IS NOT NULL
+        ),
+        unnest(wds || CASE WHEN len(wds) >= 2
+                           THEN list_transform(range(1, len(wds)),
+                                i -> wds[i] || ' ' || wds[i+1])
+                           ELSE CAST([] AS VARCHAR[]) END) AS u(g)
+    ),
+    tc AS (SELECT gram, count(*) AS ct FROM g
+           WHERE doc_id % 7 = 0 GROUP BY 1),
+    rc AS (SELECT gram, count(*) AS cr FROM g
+           WHERE doc_id % 7 <> 0 GROUP BY 1),
+    tot AS (
+        SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+               (SELECT coalesce(sum(cr), 0) FROM rc) AS tr,
+               (SELECT count(*) FROM
+                   (SELECT gram FROM tc UNION SELECT gram FROM rc)) AS v
+    ),
+    ratio AS (
+        SELECT gram,
+               CAST(round(ln((coalesce(ct, 0) + 1.0) / (tt + v))
+                          - ln((coalesce(cr, 0) + 1.0) / (tr + v)), 8)
+                    AS DECIMAL(20,8)) AS r
+        FROM tc FULL JOIN rc USING (gram) CROSS JOIN tot
+    ),
+    fb AS (
+        SELECT CAST(round(ln(1.0 / (tt + v)) - ln(1.0 / (tr + v)), 8)
+                    AS DECIMAL(20,8)) AS r0
+        FROM tot
+    ),
+    sw AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(round(sum(coalesce(ratio.r, fb.r0)), 4) * 10000
+                    AS BIGINT) AS logw_q4
+        FROM g LEFT JOIN ratio USING (gram) CROSS JOIN fb
+        WHERE g.doc_id % 7 <> 0
+        GROUP BY 1
+    ),
+    pick AS (
+        SELECT doc_id, logw_q4
+        FROM (
+            SELECT doc_id, logw_q4,
+                   round(CAST(logw_q4 AS DOUBLE) / 10000.0, 8)
+                   + round(-ln(-ln((((doc_id * 2654435761 + 1013904223)
+                                     % 4294967296) + 0.5)
+                                   / 4294967296.0)), 8) AS key
+            FROM sw
+        )
+        ORDER BY key DESC, doc_id
+        LIMIT 25
+    )
+    SELECT 'dsir_w' AS method, doc_id, n_feats AS k1, logw_q4 AS k2 FROM sw
+    UNION ALL
+    SELECT 'dsir_pick', doc_id, NULL, logw_q4 FROM pick
+) m
 """
 
 
@@ -1252,8 +1316,20 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-domain keep-rates from its own counts and replays the same
       salted-hash membership, so both the rate ARITHMETIC and the
       sampled id set are hash-adjudicated end-to-end.
+    - 'dsir_w' / 'dsir_pick' rows: DSIR importance resampling
+      (operators/dsir — Xie et al. 2023): unigram+bigram Laplace
+      log-ratio weights of raw docs (doc_id % 7 != 0) against the
+      deterministic target slice (doc_id % 7 = 0), per-feature
+      decimal(20,8) quantization before the exact sum (n_ngrams slot =
+      feature occurrences, n_contaminated slot = logw in 1e-4 units);
+      then Gumbel top-25 selection with the family's integer-hash
+      uniforms — weights AND the resampled id set hash-adjudicated.
+      The bucketed variant (B-row broadcast ratio table, the 100 TB
+      path) is law-tested against this exact-string rung in
+      tests/test_dsir.py.
     """
     from ..operators.contamination import ngram_contamination
+    from ..operators.dsir import dsir_log_weights, dsir_select, fit_dsir
     from ..operators.sampling import (
         deterministic_split,
         hash_stratified_sample,
@@ -1303,10 +1379,30 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_ngrams"),
         null_l.alias("n_contaminated"),
     )
+    raw = docs.filter("doc_id % 7 <> 0").select("doc_id", "text")
+    target = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    dsir_w = dsir_log_weights(raw, fit_dsir(raw, target))
+    null_s = F.lit(None).cast("string")
+    dsir_w_rows = dsir_w.select(
+        F.lit("dsir_w").alias("method"),
+        "doc_id",
+        null_s.alias("split"),
+        F.col("n_feats").alias("n_ngrams"),
+        F.col("logw_q4").alias("n_contaminated"),
+    )
+    dsir_pick_rows = dsir_select(dsir_w, 25).select(
+        F.lit("dsir_pick").alias("method"),
+        "doc_id",
+        null_s.alias("split"),
+        null_l.alias("n_ngrams"),
+        F.col("logw_q4").alias("n_contaminated"),
+    )
     return (
         split_rows.unionByName(cont_rows)
         .unionByName(strat_rows)
         .unionByName(tm_rows)
+        .unionByName(dsir_w_rows)
+        .unionByName(dsir_pick_rows)
     )
 
 
