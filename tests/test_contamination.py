@@ -44,3 +44,104 @@ def test_contamination_case_and_repeat_insensitive(spark):
     # distinct trigrams of 'a b c a b c': {a b c, b c a, c a b} -> 3;
     # only 'a b c' appears in train
     assert (out["n_ngrams"], out["n_contaminated"]) == (3, 1)
+
+
+def _strike_fixture(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.contamination import (
+        strike_contaminated_spans,
+    )
+
+    secret = "the quick brown fox jumps over the lazy"  # 8 words
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"intro words here {secret} outro words here",
+                    "totally unrelated prose with enough words to pass",
+                    secret.upper(),  # case-insensitive hit, whole doc
+                ],
+            }
+        )
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [f"context {secret} tail"]})
+    )
+    return strike_contaminated_spans, train, eval_df, secret
+
+
+def test_strike_removes_matching_window_case_insensitive(spark):
+    strike, train, eval_df, secret = _strike_fixture(spark)
+    rows = {r["doc_id"]: r for r in strike(train, eval_df, n=8).collect()}
+    # doc 1: the 8 secret words struck, surroundings survive in order
+    assert rows[1]["text"] == "intro words here outro words here"
+    assert rows[1]["n_words"] == 14
+    assert rows[1]["n_words_struck"] == 8
+    assert rows[1]["n_hits"] == 1
+    # doc 2: untouched (whitespace-normalized contract)
+    assert rows[2]["text"] == "totally unrelated prose with enough words to pass"
+    assert rows[2]["n_words_struck"] == 0 and rows[2]["n_hits"] == 0
+    # doc 3: uppercase variant fully struck -> empty text
+    assert rows[3]["text"] == "" and rows[3]["n_words_struck"] == 8
+
+
+def test_strike_overlapping_hits_strike_union(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.contamination import (
+        strike_contaminated_spans,
+    )
+
+    # eval has 'a b c d' and 'c d e f': train 'x a b c d e f y' hits at
+    # s=1 and s=3 -> union strikes words 1..6, keeping 'x y'
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x a b c d e f y"]})
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9, 10], "text": ["a b c d", "c d e f"]})
+    )
+    r = strike_contaminated_spans(train, eval_df, n=4).collect()[0]
+    assert r["text"] == "x y"
+    assert r["n_words_struck"] == 6 and r["n_hits"] == 2
+
+
+def test_strike_margin_extends_and_clamps(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.contamination import (
+        strike_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d e f g"]})
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["b c d"]})
+    )
+    # hit at s=1 (words b c d); margin=1 strikes a..e, keeps 'f g';
+    # left clamp at 0 must not error
+    r = strike_contaminated_spans(train, eval_df, n=3, margin=1).collect()[0]
+    assert r["text"] == "f g"
+    assert r["n_words_struck"] == 5
+
+
+def test_strike_empty_and_short_docs_pass_through(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.contamination import (
+        strike_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["", "tiny doc"]})
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["a b c d e f g h"]})
+    )
+    rows = {r["doc_id"]: r for r in strike_contaminated_spans(
+        train, eval_df, n=8
+    ).collect()}
+    assert rows[1]["text"] == "" and rows[1]["n_words"] == 0
+    assert rows[2]["text"] == "tiny doc" and rows[2]["n_hits"] == 0

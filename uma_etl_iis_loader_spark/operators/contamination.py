@@ -77,3 +77,130 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def strike_contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    margin: int = 0,
+) -> DataFrame:
+    """Decontamination REMOVAL pass — the policy half of
+    :func:`ngram_contamination` (the GPT-3 recipe, Brown et al. 2020
+    App. C: don't just count eval overlap in train docs, STRIKE it):
+    delete from every train document each word window that matches an
+    eval n-gram, plus ``margin`` words on each side, and rebuild the
+    document from the surviving words.
+
+    Canonicalization contract: BOTH sides tokenize identically — words
+    are whitespace tokens of the original text (empty tokens filtered),
+    matched CASE-INSENSITIVELY via per-token lowercasing — and the
+    surviving text keeps original casing. Rebuilt text joins words with
+    single spaces (whitespace runs do not survive — the same convention
+    as ``dedup.dedup_sentence_spans``).
+
+    Returns one row per train doc: (id, text, n_words, n_words_struck,
+    n_hits) — ``text`` is the cleaned document ('' when every word was
+    struck), ``n_hits`` the number of matching gram windows.
+
+    Scale shape: grams reduce to 8-byte ``xxhash64`` keys before the
+    hit join (the ``ngram_contamination`` recipe — the shuffle never
+    ships gram strings); each hit expands to exactly n + 2·margin word
+    indexes (a bounded explode — no range join); the struck-index set
+    anti-joins the word rows; rebuild is one partial-agg'able
+    sort-struct collect per doc. No driver participation."""
+    words_arr = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    )
+    # train words with positions (original case preserved for rebuild)
+    t_words = train.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(words_arr).alias("i", "w"),
+    )
+    # train gram starts: key = xxhash64 of the lowercased n-word window
+    lower_arr = F.transform(words_arr, F.lower)
+    starts = F.when(
+        F.size(words_arr) >= n,
+        F.sequence(F.lit(0), F.size(words_arr) - n),
+    ).otherwise(F.array().cast("array<int>"))
+    t_grams = train.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.xxhash64(
+                        F.array_join(F.slice(lower_arr, s + 1, n), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("__id", F.col("g.s").alias("s"), F.col("g.gh").alias("gh"))
+    e_keys = (
+        eval_df.select(
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.xxhash64(
+                        F.array_join(F.slice(lower_arr, s + 1, n), " ")
+                    ),
+                )
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    hits = t_grams.join(e_keys, "gh", "left_semi")
+    struck = hits.select(
+        "__id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("s") - margin, F.lit(0)),
+                F.col("s") + (n - 1) + margin,
+            )
+        ).alias("i"),
+    ).distinct()
+    kept = t_words.join(struck, ["__id", "i"], "left_anti")
+    n_hits = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_hits"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("i").isNotNull(),
+                            F.struct("i", "w"),
+                        )
+                    )
+                ),
+                lambda x: x.w,
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("i").isNotNull(), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+    )
+    # anchor on the train-id universe: a fully-struck doc has NO kept
+    # rows and would otherwise vanish instead of coming back as ''
+    return (
+        train.select(
+            F.col(id_col).alias("__id"),
+            F.size(words_arr).cast("long").alias("n_words"),
+        )
+        .join(rebuilt, "__id", "left")
+        .join(n_hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_words",
+            (
+                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_words_struck"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+        )
+    )

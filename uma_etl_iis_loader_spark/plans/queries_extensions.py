@@ -1286,6 +1286,59 @@ FROM (
     UNION ALL
     SELECT 'dsir_pick', doc_id, NULL, logw_q4 FROM pick
 ) m
+UNION ALL
+SELECT 'decontam', d.doc_id, d.text2, d.k1, d.k2
+FROM (
+    WITH tw AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS wds
+        FROM spl WHERE split = 'train'
+    ),
+    tl AS (
+        SELECT doc_id, wds,
+               list_transform(wds, w -> lower(w)) AS lw
+        FROM tw
+    ),
+    ek AS (
+        SELECT DISTINCT concat_ws(' ', lw[i], lw[i+1], lw[i+2],
+                                  lw[i+3], lw[i+4]) AS g
+        FROM (
+            SELECT list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''),
+                       w -> lower(w)) AS lw
+            FROM spl WHERE split = 'test'
+        ), unnest(range(1, greatest(len(lw) - 4, 0) + 1)) u(i)
+    ),
+    tg AS (
+        SELECT doc_id, u.i - 1 AS s,
+               concat_ws(' ', lw[u.i], lw[u.i+1], lw[u.i+2],
+                         lw[u.i+3], lw[u.i+4]) AS g
+        FROM tl, unnest(range(1, greatest(len(lw) - 4, 0) + 1)) u(i)
+    ),
+    hits AS (SELECT tg.doc_id, tg.s FROM tg JOIN ek ON tg.g = ek.g),
+    struck AS (
+        SELECT DISTINCT doc_id, u.i AS i
+        FROM hits, unnest(range(s, s + 5)) u(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, u.i - 1 AS i, t.wds[u.i] AS w
+        FROM tw t, unnest(range(1, len(t.wds) + 1)) u(i)
+        WHERE NOT EXISTS (SELECT 1 FROM struck s
+                          WHERE s.doc_id = t.doc_id AND s.i = u.i - 1)
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text2,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    nh AS (SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(r.text2, '') AS text2,
+           CAST(len(t.wds) - coalesce(r.n_kept, 0) AS BIGINT) AS k1,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS k2
+    FROM tw t LEFT JOIN reb r USING (doc_id) LEFT JOIN nh USING (doc_id)
+) d
 """
 
 
@@ -1327,8 +1380,18 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       The bucketed variant (B-row broadcast ratio table, the 100 TB
       path) is law-tested against this exact-string rung in
       tests/test_dsir.py.
+    - 'decontam' rows: the REMOVAL half of decontamination
+      (contamination.strike_contaminated_spans — the GPT-3 strike
+      recipe): every train-doc 5-gram window matching a test-split
+      5-gram is struck and the document rebuilt from surviving words —
+      the cleaned TEXT itself rides in the split column, so the rebuild
+      (ordering, casing, strike unions) is hash-adjudicated, with
+      n_ngrams slot = words struck, n_contaminated slot = hit windows.
     """
-    from ..operators.contamination import ngram_contamination
+    from ..operators.contamination import (
+        ngram_contamination,
+        strike_contaminated_spans,
+    )
     from ..operators.dsir import dsir_log_weights, dsir_select, fit_dsir
     from ..operators.sampling import (
         deterministic_split,
@@ -1397,12 +1460,24 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_ngrams"),
         F.col("logw_q4").alias("n_contaminated"),
     )
+    dec_rows = strike_contaminated_spans(
+        split_df.filter("split = 'train'"),
+        split_df.filter("split = 'test'"),
+        n=5,
+    ).select(
+        F.lit("decontam").alias("method"),
+        "doc_id",
+        F.col("text").alias("split"),
+        F.col("n_words_struck").cast("long").alias("n_ngrams"),
+        F.col("n_hits").alias("n_contaminated"),
+    )
     return (
         split_rows.unionByName(cont_rows)
         .unionByName(strat_rows)
         .unionByName(tm_rows)
         .unionByName(dsir_w_rows)
         .unionByName(dsir_pick_rows)
+        .unionByName(dec_rows)
     )
 
 
