@@ -519,3 +519,47 @@ def test_ivfpq_distributed_plan_shape(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_dsir_bucketed_scoring_broadcasts_ratio_table(spark, sf_dir):
+    """With num_buckets the ratio table is exactly B rows: the scoring
+    join must be a BroadcastHashJoin (no shuffle of the gram explode),
+    selection compiles to TakeOrderedAndProject, and nothing in the
+    fit/score/select chain is a cartesian product."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        fit_dsir,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.filter("doc_id % 7 <> 0")
+    target = docs.filter("doc_id % 7 = 0")
+    w = dsir_log_weights(raw, fit_dsir(raw, target, num_buckets=1024))
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan2 = (
+        dsir_select(w, 25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan2
+
+
+def test_strike_spans_hashed_keys_no_cartesian(spark, sf_dir):
+    """The decontamination hit join ships 8-byte xxhash64 keys (the
+    contamination recipe — never gram strings) and the whole plan is
+    join/agg shaped: no cartesian product anywhere."""
+    from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.contamination import (
+        strike_contaminated_spans,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    out = strike_contaminated_spans(
+        docs.filter("doc_id % 10 <> 0"), docs.filter("doc_id % 10 = 0"), n=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
