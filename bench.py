@@ -255,6 +255,15 @@ def main() -> None:
         "resample_audio from operators/audio; video_frames / "
         "video_mjpeg AVI parsing from operators/video) — per-row-CPU "
         "rungs, priced deliberately",
+        "sampling_ops": "+~3 s vs r6 (0.4 -> ~3.5 s warm, measured in "
+        "isolation) = two new adjudicated families: method=dsir_w/"
+        "dsir_pick (DSIR importance resampling — fit + score + a "
+        "second scoring pass under the Gumbel top-k branch of the "
+        "union) and method=decontam (~0.8 s, the GPT-3 strike pass "
+        "incl. rebuilt-text adjudication). Comparable family cost to "
+        "llm_prep_ops/corpus_stats_ops; the gram explode was "
+        "de-quadraticized before landing (slice+zip_with instead of "
+        "per-index element_at, 5-10x measured)",
     }
     detail = {
         "metric": "headline_queries_total_runtime",

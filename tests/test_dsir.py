@@ -52,14 +52,14 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert min(w[1], w[2]) > max(w[3], w[4])
 
 
-def test_dsir_bucketed_equals_string_when_collision_free(spark):
+def test_dsir_bucketed_equals_unbucketed_when_collision_free(spark):
     raw, target = _corpora(spark)
     exact = {
         r["doc_id"]: (r["n_feats"], r["logw_q4"])
         for r in dsir_log_weights(raw, fit_dsir(raw, target)).collect()
     }
-    # 1<<20 buckets over a ~60-gram vocab: collision-free w.h.p. for
-    # this fixed fixture (verified by the equality itself)
+    # 1<<20 buckets over a ~60-gram vocab: collision-free for this
+    # fixed fixture (verified by the equality itself)
     bucketed = {
         r["doc_id"]: (r["n_feats"], r["logw_q4"])
         for r in dsir_log_weights(

@@ -114,42 +114,51 @@ def strike_contaminated_spans(
     words_arr = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: w != ""
     )
-    # train words with positions (original case preserved for rebuild)
-    t_words = train.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode_outer(words_arr).alias("i", "w"),
-    )
-    # train gram starts: key = xxhash64 of the lowercased n-word window
-    lower_arr = F.transform(words_arr, F.lower)
-    starts = F.when(
-        F.size(words_arr) >= n,
-        F.sequence(F.lit(0), F.size(words_arr) - n),
-    ).otherwise(F.array().cast("array<int>"))
-    t_grams = train.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.xxhash64(
-                        F.array_join(F.slice(lower_arr, s + 1, n), " ")
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select("__id", F.col("g.s").alias("s"), F.col("g.gh").alias("gh"))
-    e_keys = (
-        eval_df.select(
-            F.explode(
-                F.transform(
-                    starts,
-                    lambda s: F.xxhash64(
-                        F.array_join(F.slice(lower_arr, s + 1, n), " ")
-                    ),
-                )
-            ).alias("gh")
+
+    def tokenized(df):
+        # projection barrier: the split+filter chain materializes once
+        # per row; downstream branches reference the __wds/__lw column
+        # attributes, never the chain (re-inlining it inside per-element
+        # lambdas is the measured 5-10x gram-explode trap — see
+        # operators/dsir._gram_rows)
+        return df.select(
+            F.col(id_col).alias("__id"), words_arr.alias("__wds")
+        ).select(
+            "__id",
+            "__wds",
+            F.transform("__wds", F.lower).alias("__lw"),
         )
+
+    def gram_array(lw):
+        # n-word windows via n top-level slices zipped elementwise —
+        # loop-invariant work stays OUT of the per-element lambda
+        cnt = F.size(lw) - (n - 1)
+        zipped = F.arrays_zip(
+            *[F.slice(lw, i + 1, cnt).alias(f"c{i}") for i in range(n)]
+        )
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                zipped,
+                lambda x: F.xxhash64(
+                    F.concat_ws(" ", *[x[f"c{i}"] for i in range(n)])
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    t_tok = tokenized(train)
+    # train words with positions (original case preserved for rebuild)
+    t_words = t_tok.select(
+        "__id", F.posexplode_outer("__wds").alias("i", "w")
+    )
+    # train gram starts: posexplode ordinal IS the 0-based start index
+    t_grams = t_tok.select(
+        "__id",
+        F.posexplode(gram_array(F.col("__lw"))).alias("s", "gh"),
+    )
+    e_keys = (
+        tokenized(eval_df)
+        .select(F.explode(gram_array(F.col("__lw"))).alias("gh"))
         .distinct()
     )
     hits = t_grams.join(e_keys, "gh", "left_semi")
@@ -186,9 +195,8 @@ def strike_contaminated_spans(
     # anchor on the train-id universe: a fully-struck doc has NO kept
     # rows and would otherwise vanish instead of coming back as ''
     return (
-        train.select(
-            F.col(id_col).alias("__id"),
-            F.size(words_arr).cast("long").alias("n_words"),
+        t_tok.select(
+            "__id", F.size("__wds").cast("long").alias("n_words")
         )
         .join(rebuilt, "__id", "left")
         .join(n_hits, "__id", "left")

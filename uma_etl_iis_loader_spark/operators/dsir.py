@@ -22,16 +22,19 @@ with V the joint feature vocabulary size. Features unseen in BOTH
 corpora fall back to the constant ratio ln((total_raw+V)/(total_target+V))
 (the +1/+V floor on each side).
 
-Scale notes (100 TB shape): the string-feature variant's ratio table is
-corpus-vocabulary-sized — fine for adjudication, wrong for the cluster.
-``num_buckets`` switches features to ``xxhash64(gram) % B`` (the paper
-uses B = 10k): the ratio table is then EXACTLY B rows — broadcast — and
-the whole scoring pass is explode → broadcast join → per-doc partial
-agg, one shuffle on doc_id. Selection is Gumbel top-k via
+Scale notes (100 TB shape): features are ALWAYS 8-byte ``xxhash64``
+keys — no gram string ever shuffles (the ``contamination`` recipe; a
+weight shift needs a hash collision between two vocab grams,
+negligible below ~10¹⁸ grams). Unbucketed, the ratio table is
+corpus-vocabulary-sized — fine for adjudication, wrong for the
+cluster; ``num_buckets`` folds the hash into B buckets (the paper uses
+B = 10k): the ratio table is then EXACTLY B rows — broadcast — and the
+whole scoring pass is explode → broadcast join → per-doc partial agg,
+one shuffle on doc_id. Selection is Gumbel top-k via
 ``TakeOrderedAndProject`` (k rows per partition then k at the driver),
-never a global sort. Bucketed == string weights whenever no two vocab
-grams collide in a bucket (law-tested); at B=10k collisions just blur
-the estimate, which is the paper's own trade.
+never a global sort. Bucketed == unbucketed weights whenever no two
+vocab grams collide in a bucket (law-tested); at B=10k collisions just
+blur the estimate, which is the paper's own trade.
 
 Cite: reference has no data-selection surface (`iis_etl/` is relational
 ETL); extension surface per SURVEY.md §6.
@@ -55,39 +58,46 @@ def _gram_rows(docs: DataFrame, id_col: str, text_col: str):
     tokens filtered (split('') yields [''] — the phantom-word trap).
     Docs with no tokens produce no rows, and are absent from scores —
     same contract as ``lm.score_perplexity`` for sub-trigram docs."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    # materialize the token array through its own projection: the
+    # split+filter chain is non-cheap and referenced several times
+    # below, so CollapseProject keeps the barrier and each row
+    # tokenizes ONCE (inlining it per reference measured 5-10x slower)
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("__w"),
     )
+    w = F.col("__w")
+    # bigrams via two slices + zip_with — NOT per-index element_at,
+    # which would evaluate the array expression once per element
+    # (higher-order lambdas defeat common-subexpression elimination)
     bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.concat(words, bigrams)).alias("gram"),
-        )
+    return toks.select(
+        "id", F.explode(F.concat(w, bigrams)).alias("gram")
     )
 
 
 def _featurize(grams, num_buckets: int | None):
-    """Feature key per gram row: the gram string, or its xxhash64
-    bucket when ``num_buckets`` is set (the 100 TB path — the ratio
-    table becomes exactly B rows and broadcasts)."""
-    if num_buckets is None:
-        return grams.select("id", F.col("gram").alias("feat"))
-    return grams.select(
-        "id",
-        F.pmod(F.xxhash64("gram"), F.lit(num_buckets))
-        .cast("string")
-        .alias("feat"),
-    )
+    """Feature key per gram row: ALWAYS an 8-byte ``xxhash64`` of the
+    gram (the ``contamination`` recipe — count aggregations and the
+    scoring join shuffle longs, never gram strings; a count merge
+    needs an xxhash64 collision between two distinct vocab grams,
+    negligible below ~10¹⁸ grams and exactly the blur ``num_buckets``
+    embraces anyway). ``num_buckets`` additionally folds the hash into
+    B buckets — the 100 TB path where the ratio table is exactly B
+    rows and broadcasts."""
+    h = F.xxhash64("gram")
+    if num_buckets is not None:
+        h = F.pmod(h, F.lit(num_buckets))
+    return grams.select("id", h.alias("feat"))
 
 
 def fit_dsir(
@@ -106,17 +116,20 @@ def fit_dsir(
     - ``totals``: 1 row (tt, tr, v) — corpus totals + joint vocab size;
     - ``fallback``: 1 row (r0) — the unseen-feature ratio.
     """
-    t_counts = (
-        _featurize(_gram_rows(target_docs, id_col, text_col), num_buckets)
-        .groupBy("feat")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE tagged union + ONE agg produces both corpora's counts —
+    # not two aggs + a full-outer join (which would re-run the gram
+    # explodes and triple the stage count of the fit)
+    tagged = _featurize(
+        _gram_rows(target_docs, id_col, text_col), num_buckets
+    ).select("feat", F.lit(1).alias("t")).unionByName(
+        _featurize(
+            _gram_rows(raw_docs, id_col, text_col), num_buckets
+        ).select("feat", F.lit(0).alias("t"))
     )
-    r_counts = (
-        _featurize(_gram_rows(raw_docs, id_col, text_col), num_buckets)
-        .groupBy("feat")
-        .agg(F.count(F.lit(1)).alias("cr"))
+    joined = tagged.groupBy("feat").agg(
+        F.sum("t").alias("ct"),
+        F.sum(1 - F.col("t")).alias("cr"),
     )
-    joined = t_counts.join(r_counts, "feat", "full_outer")
     totals = joined.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
         F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"),
@@ -126,14 +139,8 @@ def fit_dsir(
     ratios = joined.crossJoin(F.broadcast(totals)).select(
         "feat",
         q(
-            F.log(
-                (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                / (F.col("tt") + F.col("v"))
-            )
-            - F.log(
-                (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
-                / (F.col("tr") + F.col("v"))
-            )
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("v")))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
         ).alias("r"),
     )
     fallback = totals.select(
@@ -160,10 +167,10 @@ def dsir_log_weights(
     as an exact integer in 1e-4 units (per-feature decimal(20,8) terms
     summed exactly, then round(·,4)·10⁴ — hash-adjudicable).
 
-    Plan shape: gram explode (narrow) → join the ratio table (broadcast
-    when bucketed — B rows; string-feature tables join shuffled and are
-    the adjudication rung, not the scale rung) → one per-doc sum with
-    map-side partial aggregation."""
+    Plan shape: gram explode (narrow) → join the ratio table on 8-byte
+    keys (broadcast when bucketed — B rows; unbucketed tables join
+    shuffled and are the adjudication rung, not the scale rung) → one
+    per-doc sum with map-side partial aggregation."""
     feats = _featurize(
         _gram_rows(docs, id_col, text_col), model["num_buckets"]
     )

@@ -1229,7 +1229,8 @@ FROM (
         SELECT doc_id, u.g AS gram
         FROM (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   list_filter(regexp_split_to_array(
+                       lower(substr(text, 1, 256)), '\\s+'),
                                x -> x <> '') AS wds
             FROM documents WHERE text IS NOT NULL
         ),
@@ -1372,14 +1373,16 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'dsir_w' / 'dsir_pick' rows: DSIR importance resampling
       (operators/dsir — Xie et al. 2023): unigram+bigram Laplace
       log-ratio weights of raw docs (doc_id % 7 != 0) against the
-      deterministic target slice (doc_id % 7 = 0), per-feature
+      deterministic target slice (doc_id % 7 = 0) over a 256-char
+      prefix (the lm_ppl fixed-prefix estimator), per-feature
       decimal(20,8) quantization before the exact sum (n_ngrams slot =
       feature occurrences, n_contaminated slot = logw in 1e-4 units);
       then Gumbel top-25 selection with the family's integer-hash
-      uniforms — weights AND the resampled id set hash-adjudicated.
-      The bucketed variant (B-row broadcast ratio table, the 100 TB
-      path) is law-tested against this exact-string rung in
-      tests/test_dsir.py.
+      uniforms — weights AND the resampled id set hash-adjudicated
+      (features are xxhash64 longs in Spark, gram strings in the
+      oracle — hash equality == string equality absent collisions, the
+      contamination precedent). The bucketed variant (B-row broadcast
+      ratio table, the 100 TB path) is law-tested in tests/test_dsir.py.
     - 'decontam' rows: the REMOVAL half of decontamination
       (contamination.strike_contaminated_spans — the GPT-3 strike
       recipe): every train-doc 5-gram window matching a test-split
@@ -1442,8 +1445,15 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_ngrams"),
         null_l.alias("n_contaminated"),
     )
-    raw = docs.filter("doc_id % 7 <> 0").select("doc_id", "text")
-    target = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    # 256-char prefix on both fit and score paths — the importance
+    # weight is a per-token statistic, a fixed prefix is the standard
+    # estimator (the lm_ppl precedent, which uses 512); keeps the gram
+    # explode bench-bounded while adjudicating the full arithmetic
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, 256).alias("text")
+    )
+    raw = pref.filter("doc_id % 7 <> 0")
+    target = pref.filter("doc_id % 7 = 0")
     dsir_w = dsir_log_weights(raw, fit_dsir(raw, target))
     null_s = F.lit(None).cast("string")
     dsir_w_rows = dsir_w.select(
