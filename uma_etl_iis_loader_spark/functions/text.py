@@ -169,11 +169,22 @@ def _word_gram_array(col: Column | str, n: int) -> Column:
     start)."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
-    cnt = F.size(words)
-    idx = F.when(cnt >= n, F.sequence(F.lit(0), cnt - n)).otherwise(
-        F.array().cast("array<int>")
+    # windows via n TOP-LEVEL slices zipped elementwise — never a
+    # per-index slice inside the transform lambda, where the split
+    # chain (loop-invariant, but HOF lambdas re-evaluate it per
+    # element) made gram construction quadratic in words-per-doc
+    # (measured 5-10x on sf0.1 explodes)
+    cnt = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, cnt).alias(f"c{i}") for i in range(n)]
     )
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            zipped,
+            lambda x: F.concat_ws(" ", *[x[f"c{i}"] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def top_ngram_count(col: Column | str, n: int = 2) -> Column:

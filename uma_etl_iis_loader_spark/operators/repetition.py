@@ -31,13 +31,22 @@ from pyspark.sql import functions as F
 
 
 def _word_grams(words, n: int):
-    """1-based word n-gram array; empty when the doc has < n words
-    (guards Spark's descending `sequence(1, 0)` surprise)."""
+    """Word n-gram array in document order; empty when the doc has < n
+    words. Built from n top-level slices zipped elementwise — a
+    per-index slice inside the transform lambda would re-evaluate the
+    (loop-invariant) words expression once per element, making gram
+    construction quadratic in words-per-doc (the trap measured and
+    fixed across the gram family — see functions/text._word_gram_array).
+    """
+    cnt = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, cnt).alias(f"c{i}") for i in range(n)]
+    )
     return F.when(
-        F.size(words) >= n,
+        cnt >= 1,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            zipped,
+            lambda x: F.concat_ws(" ", *[x[f"c{i}"] for i in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
