@@ -819,10 +819,19 @@ def dedup_sentence_spans(
     prefix keeps exchange key comparison cheap. Reassembly is one
     partial-agg'able sort-struct collect per doc. No driver
     participation anywhere."""
-    sents = F.split(F.col(text_col), r"\. ")
-    n_chunks = F.ceil(F.size(sents) / F.lit(span)).cast("int")
-    chunks = docs.where(F.col(text_col).isNotNull()).select(
+    # projection barrier: materialize the sentence array once per row —
+    # the per-chunk slice below would otherwise re-run the split per
+    # chunk (the loop-invariant-in-lambda trap measured across the
+    # gram family; slicing a materialized column attribute is a cheap
+    # element copy)
+    sent_rows = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), r"\. ").alias("__sents"),
+    )
+    sents = F.col("__sents")
+    n_chunks = F.ceil(F.size(sents) / F.lit(span)).cast("int")
+    chunks = sent_rows.select(
+        "__id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
