@@ -2,6 +2,7 @@
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from uma_etl_iis_loader_spark.operators.dsir import (
     dsir_log_weights,
@@ -134,3 +135,55 @@ def test_dsir_bucketed_ratio_table_is_bounded(spark):
     raw, target = _corpora(spark)
     model = fit_dsir(raw, target, num_buckets=16)
     assert model["ratios"].count() <= 16
+
+
+def test_dsir_select_per_group_counts_and_determinism(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dsir import (
+        dsir_select_per_group,
+    )
+
+    raw, target = _corpora(spark)
+    model = fit_dsir(raw, target)
+    w = dsir_log_weights(raw, model).join(
+        raw.selectExpr(
+            "doc_id", "CASE WHEN doc_id <= 2 THEN 'a' ELSE 'b' END AS grp"
+        ),
+        "doc_id",
+    )
+    picked = dsir_select_per_group(w, "grp", k=1)
+    rows = picked.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert len(by_grp["a"]) == 1 and len(by_grp["b"]) == 1
+    # deterministic under repartitioning
+    again = sorted(
+        (r["grp"], r["doc_id"])
+        for r in dsir_select_per_group(w.repartition(9), "grp", 1).collect()
+    )
+    assert again == sorted((r["grp"], r["doc_id"]) for r in rows)
+    # k >= group size returns the whole group
+    assert (
+        len(dsir_select_per_group(w, "grp", 100).collect()) == w.count()
+    )
+
+
+def test_dsir_select_per_group_plan_single_window_no_sort(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dsir import (
+        dsir_select_per_group,
+    )
+
+    raw, target = _corpora(spark)
+    w = dsir_log_weights(raw, fit_dsir(raw, target)).withColumn(
+        "grp", (F.col("doc_id") % 2).cast("string")
+    )
+    plan = (
+        dsir_select_per_group(w, "grp", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window [") == 1
+    assert "CartesianProduct" not in plan

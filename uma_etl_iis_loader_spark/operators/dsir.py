@@ -224,3 +224,44 @@ def dsir_select(
         .limit(k)
         .drop("__key")
     )
+
+
+def dsir_select_per_group(
+    weights: DataFrame,
+    group_col: str,
+    k: int,
+    temperature: float = 1.0,
+    seed: int = _INC,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Gumbel top-k — the corpus-fraction scale path.
+    :func:`dsir_select`'s global top-k merges k rows at the driver,
+    the right shape for a serving-sized k; selecting a FRACTION of a
+    100 TB corpus makes k itself corpus-sized and the global merge the
+    bottleneck. Real pipelines budget per domain/language anyway (the
+    DSIR paper selects per source), so this variant takes the k
+    highest Gumbel keys within each ``group_col`` partition: one
+    shuffle on the group key, one window with streamed O(1) state per
+    partition (plus Spark's WindowGroupLimit pre-filter), no global
+    sort, no driver merge. Same key formula and determinism contract
+    as :func:`dsir_select`. Returns (id, group, logw_q4)."""
+    from pyspark.sql import Window
+
+    u = (
+        (F.col(id_col) * _MULT + F.lit(seed)) % _MOD + 0.5
+    ) / F.lit(float(_MOD))
+    gumbel = F.round(-F.log(-F.log(u)), 8)
+    key = (
+        F.round(
+            F.col("logw_q4") / F.lit(10000.0) / F.lit(float(temperature)), 8
+        )
+        + gumbel
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col)
+    )
+    return (
+        weights.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(id_col, group_col, "logw_q4")
+    )
