@@ -187,3 +187,21 @@ def test_dsir_select_per_group_plan_single_window_no_sort(spark):
     )
     assert plan.count("Window [") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_select_safe_for_negative_and_huge_ids(spark):
+    # negative ids must remain selectable (pmod keeps u in (0,1));
+    # ids >= 2^32 must not overflow under Spark 4's default ANSI mode
+    import pandas as pd
+
+    w = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [-5, 3, 1 << 40],
+                "logw_q4": [1_000_000, 1, 50],
+            }
+        )
+    )
+    picked = {r["doc_id"] for r in dsir_select(w, 2).collect()}
+    # -5 carries an overwhelming weight: it MUST be in the top-2
+    assert -5 in picked and len(picked) == 2

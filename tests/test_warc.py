@@ -93,6 +93,24 @@ def test_warc_records_error_isolation(spark):
     assert rows[2]["parse_error"] is not None
 
 
+def test_warc_plain_stream_prefix_survives_framing_error(spark):
+    """Plain (non-gz) streams can't resync past a framing error, but
+    records parsed BEFORE it must survive: prefix rows + one error row."""
+    import pandas as pd
+
+    good = encode_warc(
+        [("response", "http://a", b"one"), ("response", "http://b", b"two")]
+    )
+    truncated = good + b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [truncated]})
+    )
+    rows = {r["record_idx"]: r for r in warc_records(assets).collect()}
+    assert len(rows) == 3
+    assert rows[0]["text"] == "one" and rows[1]["text"] == "two"
+    assert rows[2]["parse_error"] is not None
+
+
 def test_warc_gz_member_isolation(spark):
     """In the .warc.gz layout each record is its own gzip member, so a
     bad member quarantines ONE row and the next member re-syncs; a

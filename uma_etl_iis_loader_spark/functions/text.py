@@ -160,20 +160,18 @@ def distinct_word_count(col: Column | str) -> Column:
     )
 
 
-def _word_gram_array(col: Column | str, n: int) -> Column:
-    """NON-distinct word n-grams in document order (lowercased,
-    whitespace-tokenized). Shared gram construction for word_ngrams /
-    top_ngram_count so tokenization changes happen in one place. A doc
-    with fewer than n words has NO n-grams (the guard keeps sequence from
-    counting down to a negative stop and feeding slice an invalid 0
-    start)."""
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.trim(c)), r"\s+")
-    # windows via n TOP-LEVEL slices zipped elementwise — never a
-    # per-index slice inside the transform lambda, where the split
-    # chain (loop-invariant, but HOF lambdas re-evaluate it per
-    # element) made gram construction quadratic in words-per-doc
-    # (measured 5-10x on sf0.1 explodes)
+def word_window_array(words: Column, n: int, sep: str = " ") -> Column:
+    """``sep``-joined n-word windows, in order, over an ARRAY column —
+    the ONE window builder the whole gram family shares (word_ngrams /
+    top_ngram_count here, operators/repetition, operators/contamination,
+    operators/dsir). Empty when the array has < n elements.
+
+    Built from n TOP-LEVEL slices zipped elementwise — never a
+    per-index slice inside the transform lambda, where the (loop-
+    invariant) array expression would re-evaluate once per element:
+    HOF lambdas defeat common-subexpression elimination, which made
+    gram construction quadratic in words-per-doc (measured 5-10x on
+    sf0.1 explodes)."""
     cnt = F.size(words) - (n - 1)
     zipped = F.arrays_zip(
         *[F.slice(words, i + 1, cnt).alias(f"c{i}") for i in range(n)]
@@ -182,9 +180,23 @@ def _word_gram_array(col: Column | str, n: int) -> Column:
         cnt >= 1,
         F.transform(
             zipped,
-            lambda x: F.concat_ws(" ", *[x[f"c{i}"] for i in range(n)]),
+            lambda x: F.concat_ws(sep, *[x[f"c{i}"] for i in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_gram_array(col: Column | str, n: int) -> Column:
+    """NON-distinct word n-grams in document order (lowercased,
+    whitespace-tokenized, EMPTY tokens filtered — split emits '' at
+    whitespace edges and [''] for empty text; filtering keeps this
+    tokenization identical to the gopher/dsir/strike family, so the
+    detection and removal halves of decontamination see the same
+    windows). Shared gram construction for word_ngrams /
+    top_ngram_count so tokenization changes happen in one place. A doc
+    with fewer than n words has NO n-grams."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    return word_window_array(words, n)
 
 
 def top_ngram_count(col: Column | str, n: int = 2) -> Column:

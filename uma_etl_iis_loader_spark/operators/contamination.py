@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams
+from ..functions.text import word_ngrams, word_window_array
 
 
 def ngram_contamination(
@@ -101,9 +101,12 @@ def strike_contaminated_spans(
     single spaces (whitespace runs do not survive — the same convention
     as ``dedup.dedup_sentence_spans``).
 
-    Returns one row per train doc: (id, text, n_words, n_words_struck,
-    n_hits) — ``text`` is the cleaned document ('' when every word was
-    struck), ``n_hits`` the number of matching gram windows.
+    Returns one row per train doc with non-NULL text: (id, text,
+    n_words, n_words_struck, n_hits) — ``text`` is the cleaned document
+    ('' when every word was struck), ``n_hits`` the number of matching
+    gram windows. NULL-text docs are EXCLUDED from the output (the
+    family contract — dsir/lm/dedup_sentence_spans all filter
+    ``text IS NOT NULL``), never coerced to empty-string documents.
 
     Scale shape: grams reduce to 8-byte ``xxhash64`` keys before the
     hit join (the ``ngram_contamination`` recipe — the shuffle never
@@ -121,7 +124,7 @@ def strike_contaminated_spans(
         # attributes, never the chain (re-inlining it inside per-element
         # lambdas is the measured 5-10x gram-explode trap — see
         # operators/dsir._gram_rows)
-        return df.select(
+        return df.where(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("__id"), words_arr.alias("__wds")
         ).select(
             "__id",
@@ -130,21 +133,12 @@ def strike_contaminated_spans(
         )
 
     def gram_array(lw):
-        # n-word windows via n top-level slices zipped elementwise —
-        # loop-invariant work stays OUT of the per-element lambda
-        cnt = F.size(lw) - (n - 1)
-        zipped = F.arrays_zip(
-            *[F.slice(lw, i + 1, cnt).alias(f"c{i}") for i in range(n)]
+        # shared window builder (zipped top-level slices), then an
+        # 8-byte hash per window — the hash lambda only touches its
+        # own element, so no loop-invariant work re-evaluates
+        return F.transform(
+            word_window_array(lw, n), lambda g: F.xxhash64(g)
         )
-        return F.when(
-            cnt >= 1,
-            F.transform(
-                zipped,
-                lambda x: F.xxhash64(
-                    F.concat_ws(" ", *[x[f"c{i}"] for i in range(n)])
-                ),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
 
     t_tok = tokenized(train)
     # train words with positions (original case preserved for rebuild)

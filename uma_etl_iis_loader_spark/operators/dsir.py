@@ -68,20 +68,12 @@ def _gram_rows(docs: DataFrame, id_col: str, text_col: str):
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
         ).alias("__w"),
     )
+    from ..functions.text import word_window_array
+
     w = F.col("__w")
-    # bigrams via two slices + zip_with — NOT per-index element_at,
-    # which would evaluate the array expression once per element
-    # (higher-order lambdas defeat common-subexpression elimination)
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.zip_with(
-            F.slice(w, 1, F.size(w) - 1),
-            F.slice(w, 2, F.size(w) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return toks.select(
-        "id", F.explode(F.concat(w, bigrams)).alias("gram")
+        "id",
+        F.explode(F.concat(w, word_window_array(w, 2))).alias("gram"),
     )
 
 
@@ -191,6 +183,35 @@ def dsir_log_weights(
     )
 
 
+def _gumbel_key(
+    id_col: str, seed: int, temperature: float
+):
+    """The ONE selection-key formula both select variants share:
+    key = logw/T + Gumbel(doc), Gumbel from the family's integer-hash
+    uniform, both addends rounded to 8 decimals (oracle-replayable).
+
+    Arithmetic safety: the id is pre-reduced with ``pmod`` to < 2³¹
+    BEFORE the Knuth multiply, so the product stays inside long range
+    (Spark 4 runs ANSI mode by default — an unreduced id ≥ ~2³² would
+    raise ARITHMETIC_OVERFLOW), and ``pmod`` (never ``%``) keeps the
+    uniform in (0, 1) for negative ids, whose Gumbel would otherwise
+    be NULL and sort them permanently unselectable. The oracle replays
+    the same expression with ``%`` — identical for the non-negative
+    ids the fixtures carry."""
+    reduced = F.pmod(F.col(id_col), F.lit(2147483648))
+    u = (
+        F.pmod(reduced * _MULT + F.lit(seed), F.lit(_MOD)) + 0.5
+    ) / F.lit(float(_MOD))
+    gumbel = F.round(-F.log(-F.log(u)), 8)
+    return (
+        F.round(
+            F.col("logw_q4") / F.lit(10000.0) / F.lit(float(temperature)),
+            8,
+        )
+        + gumbel
+    )
+
+
 def dsir_select(
     weights: DataFrame,
     k: int,
@@ -208,16 +229,7 @@ def dsir_select(
     Returns (doc_id, logw_q4); ordering inside the result is by key
     (TakeOrderedAndProject — k rows per partition, never a global
     sort)."""
-    u = (
-        (F.col(id_col) * _MULT + F.lit(seed)) % _MOD + 0.5
-    ) / F.lit(float(_MOD))
-    gumbel = F.round(-F.log(-F.log(u)), 8)
-    key = (
-        F.round(
-            F.col("logw_q4") / F.lit(10000.0) / F.lit(float(temperature)), 8
-        )
-        + gumbel
-    )
+    key = _gumbel_key(id_col, seed, temperature)
     return (
         weights.select(id_col, "logw_q4", key.alias("__key"))
         .orderBy(F.col("__key").desc(), F.col(id_col))
@@ -247,16 +259,7 @@ def dsir_select_per_group(
     as :func:`dsir_select`. Returns (id, group, logw_q4)."""
     from pyspark.sql import Window
 
-    u = (
-        (F.col(id_col) * _MULT + F.lit(seed)) % _MOD + 0.5
-    ) / F.lit(float(_MOD))
-    gumbel = F.round(-F.log(-F.log(u)), 8)
-    key = (
-        F.round(
-            F.col("logw_q4") / F.lit(10000.0) / F.lit(float(temperature)), 8
-        )
-        + gumbel
-    )
+    key = _gumbel_key(id_col, seed, temperature)
     w = Window.partitionBy(group_col).orderBy(
         key.desc(), F.col(id_col)
     )

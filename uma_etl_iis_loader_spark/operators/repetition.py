@@ -31,24 +31,12 @@ from pyspark.sql import functions as F
 
 
 def _word_grams(words, n: int):
-    """Word n-gram array in document order; empty when the doc has < n
-    words. Built from n top-level slices zipped elementwise — a
-    per-index slice inside the transform lambda would re-evaluate the
-    (loop-invariant) words expression once per element, making gram
-    construction quadratic in words-per-doc (the trap measured and
-    fixed across the gram family — see functions/text._word_gram_array).
-    """
-    cnt = F.size(words) - (n - 1)
-    zipped = F.arrays_zip(
-        *[F.slice(words, i + 1, cnt).alias(f"c{i}") for i in range(n)]
-    )
-    return F.when(
-        cnt >= 1,
-        F.transform(
-            zipped,
-            lambda x: F.concat_ws(" ", *[x[f"c{i}"] for i in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram array in document order over an already-tokenized
+    array; empty when the doc has < n words. Thin alias for the gram
+    family's shared window builder."""
+    from ..functions.text import word_window_array
+
+    return word_window_array(words, n)
 
 
 def repetition_metrics(

@@ -13,8 +13,9 @@ isolation follows what the container can actually promise: in the
 ``.warc.gz`` layout each record is its own gzip member, so a malformed
 MEMBER quarantines that record row and parsing resumes at the next
 member boundary; in a plain concatenated stream Content-Length framing
-cannot resync, so a framing error quarantines the rest of THAT asset
-(records already parsed survive). Neither fails the task.
+cannot resync, so a framing error quarantines the rest of THAT asset —
+records framed BEFORE the error were already yielded incrementally
+(``iter_warc_records``) and survive. Neither fails the task.
 
 Cite: the reference has no ingest-container surface (`iis_etl/` reads
 REST JSON); extension surface per SURVEY.md §6 — the front door a
@@ -84,15 +85,14 @@ def _gunzip_members(payload: bytes) -> bytes:
     return b"".join(_iter_gzip_members(payload))
 
 
-def parse_warc(payload: bytes) -> list[dict]:
-    """Parse a (possibly per-record-gzipped) WARC stream into records:
-    [{warc_type, target_uri, content_length, payload}]. Framing errors
-    (bad marker, bad Content-Length, truncated body, corrupt gzip)
-    raise — in a concatenated stream the parser cannot resync past
-    them. For per-member isolation on the ``.warc.gz`` layout use
-    :func:`warc_records`, which parses each gzip member separately."""
-    data = _gunzip_members(bytes(payload))
-    records = []
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Incrementally parse a PLAIN (already-inflated) WARC stream,
+    yielding each record as soon as its framing closes:
+    {warc_type, target_uri, content_length, payload}. A framing error
+    (bad marker, bad Content-Length, truncated body) raises from that
+    record's step — records already yielded SURVIVE with the caller;
+    the stream cannot resync past the error (Content-Length framing
+    has no sync marker), so the remainder is lost."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -115,16 +115,24 @@ def parse_warc(payload: bytes) -> list[dict]:
         body = data[body_start:body_start + length]
         if len(body) != length:
             raise ValueError("truncated record body")
-        records.append(
-            {
-                "warc_type": headers.get("warc-type", ""),
-                "target_uri": headers.get("warc-target-uri", ""),
-                "content_length": length,
-                "payload": body,
-            }
-        )
+        yield {
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "content_length": length,
+            "payload": body,
+        }
         pos = body_start + length
-    return records
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Parse a (possibly per-record-gzipped) WARC stream into records:
+    [{warc_type, target_uri, content_length, payload}]. ATOMIC
+    contract: framing errors (bad marker, bad Content-Length,
+    truncated body, corrupt gzip) raise and nothing is returned. For
+    survivable-prefix semantics iterate :func:`iter_warc_records`; for
+    per-member isolation on the ``.warc.gz`` layout use
+    :func:`warc_records`."""
+    return list(iter_warc_records(_gunzip_members(bytes(payload))))
 
 
 def _synthetic_records(i: int) -> list[tuple[str, str, bytes]]:
@@ -212,7 +220,9 @@ def warc_records(assets: DataFrame, text_encoding: str = "utf-8") -> DataFrame:
                                 str(exc)[:200]))
                     return
                 try:
-                    for rec in parse_warc(member):
+                    # incremental: records framed before a mid-member
+                    # error are already emitted and survive
+                    for rec in iter_warc_records(member):
                         emit(rec)
                 except Exception as exc:  # noqa: BLE001 — bad member
                     out.append((asset_id, idx, None, None, None, None,
@@ -220,9 +230,11 @@ def warc_records(assets: DataFrame, text_encoding: str = "utf-8") -> DataFrame:
                     idx += 1  # next member re-syncs
         else:
             try:
-                for rec in parse_warc(data):
+                # incremental: the prefix parsed before a framing error
+                # survives; only the unresyncable remainder is lost
+                for rec in iter_warc_records(data):
                     emit(rec)
-            except Exception as exc:  # noqa: BLE001 — framing-fatal
+            except Exception as exc:  # noqa: BLE001 — framing-fatal tail
                 out.append((asset_id, idx, None, None, None, None,
                             str(exc)[:200]))
 

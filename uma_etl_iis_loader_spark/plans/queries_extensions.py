@@ -56,7 +56,9 @@ WITH g AS (
                range(1, greatest(len(words) - 2, 0) + 1),
                i -> concat_ws(' ', words[i], words[i+1], words[i+2])
            )) AS grams
-    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             w -> w <> '') AS words
           FROM documents)
 ), inv AS (
     SELECT id, u.gram FROM g, unnest(g.grams) AS u(gram)
@@ -245,7 +247,8 @@ SELECT doc_id,
 FROM (SELECT *,
              list_transform(range(1, greatest(len(w0) - 1, 0) + 1),
                             i -> concat_ws(' ', w0[i], w0[i+1])) AS g2
-      FROM (SELECT *, regexp_split_to_array(trim(lower(text)), '\\s+') AS w0
+      FROM (SELECT *, list_filter(regexp_split_to_array(lower(text),
+                              '\\s+'), w -> w <> '') AS w0
             FROM documents)) documents
 JOIN (
     WITH toks AS (
@@ -1166,7 +1169,8 @@ WITH spl AS (
           FROM documents)
 ), words AS (
     SELECT doc_id, split,
-           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       w -> w <> '') AS w
     FROM spl
 ), grams AS (
     SELECT doc_id, split,
@@ -1275,7 +1279,8 @@ FROM (
         FROM (
             SELECT doc_id, logw_q4,
                    round(CAST(logw_q4 AS DOUBLE) / 10000.0, 8)
-                   + round(-ln(-ln((((doc_id * 2654435761 + 1013904223)
+                   + round(-ln(-ln(((((doc_id % 2147483648)
+                                      * 2654435761 + 1013904223)
                                      % 4294967296) + 0.5)
                                    / 4294967296.0)), 8) AS key
             FROM sw
@@ -1294,7 +1299,7 @@ FROM (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'),
                            x -> x <> '') AS wds
-        FROM spl WHERE split = 'train'
+        FROM spl WHERE split = 'train' AND text IS NOT NULL
     ),
     tl AS (
         SELECT doc_id, wds,
@@ -1634,7 +1639,9 @@ WITH RECURSIVE g AS (
                range(1, greatest(len(words) - 2, 0) + 1),
                i -> concat_ws(' ', words[i], words[i+1], words[i+2])
            )) AS grams
-    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             w -> w <> '') AS words
           FROM documents)
 ), inv AS (
     SELECT id, u.gram FROM g, unnest(g.grams) AS u(gram)
