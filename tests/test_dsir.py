@@ -205,3 +205,37 @@ def test_dsir_select_safe_for_negative_and_huge_ids(spark):
     picked = {r["doc_id"] for r in dsir_select(w, 2).collect()}
     # -5 carries an overwhelming weight: it MUST be in the top-2
     assert -5 in picked and len(picked) == 2
+
+
+def test_dsir_update_equals_refit_law(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dsir import update_dsir
+
+    raw, target = _corpora(spark)
+    raw1 = raw.filter("doc_id <= 2")
+    raw2 = raw.filter("doc_id > 2")
+    extra_t = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [103], "text": ["season the broth and stir"]}
+        )
+    )
+    # fold a raw shard, then a target shard, into the shard-1 model
+    m_inc = update_dsir(
+        update_dsir(fit_dsir(raw1, target), new_raw_docs=raw2),
+        new_target_docs=extra_t,
+    )
+    m_full = fit_dsir(raw, target.unionByName(extra_t))
+    score_inc = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(raw, m_inc).collect()
+    }
+    score_full = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(raw, m_full).collect()
+    }
+    assert score_inc == score_full and len(score_inc) == 4
+    # no-op update returns the model unchanged
+    from uma_etl_iis_loader_spark.operators.dsir import update_dsir as u
+
+    assert u(m_inc) is m_inc

@@ -111,6 +111,15 @@ def fit_dsir(
     # ONE tagged union + ONE agg produces both corpora's counts —
     # not two aggs + a full-outer join (which would re-run the gram
     # explodes and triple the stage count of the fit)
+    counts = _tagged_counts(
+        raw_docs, target_docs, text_col, id_col, num_buckets
+    )
+    return _derive_model(counts, num_buckets)
+
+
+def _tagged_counts(raw_docs, target_docs, text_col, id_col, num_buckets):
+    """(feat, ct, cr) — per-feature occurrence counts in the target and
+    raw corpora, from one tagged union + one aggregation."""
     tagged = _featurize(
         _gram_rows(target_docs, id_col, text_col), num_buckets
     ).select("feat", F.lit(1).alias("t")).unionByName(
@@ -118,17 +127,23 @@ def fit_dsir(
             _gram_rows(raw_docs, id_col, text_col), num_buckets
         ).select("feat", F.lit(0).alias("t"))
     )
-    joined = tagged.groupBy("feat").agg(
+    return tagged.groupBy("feat").agg(
         F.sum("t").alias("ct"),
         F.sum(1 - F.col("t")).alias("cr"),
     )
-    totals = joined.agg(
+
+
+def _derive_model(counts, num_buckets: int | None) -> dict:
+    """Derive ratios/fallback from a mergeable (feat, ct, cr) counts
+    frame — the arithmetic half of :func:`fit_dsir`, shared with
+    :func:`update_dsir`."""
+    totals = counts.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
         F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"),
         F.count(F.lit(1)).alias("v"),
     )
     q = lambda x: F.round(x, 8).cast("decimal(20,8)")  # noqa: E731
-    ratios = joined.crossJoin(F.broadcast(totals)).select(
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
         "feat",
         q(
             F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("v")))
@@ -142,10 +157,44 @@ def fit_dsir(
         ).alias("r0")
     )
     return {
+        "counts": counts,
         "ratios": ratios,
         "fallback": fallback,
         "num_buckets": num_buckets,
     }
+
+
+def update_dsir(
+    model: dict,
+    new_raw_docs: DataFrame | None = None,
+    new_target_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incremental fit: fold new raw and/or target shards into an
+    existing model WITHOUT rescanning the old corpora — feature counts
+    are additive and every derived quantity (totals, vocab size,
+    smoothed ratios, fallback) recomputes from the merged counts, so
+    ``update == refit-on-concatenation`` EXACTLY (law-tested in
+    ``tests/test_dsir.py``). The same mergeable-statistic shape as
+    ``lm.update_char_lm`` and the sketch family; at 100 TB the counts
+    table persists per shard and re-sums lazily."""
+    base = new_raw_docs if new_raw_docs is not None else new_target_docs
+    if base is None:
+        return model
+    fresh = _tagged_counts(
+        new_raw_docs if new_raw_docs is not None else base.limit(0),
+        new_target_docs if new_target_docs is not None else base.limit(0),
+        text_col,
+        id_col,
+        model["num_buckets"],
+    )
+    merged = (
+        model["counts"].unionByName(fresh)
+        .groupBy("feat")
+        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+    )
+    return _derive_model(merged, model["num_buckets"])
 
 
 def dsir_log_weights(
