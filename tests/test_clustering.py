@@ -1,0 +1,114 @@
+"""Public k-means: determinism, nearest-centroid law, refinement gain."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from uma_etl_iis_loader_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_centroids_df,
+    kmeans_cluster_sizes,
+    kmeans_fit,
+)
+
+
+def _blobs(spark, n_per=20, d=8, seed=7):
+    # three well-separated direction blobs on the sphere
+    rng = np.random.default_rng(seed)
+    centers = np.eye(d)[:3] * 10
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(n_per):
+            v = c + rng.normal(0, 0.5, d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+
+
+def test_kmeans_recovers_blobs_and_is_deterministic(spark):
+    df = _blobs(spark)
+    model = kmeans_fit(df, k=3)
+    a = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(df, model).collect()}
+    # each blob lands in ONE cluster, clusters are distinct
+    blobs = [set(a[i] for i in range(j * 20, (j + 1) * 20)) for j in range(3)]
+    assert all(len(b) == 1 for b in blobs)
+    assert len(set().union(*blobs)) == 3
+    # rerun + repartition: identical model and assignment
+    model2 = kmeans_fit(df.repartition(5), k=3)
+    assert np.array_equal(model["matrix"], model2["matrix"])
+    a2 = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(df.repartition(7), model2).collect()
+    }
+    assert a == a2
+
+
+def test_kmeans_assign_is_nearest_centroid(spark):
+    df = _blobs(spark, n_per=10)
+    model = kmeans_fit(df, k=3)
+    cents = model["matrix"]
+    rows = df.collect()
+    a = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(df, model).collect()}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        sims = cents @ v
+        best = int(np.argsort(-sims, kind="stable")[0])
+        assert a[r["vec_id"]] == best
+
+
+def test_kmeans_refinement_does_not_hurt_cohesion(spark):
+    df = _blobs(spark, n_per=15)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in df.collect()
+    }
+
+    def mean_cos(model):
+        a = {
+            r["vec_id"]: r["cluster_id"]
+            for r in kmeans_assign(df, model).collect()
+        }
+        tot = 0.0
+        for vid, v in vecs.items():
+            v = v / np.linalg.norm(v)
+            tot += float(model["matrix"][a[vid]] @ v)
+        return tot / len(vecs)
+
+    raw = mean_cos(kmeans_fit(df, k=3, refine_iters=0))
+    refined = mean_cos(kmeans_fit(df, k=3, refine_iters=3))
+    assert refined >= raw - 1e-9
+
+
+def test_kmeans_centroid_frame_and_sizes(spark):
+    df = _blobs(spark, n_per=10)
+    model = kmeans_fit(df, k=3)
+    cdf = kmeans_centroids_df(model, spark)
+    assert cdf.count() == 3
+    got = {
+        r["cluster_id"]: np.asarray(r["centroid"], dtype=np.float32)
+        for r in cdf.collect()
+    }
+    for i in range(3):
+        np.testing.assert_allclose(
+            got[i], model["matrix"][i].astype(np.float32), rtol=1e-6
+        )
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in kmeans_cluster_sizes(kmeans_assign(df, model)).collect()
+    }
+    assert sum(sizes.values()) == 30 and len(sizes) == 3
+
+
+def test_kmeans_assign_plan_zero_exchanges(spark):
+    df = _blobs(spark, n_per=5)
+    model = kmeans_fit(df, k=3)
+    plan = (
+        kmeans_assign(df, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
