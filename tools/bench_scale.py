@@ -301,6 +301,7 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "resample_ffill_daily": resample_daily,
         "negative_sample_k8": negative_sampling,
         "weighted_sample_top1k": weighted_sampling,
+        "sampling_ops_incl_dsir_decontam": from_registry("sampling_ops"),
         "zorder_write_prune_read": zorder_prune,
     }
 
