@@ -255,15 +255,27 @@ def main() -> None:
         "resample_audio from operators/audio; video_frames / "
         "video_mjpeg AVI parsing from operators/video) — per-row-CPU "
         "rungs, priced deliberately",
-        "sampling_ops": "+~3 s vs r6 (0.4 -> ~3.5 s warm, measured in "
-        "isolation) = two new adjudicated families: method=dsir_w/"
-        "dsir_pick (DSIR importance resampling — fit + score + a "
-        "second scoring pass under the Gumbel top-k branch of the "
-        "union) and method=decontam (~0.8 s, the GPT-3 strike pass "
-        "incl. rebuilt-text adjudication). Comparable family cost to "
+        "sampling_ops": "0.40 -> 2.17 s in the committed run (~1.7 s "
+        "after the run's uniform ~1.3x window factor) = two new "
+        "adjudicated families: method=dsir_w/dsir_pick (DSIR "
+        "importance resampling — fit + score + a second scoring pass "
+        "under the Gumbel top-k branch of the union) and "
+        "method=decontam (~0.8 s, the GPT-3 strike pass incl. "
+        "rebuilt-text adjudication). Comparable family cost to "
         "llm_prep_ops/corpus_stats_ops; the gram explode was "
-        "de-quadraticized before landing (slice+zip_with instead of "
-        "per-index element_at, 5-10x measured)",
+        "de-quadraticized before landing (zipped slices instead of "
+        "per-element slice in the HOF lambda, 5-10x measured — the "
+        "same fix also applied to word_ngrams/repgram/span_dedup, "
+        "which is why llm_prep/dedup families did NOT grow despite "
+        "the window)",
+        "_window_late_r7b": "the committed sidecar was re-measured at "
+        "the end of the DSIR/decontam session: three runs in the same "
+        "hour gave 36.8/37.3 s query time with UNTOUCHED queries "
+        "uniformly x1.3-1.5 over the previous sidecar's faster hour "
+        "(e.g. backfill_first_match 0.205->0.238, window_lag "
+        "0.148->0.196) and one 160 s outlier run discarded "
+        "(transient co-tenant load) — compare ratios within a run, "
+        "not absolute seconds across hours",
     }
     detail = {
         "metric": "headline_queries_total_runtime",
