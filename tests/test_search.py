@@ -85,3 +85,68 @@ def test_bm25_stable_mode_matches_default(spark):
         assert set(stable) == set(got)
         for k in got:
             assert stable[k] == pytest.approx(got[k], abs=1e-7)
+
+
+def test_rrf_fuse_basics_and_missing_docs(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "score": [3.0, 2.0, 1.0]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 3, 4], "score": [9.0, 8.0, 7.0]})
+    )
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k=60).collect()}
+    # ranks: a -> 1:1, 2:2, 3:3 ; b -> 2:1, 3:2, 4:3
+    assert got[2] == pytest.approx(1 / 62 + 1 / 61)
+    assert got[3] == pytest.approx(1 / 63 + 1 / 62)
+    assert got[1] == pytest.approx(1 / 61)      # absent from b: 0 term
+    assert got[4] == pytest.approx(1 / 63)
+    # doc 2 wins the fusion (high in both lists)
+    assert max(got, key=got.get) == 2
+
+
+def test_rrf_fuse_per_query_partitioning(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [10, 10, 20, 20],
+                "doc_id": [1, 2, 1, 2],
+                "score": [2.0, 1.0, 1.0, 2.0],
+            }
+        )
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [10, 10, 20, 20],
+                "doc_id": [1, 2, 1, 2],
+                "score": [2.0, 1.0, 2.0, 1.0],
+            }
+        )
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["rrf"]
+        for r in rrf_fuse([a, b], query_col="query_id", k=60).collect()
+    }
+    # query 10: doc 1 is rank 1 in both; query 20: split ranks
+    assert got[(10, 1)] == pytest.approx(2 / 61)
+    assert got[(10, 2)] == pytest.approx(2 / 62)
+    assert got[(20, 1)] == pytest.approx(1 / 62 + 1 / 61)
+    assert got[(20, 2)] == pytest.approx(1 / 61 + 1 / 62)
+    # determinism under repartitioning
+    again = {
+        (r["query_id"], r["doc_id"]): r["rrf"]
+        for r in rrf_fuse(
+            [a.repartition(5), b.repartition(3)],
+            query_col="query_id",
+            k=60,
+        ).collect()
+    }
+    assert got == again

@@ -109,3 +109,58 @@ def bm25_scores(
         .select(F.col("id").alias(id_col), "score")
         .orderBy(F.desc("score"), id_col)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    query_col: str | None = None,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-retrieval combiner, e.g. BM25 ⊕ vector ⊕ prior):
+    rrf(d) = Σ_lists 1/(k + rank_list(d)), documents absent from a
+    list contribute 0. Ranks are dense positions by (score DESC, id)
+    — deterministic under any partitioning and engine-replayable (the
+    per-term 1/(k+r) values and their fixed-order sum are identical
+    IEEE doubles on every engine, so the fused score is
+    hash-adjudicable after integer scaling). Returns
+    ([query], id, rrf).
+
+    Scale shape: ranking inputs are per-query CANDIDATE lists (top-k
+    serving output, bounded by construction), so the rank window costs
+    one pass per list; pass ``query_col`` to partition the windows by
+    query — without it the window is global, which is only the right
+    shape for single-query/rerank-stage inputs. The join fan-in is
+    |lists| frames on the (query, id) key."""
+    from pyspark.sql import Window
+
+    keys = ([query_col] if query_col else []) + [id_col]
+    fused = None
+    terms = []
+    for i, r in enumerate(rankings):
+        part = (
+            Window.partitionBy(query_col)
+            if query_col
+            else Window.partitionBy(F.lit(1))
+        )
+        w = part.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked = r.select(
+            *keys, F.row_number().over(w).alias(f"__r{i}")
+        )
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, keys, "full_outer")
+        )
+        terms.append(
+            F.when(
+                F.col(f"__r{i}").isNotNull(),
+                1.0 / (F.lit(float(k)) + F.col(f"__r{i}")),
+            ).otherwise(F.lit(0.0))
+        )
+    rrf = terms[0]
+    for t in terms[1:]:
+        rrf = rrf + t
+    return fused.select(*keys, rrf.alias("rrf"))

@@ -2100,6 +2100,7 @@ WITH base AS (
 ), dft AS (
     SELECT tok, count(DISTINCT id) AS df FROM m GROUP BY 1
 )
+, bm AS (
 SELECT tf.id AS doc_id,
        round(CAST(sum(CAST(
            ln(1.0e0 + (CAST(n_docs - df AS DOUBLE) + 0.5e0)
@@ -2111,6 +2112,31 @@ SELECT tf.id AS doc_id,
        AS DECIMAL(20,8))) AS DOUBLE), 4) + 0 AS score
 FROM tf JOIN dft USING (tok) CROSS JOIN stats
 GROUP BY tf.id
+), qual AS (
+    SELECT d.doc_id,
+           round(0.4 * (CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '',
+                                                  'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END)
+           + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+           + 0.3 * (CASE WHEN (CASE
+                    WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                    THEN CAST(length(text) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+'))
+                    ELSE 0.0 END) BETWEEN 3 AND 12
+                     THEN 1.0 ELSE 0.5 END), 6) AS q
+    FROM documents d JOIN bm ON d.doc_id = bm.doc_id
+), rb AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM bm
+), rq AS (
+    SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id) AS r
+    FROM qual
+)
+SELECT bm.doc_id, bm.score,
+       CAST(round((1.0 / (60.0 + rb.r) + 1.0 / (60.0 + rq.r)) * 1e8, 0)
+            AS BIGINT) AS rrf_q8
+FROM bm JOIN rb ON bm.doc_id = rb.doc_id JOIN rq ON bm.doc_id = rq.doc_id
 """
 
 
@@ -2122,11 +2148,33 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     score reproducible across engines and partitionings (exact-sum
     avgdl, decimal-quantized contribution sum) so every scored row is
     value-hash-adjudicable; round(4) + 0 is the established float/
-    signed-zero canonicalization."""
+    signed-zero canonicalization.
+
+    rrf_q8: hybrid re-ranking of the SAME candidate set via
+    reciprocal-rank fusion (operators/search.rrf_fuse — Cormack et al.
+    2009): BM25-relevance rank fused with a quality-prior rank, both
+    by (rounded score DESC, doc_id) so ranks replay exactly; the fused
+    1/(60+r) sum is a fixed-order IEEE-double expression, exported as
+    round(rrf·10⁸) BIGINT — the whole hybrid-retrieval combiner is
+    hash-adjudicated."""
+    from ..functions.text import quality_score
+    from ..operators.search import rrf_fuse
+
     docs = read_fixture(spark, sf_dir, "documents")
-    scored = bm25_scores(docs, ["spark", "merge", "window"], stable=True)
-    return scored.select(
+    scored = bm25_scores(
+        docs, ["spark", "merge", "window"], stable=True
+    ).select(
         "doc_id", (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score")
+    )
+    cand_quality = (
+        docs.join(scored.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", quality_score("text").alias("score"))
+    )
+    fused = rrf_fuse([scored, cand_quality], id_col="doc_id")
+    return scored.join(fused, "doc_id").select(
+        "doc_id",
+        "score",
+        F.round(F.col("rrf") * 1e8, 0).cast("long").alias("rrf_q8"),
     )
 
 
