@@ -29,8 +29,11 @@ def bm25_scores(
     b: float = 0.75,
     stable: bool = False,
 ) -> DataFrame:
-    """(doc_id, score) for every document matching ≥1 query token,
-    descending BM25 with doc_id tiebreak.
+    """(doc_id, score) for every document matching ≥1 query token —
+    UNORDERED (a trailing global sort would cost a range exchange in
+    every plan that composes this frame, e.g. the RRF fusion; rank or
+    sort at the consumer: ``rrf_fuse`` windows by (score DESC, id),
+    top-k via orderBy+limit compiles to TakeOrderedAndProject).
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones,
     the +1 form that keeps idf positive];
@@ -107,7 +110,6 @@ def bm25_scores(
         contrib.groupBy("id")
         .agg(score.alias("score"))
         .select(F.col("id").alias(id_col), "score")
-        .orderBy(F.desc("score"), id_col)
     )
 
 
@@ -164,3 +166,34 @@ def rrf_fuse(
     for t in terms[1:]:
         rrf = rrf + t
     return fused.select(*keys, rrf.alias("rrf"))
+
+
+def rrf_fuse_signals(
+    df: DataFrame,
+    score_cols: list[str],
+    id_col: str = "doc_id",
+    query_col: str | None = None,
+    k: int = 60,
+) -> DataFrame:
+    """RRF over multiple signal COLUMNS of one candidate frame — the
+    rerank-stage shape (every signal already materialized per row, the
+    common case after a retrieval join): same 1/(k + rank) formula as
+    :func:`rrf_fuse`, but each ranking is a window over the SAME rows,
+    so the plan is chained Window operators over one exchange — no
+    per-list joins, no re-evaluation of the candidate subtree. Appends
+    an ``rrf`` column. Term order follows ``score_cols`` (fixed-order
+    IEEE-double sum — engine-replayable, hash-adjudicable after
+    integer scaling)."""
+    from pyspark.sql import Window
+
+    part = (
+        Window.partitionBy(query_col)
+        if query_col
+        else Window.partitionBy(F.lit(1))
+    )
+    rrf = None
+    for c in score_cols:
+        w = part.orderBy(F.col(c).desc(), F.col(id_col))
+        term = 1.0 / (F.lit(float(k)) + F.row_number().over(w))
+        rrf = term if rrf is None else rrf + term
+    return df.select(*df.columns, rrf.alias("rrf"))

@@ -2151,14 +2151,18 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-zero canonicalization.
 
     rrf_q8: hybrid re-ranking of the SAME candidate set via
-    reciprocal-rank fusion (operators/search.rrf_fuse — Cormack et al.
-    2009): BM25-relevance rank fused with a quality-prior rank, both
-    by (rounded score DESC, doc_id) so ranks replay exactly; the fused
-    1/(60+r) sum is a fixed-order IEEE-double expression, exported as
-    round(rrf·10⁸) BIGINT — the whole hybrid-retrieval combiner is
-    hash-adjudicated."""
+    reciprocal-rank fusion (operators/search.rrf_fuse_signals —
+    Cormack et al. 2009, the rerank-stage column mode): BM25-relevance
+    rank fused with a quality-prior rank, both by (rounded score DESC,
+    doc_id) so ranks replay exactly; the fused 1/(60+r) sum is a
+    fixed-order IEEE-double expression, exported as round(rrf·10⁸)
+    BIGINT — the whole hybrid-retrieval combiner is hash-adjudicated.
+    Column mode keeps the plan chained windows over ONE candidate
+    subtree (the list-mode operator joins per list and re-evaluates
+    the candidates — measured 2.5x slower here; it exists for fusing
+    rankings that are genuinely separate frames, pytest-pinned)."""
     from ..functions.text import quality_score
-    from ..operators.search import rrf_fuse
+    from ..operators.search import rrf_fuse_signals
 
     docs = read_fixture(spark, sf_dir, "documents")
     scored = bm25_scores(
@@ -2166,12 +2170,11 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.round(F.col("score"), 4) + F.lit(0.0)).alias("score")
     )
-    cand_quality = (
-        docs.join(scored.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", quality_score("text").alias("score"))
+    cand = scored.join(
+        docs.select("doc_id", quality_score("text").alias("q")), "doc_id"
     )
-    fused = rrf_fuse([scored, cand_quality], id_col="doc_id")
-    return scored.join(fused, "doc_id").select(
+    fused = rrf_fuse_signals(cand, ["score", "q"], id_col="doc_id")
+    return fused.select(
         "doc_id",
         "score",
         F.round(F.col("rrf") * 1e8, 0).cast("long").alias("rrf_q8"),
