@@ -112,3 +112,15 @@ def test_kmeans_assign_plan_zero_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_kmeans_string_ids_and_k_guard(spark):
+    df = _blobs(spark, n_per=5)
+    sdf = df.selectExpr("concat('doc-', vec_id) AS vec_id", "embedding")
+    model = kmeans_fit(sdf, k=3)
+    rows = kmeans_assign(sdf, model).collect()
+    assert len(rows) == 15
+    assert all(isinstance(r["vec_id"], str) for r in rows)
+    assert {r["cluster_id"] for r in rows} == {0, 1, 2}
+    with pytest.raises(ValueError, match="exceeds the corpus"):
+        kmeans_fit(df, k=1000)

@@ -150,3 +150,37 @@ def test_rrf_fuse_per_query_partitioning(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_rrf_fuse_signals_missing_signal_contributes_zero(spark):
+    import pandas as pd
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.search import (
+        rrf_fuse,
+        rrf_fuse_signals,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "s1": [3.0, 2.0, 1.0],
+                "s2": [9.0, np.nan, 7.0],  # doc 2 missing from signal 2
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse_signals(df, ["s1", "s2"]).collect()
+    }
+    # doc 2: only the s1 term (rank 2); NaN must NOT rank first
+    assert got[2] == pytest.approx(1 / 62)
+    # docs 1, 3 rank among the VALID s2 rows: 1 -> rank 1, 3 -> rank 2
+    assert got[1] == pytest.approx(1 / 61 + 1 / 61)
+    assert got[3] == pytest.approx(1 / 63 + 1 / 62)
+    # empty inputs fail loudly, matching the module precedent
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse_signals(df, [])

@@ -43,11 +43,19 @@ def kmeans_fit(
 ) -> dict:
     """Fit k spherical-k-means centroids. Returns
     {"matrix": (k × d) L2-normalized numpy matrix, "k": k} — the same
-    model shape the IVF builders embed in their indexes."""
+    model shape the IVF builders embed in their indexes. Raises
+    ``ValueError`` when the corpus holds fewer than k vectors (a
+    silently-short matrix would desync every consumer that trusts
+    model["k"])."""
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<float>").alias("cvec"),
     )
+    n = c.limit(k).count()
+    if n < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the corpus size ({n} vectors)"
+        )
     return {"matrix": _ivf_centroids(c, k, refine_iters), "k": k}
 
 

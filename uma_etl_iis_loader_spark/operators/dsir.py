@@ -102,11 +102,15 @@ def fit_dsir(
     """Fit the importance-ratio model: per-feature Laplace-smoothed
     log p_target − log p_raw. Returns lazy DataFrames (never collected):
 
+    - ``counts``: (feat, ct, cr) — the MERGEABLE statistic the model
+      derives from; persist this per shard to use :func:`update_dsir`
+      without rescanning old corpora;
     - ``ratios``: (feat, r) for every feature seen in either corpus,
       r = round(ln((ct+1)/(Tt+V)) − ln((cr+1)/(Tr+V)), 8) as
-      decimal(20,8) — quantized per-feature, the exact-sum recipe;
-    - ``totals``: 1 row (tt, tr, v) — corpus totals + joint vocab size;
-    - ``fallback``: 1 row (r0) — the unseen-feature ratio.
+      decimal(20,8) — quantized per-feature, the exact-sum recipe
+      (totals Tt/Tr and the joint vocab size V are folded in-plan);
+    - ``fallback``: 1 row (r0) — the unseen-feature ratio;
+    - ``num_buckets``: the feature-bucketing setting, echoed.
     """
     # ONE tagged union + ONE agg produces both corpora's counts —
     # not two aggs + a full-outer join (which would re-run the gram

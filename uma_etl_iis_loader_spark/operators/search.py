@@ -138,6 +138,8 @@ def rrf_fuse(
     |lists| frames on the (query, id) key."""
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     keys = ([query_col] if query_col else []) + [id_col]
     fused = None
     terms = []
@@ -183,9 +185,17 @@ def rrf_fuse_signals(
     per-list joins, no re-evaluation of the candidate subtree. Appends
     an ``rrf`` column. Term order follows ``score_cols`` (fixed-order
     IEEE-double sum — engine-replayable, hash-adjudicable after
-    integer scaling)."""
+    integer scaling).
+
+    Missing-signal contract matches list mode: a NULL or NaN score in
+    a column contributes a ZERO term for that row (after an outer
+    retrieval join, a doc absent from one retriever has NULL there —
+    and Spark would otherwise sort NaN as the BEST descending rank).
+    Valid rows rank among themselves; invalid rows sort after them."""
     from pyspark.sql import Window
 
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
     part = (
         Window.partitionBy(query_col)
         if query_col
@@ -193,7 +203,15 @@ def rrf_fuse_signals(
     )
     rrf = None
     for c in score_cols:
-        w = part.orderBy(F.col(c).desc(), F.col(id_col))
-        term = 1.0 / (F.lit(float(k)) + F.row_number().over(w))
+        # NaN -> NULL so desc's nulls-last ordering pushes missing
+        # signals below every valid score (NaN sorts ABOVE all doubles)
+        sc = F.when(
+            ~F.isnan(F.col(c).cast("double")), F.col(c)
+        )
+        w = part.orderBy(sc.desc(), F.col(id_col))
+        term = F.when(
+            sc.isNotNull(),
+            1.0 / (F.lit(float(k)) + F.row_number().over(w)),
+        ).otherwise(F.lit(0.0))
         rrf = term if rrf is None else rrf + term
     return df.select(*df.columns, rrf.alias("rrf"))

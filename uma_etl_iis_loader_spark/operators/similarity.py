@@ -234,8 +234,6 @@ def _assign_centroid(
     import numpy as np
     import pandas as pd
 
-    id_dtype = "long"
-
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -251,8 +249,10 @@ def _assign_centroid(
             out["centroid_id"] = order.ravel().astype(np.int32)
             yield out
 
+    # carry every input column through at its REAL type (string doc
+    # ids, extra payload columns) — hard-coding long broke non-long ids
     schema = ", ".join(
-        f"{c} {'array<float>' if c == vec else id_dtype}" for c in df.columns
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", centroid_id int"
     return df.mapInPandas(kernel, schema)
 

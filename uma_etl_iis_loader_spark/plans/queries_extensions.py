@@ -220,6 +220,20 @@ _BPE_SQL_PAT = (
     "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
 )
 
+# the quality_score(text) mirror (functions/text.py quality_score) —
+# ONE fragment shared by every oracle that replays it, so a formula
+# change cannot silently desync a subset of the mirrors
+_QUALITY_SQL = """round(0.4 * (CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS DOUBLE) / length(text) ELSE 0.0 END)
+    + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+    + 0.3 * (CASE WHEN (CASE
+             WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+             THEN CAST(length(text) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\\s+'))
+             ELSE 0.0 END) BETWEEN 3 AND 12
+             THEN 1.0 ELSE 0.5 END), 6)"""
+
 _TEXT_ANALYSIS_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -234,15 +248,7 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
        md5({_CANON_SQL}) AS fingerprint,
-       round(0.4 * (CASE WHEN length(text) > 0
-                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                       / length(text) ELSE 0.0 END)
-       + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-       + 0.3 * (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-                                THEN CAST(length(text) AS DOUBLE)
-                                     / len(regexp_split_to_array(trim(text), '\\s+'))
-                                ELSE 0.0 END) BETWEEN 3 AND 12
-                     THEN 1.0 ELSE 0.5 END), 6) AS quality,
+       {_QUALITY_SQL} AS quality,
        lang_pred
 FROM (SELECT *,
              list_transform(range(1, greatest(len(w0) - 1, 0) + 1),
@@ -1006,15 +1012,7 @@ _CURATION_ORACLE = f"""
 WITH scored AS (
     SELECT doc_id, lang, n_chars,
            md5({_CANON_SQL}) AS fp,
-           round(0.4 * (CASE WHEN length(text) > 0
-                      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                           / length(text) ELSE 0.0 END)
-           + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-           + 0.3 * (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-                                    THEN CAST(length(text) AS DOUBLE)
-                                         / len(regexp_split_to_array(trim(text), '\\s+'))
-                                    ELSE 0.0 END) BETWEEN 3 AND 12
-                         THEN 1.0 ELSE 0.5 END), 6) AS quality
+           {_QUALITY_SQL} AS quality
     FROM documents
 ), survivors AS (
     SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp
@@ -1632,7 +1630,7 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _NGRAM_JACCARD_ORACLE), its connected components (recursive-CTE
 # reachability — the dedup CLUSTER assignment), + the two literal
 # property rows.
-_LSH_ORACLE = """
+_LSH_ORACLE = f"""
 WITH RECURSIVE g AS (
     SELECT doc_id AS id,
            list_distinct(list_transform(
@@ -1669,15 +1667,7 @@ WITH RECURSIVE g AS (
     SELECT src, min(dst) AS comp FROM reach GROUP BY src
 ), quality AS (
     SELECT doc_id,
-           round(0.4 * (CASE WHEN length(text) > 0
-                      THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                           / length(text) ELSE 0.0 END)
-           + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-           + 0.3 * (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-                                    THEN CAST(length(text) AS DOUBLE)
-                                         / len(regexp_split_to_array(trim(text), '\\s+'))
-                                    ELSE 0.0 END) BETWEEN 3 AND 12
-                         THEN 1.0 ELSE 0.5 END), 6) AS q
+           {_QUALITY_SQL} AS q
     FROM documents
 ), canon AS (
     SELECT c.comp, first(c.src ORDER BY quality.q DESC, c.src ASC) AS keep_id
@@ -2078,11 +2068,11 @@ def q_approx_sketches_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DECIMAL(2,1) and silently change the arithmetic's type lattice), and
 # compound constants like (1.2e0 + 1.0e0) fold in IEEE double on both
 # engines to the same bits as Python's `k1 + 1.0`.
-_BM25_ORACLE = """
+_BM25_ORACLE = f"""
 WITH base AS (
     SELECT doc_id AS id,
            list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^\\p{L}\\p{N}]+'),
+               regexp_split_to_array(lower(trim(text)), '[^\\p{{L}}\\p{{N}}]+'),
                x -> x <> '') AS ws
     FROM documents
 ), based AS (
@@ -2114,17 +2104,7 @@ FROM tf JOIN dft USING (tok) CROSS JOIN stats
 GROUP BY tf.id
 ), qual AS (
     SELECT d.doc_id,
-           round(0.4 * (CASE WHEN length(text) > 0
-                  THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '',
-                                                  'g')) AS DOUBLE)
-                       / length(text) ELSE 0.0 END)
-           + 0.3 * least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
-           + 0.3 * (CASE WHEN (CASE
-                    WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-                    THEN CAST(length(text) AS DOUBLE)
-                         / len(regexp_split_to_array(trim(text), '\\s+'))
-                    ELSE 0.0 END) BETWEEN 3 AND 12
-                     THEN 1.0 ELSE 0.5 END), 6) AS q
+           {_QUALITY_SQL} AS q
     FROM documents d JOIN bm ON d.doc_id = bm.doc_id
 ), rb AS (
     SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
@@ -2161,7 +2141,6 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree (the list-mode operator joins per list and re-evaluates
     the candidates — measured 2.5x slower here; it exists for fusing
     rankings that are genuinely separate frames, pytest-pinned)."""
-    from ..functions.text import quality_score
     from ..operators.search import rrf_fuse_signals
 
     docs = read_fixture(spark, sf_dir, "documents")
