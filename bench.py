@@ -268,13 +268,14 @@ def main() -> None:
         "same fix also applied to word_ngrams/repgram/span_dedup, "
         "which is why llm_prep/dedup families did NOT grow despite "
         "the window)",
-        "bm25_rank": "grew ~+0.9 s after the sidecar was written: the "
-        "new rrf_q8 column (reciprocal-rank-fusion hybrid rerank, "
-        "oracle-adjudicated) adds a quality join + two rank windows "
-        "over the ~4.8k-doc candidate set; the operator's trailing "
-        "global sort was removed at the same time so composing plans "
-        "stopped paying a range exchange per branch (5.7 s -> 2.1 s "
-        "during development of the fusion row)",
+        "bm25_rank": "the new rrf_q8 column (reciprocal-rank-fusion "
+        "hybrid rerank, oracle-adjudicated) adds a quality join + two "
+        "rank windows over the ~4.8k-doc candidate set for ~+0.1 s in "
+        "the committed run (0.695 -> 0.779); the operator's trailing "
+        "global sort was removed at the same time, so composing plans "
+        "stopped paying a range exchange per branch (a naive "
+        "list-mode fusion measured 5.7 s during development; column "
+        "mode + no trailing sort recovered it)",
         "_window_late_r7b": "the committed sidecar was re-measured at "
         "the end of the DSIR/decontam session: three runs in the same "
         "hour gave 36.8/37.3 s query time with UNTOUCHED queries "
