@@ -145,3 +145,63 @@ def test_strike_empty_and_short_docs_pass_through(spark):
     ).collect()}
     assert rows[1]["text"] == "" and rows[1]["n_words"] == 0
     assert rows[2]["text"] == "tiny doc" and rows[2]["n_hits"] == 0
+
+
+def test_strike_laws_random_corpus(spark):
+    """Seeded random corpus laws: (1) every matching window's words are
+    absent from the rebuilt text at their positions (n_words_struck
+    covers at least the union of hit windows); (2) no-hit docs rebuild
+    to the space-joined original; (3) struck counts never exceed doc
+    length."""
+    import numpy as np
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.contamination import (
+        strike_contaminated_spans,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab -> real overlaps
+    n = 4
+    train_texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(n, 25)))
+        for _ in range(30)
+    ]
+    eval_texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(n, 15)))
+        for _ in range(5)
+    ]
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": train_texts})
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100, 105), "text": eval_texts})
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in strike_contaminated_spans(train, eval_df, n=n).collect()
+    }
+    # reference model in plain python
+    eval_grams = set()
+    for t in eval_texts:
+        ws = t.split()
+        for s in range(len(ws) - n + 1):
+            eval_grams.add(tuple(ws[s:s + n]))
+    assert len(rows) == 30
+    hit_total = 0
+    for i, t in enumerate(train_texts):
+        ws = t.split()
+        struck = set()
+        hits = 0
+        for s in range(len(ws) - n + 1):
+            if tuple(ws[s:s + n]) in eval_grams:
+                struck.update(range(s, s + n))
+                hits += 1
+        kept = [w for j, w in enumerate(ws) if j not in struck]
+        r = rows[i]
+        assert r["text"] == " ".join(kept)
+        assert r["n_words"] == len(ws)
+        assert r["n_words_struck"] == len(struck)
+        assert r["n_hits"] == hits
+        hit_total += hits
+    assert hit_total > 0  # the fixture genuinely exercises strikes

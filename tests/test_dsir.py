@@ -239,3 +239,29 @@ def test_dsir_update_equals_refit_law(spark):
     from uma_etl_iis_loader_spark.operators.dsir import update_dsir as u
 
     assert u(m_inc) is m_inc
+
+
+def test_dsir_feature_count_law_random_corpus(spark):
+    # n_feats == 2*words - 1 for every doc with >= 1 word (unigrams +
+    # bigrams), across a seeded random corpus; weights always finite
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "text": texts})
+    )
+    raw = docs.filter("doc_id % 3 <> 0")
+    target = docs.filter("doc_id % 3 = 0")
+    rows = dsir_log_weights(raw, fit_dsir(raw, target)).collect()
+    words = {i: len(t.split()) for i, t in enumerate(texts)}
+    assert len(rows) == raw.count()
+    for r in rows:
+        w = words[r["doc_id"]]
+        assert r["n_feats"] == 2 * w - 1
+        assert r["logw_q4"] is not None
