@@ -265,3 +265,88 @@ def test_dsir_feature_count_law_random_corpus(spark):
         w = words[r["doc_id"]]
         assert r["n_feats"] == 2 * w - 1
         assert r["logw_q4"] is not None
+
+
+def test_dsir_model_save_load_round_trip(spark, tmp_path):
+    raw, target = _corpora(spark)
+    from uma_etl_iis_loader_spark.operators.dsir import (
+        load_dsir_model,
+        save_dsir_model,
+        update_dsir,
+    )
+
+    model = fit_dsir(raw, target)
+    p = str(tmp_path / "dsir_model")
+    save_dsir_model(model, p)
+    loaded = load_dsir_model(spark, p)
+    a = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(raw, model).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(raw, loaded).collect()
+    }
+    assert a == b
+    # the persisted counts keep the incremental path alive:
+    # update(loaded) == refit on the concatenation
+    import pandas as pd
+
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [50], "text": ["stir the sauce again"]})
+    )
+    inc = {
+        r["doc_id"]: r["logw_q4"]
+        for r in dsir_log_weights(
+            raw, update_dsir(loaded, new_raw_docs=extra)
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["logw_q4"]
+        for r in dsir_log_weights(
+            raw, fit_dsir(raw.unionByName(extra), target)
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_dsir_stream_scoring_equals_batch_and_replay(spark, tmp_path):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.dsir import save_dsir_model
+    from uma_etl_iis_loader_spark.streaming.cdc import DsirScoreMaintainer
+
+    raw, target = _corpora(spark)
+    model_p = str(tmp_path / "model")
+    save_dsir_model(fit_dsir(raw, target), model_p)
+
+    src = str(tmp_path / "incoming")
+    raw.repartition(2).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "scores")
+    m = DsirScoreMaintainer(model_p, out)
+    q = m.attach(
+        spark.readStream.schema(raw.schema).parquet(src),
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in spark.read.parquet(out).collect()
+    }
+    from uma_etl_iis_loader_spark.operators.dsir import load_dsir_model
+
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in dsir_log_weights(
+            raw, load_dsir_model(spark, model_p)
+        ).collect()
+    }
+    assert got == batch
+    # replaying a batch id rewrites identical content — no duplication
+    m.apply_batch(raw, 0)
+    again = {
+        r["doc_id"]: (r["n_feats"], r["logw_q4"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == batch

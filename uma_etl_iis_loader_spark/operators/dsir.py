@@ -321,3 +321,44 @@ def dsir_select_per_group(
         .where(F.col("__rn") <= k)
         .select(id_col, group_col, "logw_q4")
     )
+
+
+def save_dsir_model(model: dict, path: str) -> None:
+    """Persist a fitted model: the mergeable ``counts`` table (the
+    statistic :func:`update_dsir` folds new shards into), the derived
+    ``ratios``/``fallback`` tables (what scoring joins — persisted so
+    serving never recomputes the derivation), and a ``meta.json``
+    carrying ``num_buckets``. Layout: ``<path>/{counts,ratios,
+    fallback}/*.parquet`` + ``<path>/meta.json``."""
+    import json
+    import os
+
+    model["counts"].write.mode("overwrite").parquet(
+        os.path.join(path, "counts")
+    )
+    model["ratios"].write.mode("overwrite").parquet(
+        os.path.join(path, "ratios")
+    )
+    model["fallback"].write.mode("overwrite").parquet(
+        os.path.join(path, "fallback")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"num_buckets": model["num_buckets"]}, fh)
+
+
+def load_dsir_model(spark, path: str) -> dict:
+    """Load a model persisted by :func:`save_dsir_model` — all frames
+    lazy parquet reads; scoring against a loaded model never replays
+    the fit."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return {
+        "counts": spark.read.parquet(os.path.join(path, "counts")),
+        "ratios": spark.read.parquet(os.path.join(path, "ratios")),
+        "fallback": spark.read.parquet(os.path.join(path, "fallback")),
+        "num_buckets": meta["num_buckets"],
+    }

@@ -540,3 +540,56 @@ class AnnIngestMaintainer:
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
         )
+
+
+class DsirScoreMaintainer:
+    """Continuous DSIR scoring: each arriving micro-batch of documents
+    is scored against a FROZEN persisted importance-ratio model
+    (``dsir.save_dsir_model``) through the SAME ``dsir_log_weights``
+    plan the batch scorer runs — stream == batch by construction, one
+    code path. The streaming face of data selection: score at ingest,
+    select later (Gumbel keys are per-doc integer hashes, so selection
+    over accumulated scores is replay-stable regardless of when it
+    runs).
+
+    EXACTLY-ONCE under replay by construction: each batch overwrites
+    its OWN output partition (``<out>/batch_id=<id>``) — a replayed
+    batch rewrites identical content, so no marker protocol is needed
+    (the simple end of the maintainer family; the index maintainers
+    need stage-then-move because they append INTO shared cell
+    directories). Model drift: frozen ratios age as the raw
+    distribution moves — fold new shards with ``update_dsir`` and
+    re-``save`` in a maintenance window, like the ANN quantizer."""
+
+    def __init__(
+        self,
+        model_path: str,
+        out_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.model_path = model_path
+        self.out_path = out_path
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
+        from ..operators.dsir import dsir_log_weights, load_dsir_model
+
+        model = load_dsir_model(incoming.sparkSession, self.model_path)
+        scores = dsir_log_weights(
+            incoming.select(self.id_col, self.text_col),
+            model,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+        scores.write.mode("overwrite").parquet(
+            os.path.join(self.out_path, f"batch_id={batch_id}")
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
