@@ -333,3 +333,49 @@ def test_weighted_sample_per_group(spark):
         "src string, id long, wgt double",
     )
     assert weighted_sample_per_group(tiny, "src", "id", "wgt", k=50).count() == 3
+
+
+def test_shuffle_for_training_contract(spark):
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        shuffle_for_training,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(500), "text": ["x"] * 500})
+    )
+    out = shuffle_for_training(docs, shards=8)
+    rows = out.collect()
+    # shard derives from pos; both deterministic under repartitioning
+    assert all(r["shard"] == r["pos"] % 8 for r in rows)
+    again = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shuffle_for_training(docs.repartition(7), 8).collect()}
+    assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+    # every shard populated, sizes roughly balanced (hash-uniform)
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in rows)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 3 * min(sizes.values())
+    # the order is genuinely shuffled, not id order
+    order = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["pos"], r["doc_id"]))]
+    assert order != sorted(order)
+    # a different seed yields a different epoch order
+    order2 = [
+        r["doc_id"]
+        for r in sorted(
+            shuffle_for_training(docs, 8, seed=7).collect(),
+            key=lambda r: (r["pos"], r["doc_id"]),
+        )
+    ]
+    assert order != order2
+    # append stability: adding docs never moves existing positions
+    more = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(500, 600), "text": ["y"] * 100})
+    )
+    grown = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_for_training(docs.unionByName(more), 8).collect()
+    }
+    for r in rows:
+        assert grown[r["doc_id"]] == (r["shard"], r["pos"])

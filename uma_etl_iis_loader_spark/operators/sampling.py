@@ -296,3 +296,38 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__wkey", "__rn")
     )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    shards: int,
+    id_col: str = "doc_id",
+    seed: int = 1013904223,
+) -> DataFrame:
+    """Reproducible global shuffle — the LAST step before a training
+    run reads the corpus: every row gets a deterministic (shard, pos)
+    from its salted multiplicative hash, so any reader streaming shard
+    by shard in pos order sees the SAME pseudo-random document order on
+    every run, on any cluster, after any repartitioning (no PRNG
+    state, no Spark `rand()` — the same engine-portable integer family
+    as ``deterministic_split``). Different ``seed`` → independent
+    epoch orders; appends don't perturb existing rows' positions
+    (append-stable, like every hash op in this family).
+
+    Returns df + (shard, pos); readers break pos ties (32-bit hash
+    collisions) by id — sort by (pos, id). Writer shape:
+    ``.repartition(shards, "shard").sortWithinPartitions("pos")`` then
+    ``write.partitionBy("shard")`` — ONE hash-partition exchange and a
+    per-shard local sort; no global sort ever (a global orderBy would
+    range-exchange the whole corpus through a single sampled
+    boundary pass)."""
+    c = F.col(id_col)
+    u = F.pmod(
+        F.pmod(c, F.lit(2147483648)) * F.lit(_KNUTH) + F.lit(seed),
+        F.lit(_M32),
+    )
+    return df.select(
+        "*",
+        F.pmod(u, F.lit(shards)).cast("int").alias("shard"),
+        u.alias("pos"),
+    )

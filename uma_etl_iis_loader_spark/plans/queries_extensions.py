@@ -1291,6 +1291,15 @@ FROM (
     SELECT 'dsir_pick', doc_id, NULL, logw_q4 FROM pick
 ) m
 UNION ALL
+SELECT 'shard', doc_id, CAST(NULL AS VARCHAR),
+       u % 64 AS k1, u AS k2
+FROM (
+    SELECT doc_id,
+           ((doc_id % 2147483648) * 2654435761 + 1013904223)
+           % 4294967296 AS u
+    FROM documents
+)
+UNION ALL
 SELECT 'decontam', d.doc_id, d.text2, d.k1, d.k2
 FROM (
     WITH tw AS (
@@ -1386,6 +1395,11 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle — hash equality == string equality absent collisions, the
       contamination precedent). The bucketed variant (B-row broadcast
       ratio table, the 100 TB path) is law-tested in tests/test_dsir.py.
+    - 'shard' rows: the reproducible training shuffle
+      (sampling.shuffle_for_training) — deterministic (shard, pos)
+      from the family's salted integer hash, so every epoch reader
+      sees the same pseudo-random order; both values hash-adjudicated
+      (n_ngrams slot = shard of 64, n_contaminated slot = pos).
     - 'decontam' rows: the REMOVAL half of decontamination
       (contamination.strike_contaminated_spans — the GPT-3 strike
       recipe): every train-doc 5-gram window matching a test-split
@@ -1473,6 +1487,17 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_ngrams"),
         F.col("logw_q4").alias("n_contaminated"),
     )
+    from ..operators.sampling import shuffle_for_training
+
+    shard_rows = shuffle_for_training(
+        docs.select("doc_id"), shards=64
+    ).select(
+        F.lit("shard").alias("method"),
+        "doc_id",
+        null_s.alias("split"),
+        F.col("shard").cast("long").alias("n_ngrams"),
+        F.col("pos").cast("long").alias("n_contaminated"),
+    )
     dec_rows = strike_contaminated_spans(
         split_df.filter("split = 'train'"),
         split_df.filter("split = 'test'"),
@@ -1490,6 +1515,7 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tm_rows)
         .unionByName(dsir_w_rows)
         .unionByName(dsir_pick_rows)
+        .unionByName(shard_rows)
         .unionByName(dec_rows)
     )
 
