@@ -308,6 +308,15 @@ def test_dsir_model_save_load_round_trip(spark, tmp_path):
         ).collect()
     }
     assert inc == full
+    # the maintenance flow: load -> update -> save back to the SAME
+    # path (the staged swap makes this safe even though the merged
+    # plan reads the path being replaced)
+    save_dsir_model(update_dsir(loaded, new_raw_docs=extra), p)
+    resaved = {
+        r["doc_id"]: r["logw_q4"]
+        for r in dsir_log_weights(raw, load_dsir_model(spark, p)).collect()
+    }
+    assert resaved == full
 
 
 def test_dsir_stream_scoring_equals_batch_and_replay(spark, tmp_path):

@@ -347,8 +347,8 @@ def test_shuffle_for_training_contract(spark):
     )
     out = shuffle_for_training(docs, shards=8)
     rows = out.collect()
-    # shard derives from pos; both deterministic under repartitioning
-    assert all(r["shard"] == r["pos"] % 8 for r in rows)
+    # shard is the hash's HIGH bits; deterministic under repartitioning
+    assert all(r["shard"] == (r["pos"] * 8) // 4294967296 for r in rows)
     again = {r["doc_id"]: (r["shard"], r["pos"])
              for r in shuffle_for_training(docs.repartition(7), 8).collect()}
     assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
@@ -357,16 +357,26 @@ def test_shuffle_for_training_contract(spark):
     sizes = Counter(r["shard"] for r in rows)
     assert set(sizes) == set(range(8))
     assert max(sizes.values()) < 3 * min(sizes.values())
+    # shard must NOT be round-robin by id (the low-bit trap): ids
+    # congruent mod 8 spread across multiple shards
+    by_residue = {}
+    for r in rows:
+        by_residue.setdefault(r["doc_id"] % 8, set()).add(r["shard"])
+    assert all(len(s) > 1 for s in by_residue.values())
     # the order is genuinely shuffled, not id order
     order = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["pos"], r["doc_id"]))]
     assert order != sorted(order)
-    # a different seed yields a different epoch order
+    # a different seed yields a different PERMUTATION — not a cyclic
+    # rotation of the same order (the additive-seed trap: pos2-pos1
+    # constant across docs)
+    pos1 = {r["doc_id"]: r["pos"] for r in rows}
+    rows2 = shuffle_for_training(docs, 8, seed=7).collect()
+    pos2 = {r["doc_id"]: r["pos"] for r in rows2}
+    deltas = {(pos2[d] - pos1[d]) % 4294967296 for d in pos1}
+    assert len(deltas) > 100  # a rotation would give exactly 1
     order2 = [
         r["doc_id"]
-        for r in sorted(
-            shuffle_for_training(docs, 8, seed=7).collect(),
-            key=lambda r: (r["pos"], r["doc_id"]),
-        )
+        for r in sorted(rows2, key=lambda r: (r["pos"], r["doc_id"]))
     ]
     assert order != order2
     # append stability: adding docs never moves existing positions

@@ -329,31 +329,57 @@ def save_dsir_model(model: dict, path: str) -> None:
     ``ratios``/``fallback`` tables (what scoring joins — persisted so
     serving never recomputes the derivation), and a ``meta.json``
     carrying ``num_buckets``. Layout: ``<path>/{counts,ratios,
-    fallback}/*.parquet`` + ``<path>/meta.json``."""
+    fallback}/*.parquet`` + ``<path>/meta.json``.
+
+    Executes the fit exactly ONCE: only ``counts`` is computed from
+    the model's plan; ratios/fallback are re-derived from the
+    PERSISTED counts parquet (vocab-sized input), which also
+    guarantees the persisted ratios agree with the persisted counts.
+
+    Everything stages under ``<path>.next`` and publishes by swap, so
+    saving a loaded-then-updated model back to ITS OWN path works —
+    writing in place would overwrite the counts parquet the merged
+    plan is still reading (Spark refuses, or worse). A crash between
+    the swap's remove and rename leaves the complete ``.next`` beside
+    a missing ``path``; :func:`load_dsir_model` self-heals that
+    residue (the index-compaction recovery pattern)."""
     import json
     import os
+    import shutil
 
+    staging = path + ".next"
+    shutil.rmtree(staging, ignore_errors=True)
     model["counts"].write.mode("overwrite").parquet(
-        os.path.join(path, "counts")
+        os.path.join(staging, "counts")
     )
-    model["ratios"].write.mode("overwrite").parquet(
-        os.path.join(path, "ratios")
+    spark = model["counts"].sparkSession
+    persisted = spark.read.parquet(os.path.join(staging, "counts"))
+    derived = _derive_model(persisted, model["num_buckets"])
+    derived["ratios"].write.mode("overwrite").parquet(
+        os.path.join(staging, "ratios")
     )
-    model["fallback"].write.mode("overwrite").parquet(
-        os.path.join(path, "fallback")
+    derived["fallback"].write.mode("overwrite").parquet(
+        os.path.join(staging, "fallback")
     )
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as fh:
+    with open(os.path.join(staging, "meta.json"), "w") as fh:
         json.dump({"num_buckets": model["num_buckets"]}, fh)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(staging, path)
 
 
 def load_dsir_model(spark, path: str) -> dict:
     """Load a model persisted by :func:`save_dsir_model` — all frames
     lazy parquet reads; scoring against a loaded model never replays
-    the fit."""
+    the fit. Self-heals a crashed save's residue: a complete
+    ``<path>.next`` next to a missing ``<path>`` is the published
+    model (the crash fell between remove and rename)."""
     import json
     import os
 
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(path + ".next", "meta.json")
+    ):
+        os.rename(path + ".next", path)
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     return {

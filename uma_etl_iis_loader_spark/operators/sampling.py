@@ -302,17 +302,29 @@ def shuffle_for_training(
     df: DataFrame,
     shards: int,
     id_col: str = "doc_id",
-    seed: int = 1013904223,
+    seed: int = 22695477,
 ) -> DataFrame:
     """Reproducible global shuffle — the LAST step before a training
     run reads the corpus: every row gets a deterministic (shard, pos)
-    from its salted multiplicative hash, so any reader streaming shard
-    by shard in pos order sees the SAME pseudo-random document order on
-    every run, on any cluster, after any repartitioning (no PRNG
-    state, no Spark `rand()` — the same engine-portable integer family
-    as ``deterministic_split``). Different ``seed`` → independent
-    epoch orders; appends don't perturb existing rows' positions
-    (append-stable, like every hash op in this family).
+    from a seeded multiplicative hash, so any reader streaming shard by
+    shard in pos order sees the SAME pseudo-random document order on
+    every run, on any cluster, after any repartitioning (no PRNG state,
+    no Spark `rand()` — the same engine-portable integer family as
+    ``deterministic_split``). Appends don't perturb existing rows'
+    positions (append-stable, like every hash op in this family).
+
+    The seed enters as the affine OFFSET and, crucially, folded into
+    the (odd) MULTIPLIER — a purely additive seed would make every
+    epoch order a cyclic ROTATION of one fixed order (pos₂ = pos₁ + Δ
+    for all docs), i.e. the same document sequence every epoch.
+    Seed-dependent multipliers give genuinely different permutations.
+    The shard is the hash's HIGH bits ((u·shards) div 2³²) — the
+    well-mixed end of a multiplicative hash; low bits (u mod shards)
+    are affine in (id mod shards), which round-robins periodic id
+    assignments (e.g. 8 parallel writers) straight into
+    source-clustered shards. The default seed is deliberately distinct
+    from the family's split/strat/Gumbel salts so position never
+    correlates with split membership or DSIR tie-breaking.
 
     Returns df + (shard, pos); readers break pos ties (32-bit hash
     collisions) by id — sort by (pos, id). Writer shape:
@@ -321,13 +333,20 @@ def shuffle_for_training(
     per-shard local sort; no global sort ever (a global orderBy would
     range-exchange the whole corpus through a single sampled
     boundary pass)."""
+    s = seed % _M32
+    # odd multiplier (K odd, 2s even, 2^31 even ⇒ parity survives the
+    # mod) bounded below 2^31 so (id mod 2^31)·A stays inside a long
+    # even under ANSI mode
+    a = (_KNUTH + 2 * s) % 2147483648
     c = F.col(id_col)
     u = F.pmod(
-        F.pmod(c, F.lit(2147483648)) * F.lit(_KNUTH) + F.lit(seed),
+        F.pmod(c, F.lit(2147483648)) * F.lit(a) + F.lit(s),
         F.lit(_M32),
     )
     return df.select(
         "*",
-        F.pmod(u, F.lit(shards)).cast("int").alias("shard"),
+        F.floor(u * F.lit(shards) / F.lit(float(_M32)))
+        .cast("int")
+        .alias("shard"),
         u.alias("pos"),
     )

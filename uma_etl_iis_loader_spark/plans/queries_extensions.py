@@ -1292,11 +1292,15 @@ FROM (
 ) m
 UNION ALL
 SELECT 'shard', doc_id, CAST(NULL AS VARCHAR),
-       u % 64 AS k1, u AS k2
+       CAST(floor(u * 64 / 4294967296.0) AS BIGINT) AS k1, u AS k2
 FROM (
+    -- seed-dependent ODD multiplier (a rotation-free permutation per
+    -- seed) + high-bit shard extraction — mirrors
+    -- sampling.shuffle_for_training with its default seed 22695477
     SELECT doc_id,
-           ((doc_id % 2147483648) * 2654435761 + 1013904223)
-           % 4294967296 AS u
+           ((doc_id % 2147483648)
+            * ((2654435761 + 2 * 22695477) % 2147483648)
+            + 22695477) % 4294967296 AS u
     FROM documents
 )
 UNION ALL

@@ -572,11 +572,18 @@ class DsirScoreMaintainer:
         self.out_path = out_path
         self.id_col = id_col
         self.text_col = text_col
+        self._model: dict | None = None
 
     def apply_batch(self, incoming: DataFrame, batch_id: int) -> None:
         from ..operators.dsir import dsir_log_weights, load_dsir_model
 
-        model = load_dsir_model(incoming.sparkSession, self.model_path)
+        # the model is frozen by contract between maintenance windows:
+        # load once, not per micro-batch (meta.json + 3 parquet plans)
+        if self._model is None:
+            self._model = load_dsir_model(
+                incoming.sparkSession, self.model_path
+            )
+        model = self._model
         scores = dsir_log_weights(
             incoming.select(self.id_col, self.text_col),
             model,
