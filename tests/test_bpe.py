@@ -132,6 +132,19 @@ def test_bpe_encode_null_and_empty(spark):
     assert rows[100]["round_trip_ok"] is None  # NULL text passes through
 
 
+def test_bpe_encode_string_ids(spark):
+    # id column type is derived from the input schema — string ids
+    # must survive (hard-coded `long` used to fail at runtime)
+    docs = spark.createDataFrame(
+        [("a1", "hi"), ("b2", "this")], "doc_id string, text string"
+    )
+    out = bpe_encode(docs, [(b"h", b"i")])
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["a1"]["n_tokens"] == 1 and rows["a1"]["round_trip_ok"]
+    assert rows["b2"]["round_trip_ok"]
+
+
 def test_bpe_encode_zero_shuffles(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = (

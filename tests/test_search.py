@@ -108,6 +108,25 @@ def test_rrf_fuse_basics_and_missing_docs(spark):
     assert max(got, key=got.get) == 2
 
 
+def test_rrf_fuse_nan_score_contributes_zero(spark):
+    # a NaN score must not steal rank 1 (Spark sorts NaN above every
+    # double under desc) — it contributes a ZERO term, same contract
+    # as rrf_fuse_signals
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "score": [float("nan"), 5.0, 4.0]}
+        )
+    )
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a], k=60).collect()}
+    assert got[2] == pytest.approx(1 / 61)  # valid rows rank 1, 2
+    assert got[3] == pytest.approx(1 / 62)
+    assert got[1] == 0.0                    # NaN: zero contribution
+
+
 def test_rrf_fuse_per_query_partitioning(spark):
     import pandas as pd
 

@@ -726,6 +726,26 @@ def test_repetition_top_frac_capped_at_one(spark):
     assert r["top_frac_q6"] == 1_000_000
 
 
+def test_repetition_no_phantom_tokens_from_edge_whitespace(spark):
+    # '\nhi' used to tokenize as ['', 'hi'] (trim strips only spaces),
+    # creating a phantom 2-gram ' hi' that scored top_frac 1.0 on a
+    # one-word doc — the filtered tokenization must report 0
+    import pandas as pd
+
+    from uma_etl_iis_loader_spark.operators.repetition import (
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["\nhi", "\t a b a b \n"]})
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["top_frac_q6"] == 0 and rows[1]["dup_frac_q6"] == 0
+    # doc 2: words [a,b,a,b] exactly — 'a b' x2 -> top_score 6 over
+    # the RAW 11-char text (phantom '' grams would change the max)
+    assert rows[2]["top_frac_q6"] == round(6 / 11 * 1e6)
+
+
 # --- URL canonicalization ---
 
 

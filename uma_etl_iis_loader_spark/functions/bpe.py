@@ -257,8 +257,11 @@ def bpe_encode(
                 ],
             )
 
+    # derive the id column's type from the input schema (hard-coding
+    # `long` broke string ids — same fix as similarity._assign_centroid)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
         encode,
-        f"{id_col} long, n_bytes long, n_tokens long, "
+        f"{id_col} {id_type}, n_bytes long, n_tokens long, "
         "token_ids array<int>, round_trip_ok boolean, ids_in_vocab boolean",
     )

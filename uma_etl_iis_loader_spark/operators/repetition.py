@@ -52,7 +52,10 @@ def repetition_metrics(
     sizes (or empty) report 0 for the affected metric; both fractions
     are capped at 1.0 (overlapping grams can attribute more characters
     than the doc holds)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # unified gram-family tokenization: filter empty tokens (trim alone
+    # strips only spaces, so leading \n/\t would inject phantom '' words
+    # into the n-gram windows)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.length(text_col).cast("long").alias("n_chars"),

@@ -123,7 +123,8 @@ def rrf_fuse(
     """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
     hybrid-retrieval combiner, e.g. BM25 ⊕ vector ⊕ prior):
     rrf(d) = Σ_lists 1/(k + rank_list(d)), documents absent from a
-    list contribute 0. Ranks are dense positions by (score DESC, id)
+    list contribute 0 — as do NULL/NaN-scored rows (same
+    missing-signal contract as :func:`rrf_fuse_signals`). Ranks are dense positions by (score DESC, id)
     — deterministic under any partitioning and engine-replayable (the
     per-term 1/(k+r) values and their fixed-order sum are identical
     IEEE doubles on every engine, so the fused score is
@@ -149,9 +150,19 @@ def rrf_fuse(
             if query_col
             else Window.partitionBy(F.lit(1))
         )
-        w = part.orderBy(F.col(score_col).desc(), F.col(id_col))
+        # NaN -> NULL before ranking (same guard as rrf_fuse_signals):
+        # Spark sorts NaN ABOVE every double under desc, so an unguarded
+        # NaN score would steal rank 1; normalized, invalid scores sort
+        # nulls-last and contribute a zero term like a missing signal
+        sc = F.when(
+            ~F.isnan(F.col(score_col).cast("double")), F.col(score_col)
+        )
+        w = part.orderBy(sc.desc(), F.col(id_col))
         ranked = r.select(
-            *keys, F.row_number().over(w).alias(f"__r{i}")
+            *keys,
+            F.when(
+                sc.isNotNull(), F.row_number().over(w)
+            ).alias(f"__r{i}"),
         )
         fused = (
             ranked

@@ -2839,7 +2839,8 @@ SELECT 'repgram', CAST(r.doc_id AS BIGINT), r.n_chars,
 FROM (
     WITH w AS (
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-               regexp_split_to_array(trim(text), '\\s+') AS words
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           w -> w <> '') AS words
         FROM documents WHERE text IS NOT NULL
     ),
     g2 AS (
