@@ -205,6 +205,56 @@ def test_negative_sample_contract(spark):
     assert set(rows) == {(r.anchor_id, r.item_id) for r in out2.collect()}
 
 
+def test_negative_sample_buckets_derivation():
+    """The auto-derived bucket count is a pure, deterministic function
+    of the corpus scalar: power of two, ~[target, 2*target) items per
+    bucket at every scale, never below the smallest pow2 >= k."""
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        negative_sample_buckets,
+    )
+
+    for n in (1_000, 100_000, 1_000_000, 10_000_000, 10**9):
+        b = negative_sample_buckets(n, k=8)
+        assert b & (b - 1) == 0  # power of two
+        assert 32 <= n / b < 64  # items/bucket inside the band
+    # tiny corpus: floor at pow2(k)
+    assert negative_sample_buckets(100, k=8) == 8
+    assert negative_sample_buckets(100, k=5) == 8
+    assert negative_sample_buckets(0, k=3) == 4
+    # 10x corpus -> ~10x buckets (8x or 16x, pow2-rounded)
+    assert negative_sample_buckets(10_000_000, k=8) in (
+        8 * negative_sample_buckets(1_000_000, k=8),
+        16 * negative_sample_buckets(1_000_000, k=8),
+    )
+
+
+def test_negative_sample_fixed_buckets_pin_the_draw(spark):
+    """LAW: sampled ids are a pure function of (inputs, k, buckets,
+    seed) — holding buckets FIXED yields identical ids whether passed
+    explicitly or resolved by the auto default, and the auto default
+    resolves to negative_sample_buckets(corpus.count(), k)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        negative_sample,
+        negative_sample_buckets,
+    )
+
+    corpus = spark.range(0, 2000).select(F.col("id").alias("item_id"))
+    anchors = spark.range(0, 40).select(F.col("id").alias("anchor_id"))
+    b = negative_sample_buckets(2000, k=5)
+    auto = {
+        (r.anchor_id, r.item_id)
+        for r in negative_sample(anchors, corpus, k=5).collect()
+    }
+    pinned = {
+        (r.anchor_id, r.item_id)
+        for r in negative_sample(anchors, corpus, k=5, buckets=b).collect()
+    }
+    assert auto == pinned
+    assert len(auto) == 40 * 5
+
+
 def test_negative_sample_spread(spark):
     """No item dominates: with many anchors the sample frequency of any
     single item stays within a small multiple of the mean (hash buckets

@@ -211,18 +211,18 @@ def workloads(spark, sf_dir: str, base_dir: str):
         return resample_ffill(events, "user_id", "ts", ["value"], step_s=86_400)
 
     def negative_sampling():
-        # buckets scale with the corpus (the operator's documented
-        # recipe: keep |corpus|/buckets a small constant) — with FIXED
-        # buckets the candidate set grows as anchors × corpus and the
-        # 10x step measures ~70x, the scale-killer the recipe exists to
-        # avoid (same fixed-vs-scaled story as knn_ivf_scaled_nlist)
+        # buckets=None exercises the operator's OWN scaling recipe
+        # (corpus count → ~32-64 items/bucket at any scale). The r7
+        # harness hand-scaled buckets 256→2560, which kept ~390
+        # items/bucket — 4-12x over the documented band — and measured
+        # 11.85x at the 10x step; the auto default shrinks the
+        # candidate constant so the step reflects the recipe users get.
         from uma_etl_iis_loader_spark.operators.sampling import negative_sample
 
         events = read_fixture(spark, sf_dir, "events")
         anchors = events.select(F.col("user_id").alias("anchor_id")).distinct()
         corpus = events.select(F.col("event_id").alias("item_id")).distinct()
-        buckets = 256 if sf_dir == base_dir else 2560
-        return negative_sample(anchors, corpus, k=8, buckets=buckets)
+        return negative_sample(anchors, corpus, k=8)
 
     def weighted_sampling():
         from uma_etl_iis_loader_spark.operators.sampling import weighted_sample

@@ -146,6 +146,23 @@ def temperature_rates(
     }
 
 
+def negative_sample_buckets(n_items: int, k: int, target: int = 32) -> int:
+    """Deterministic bucket count for :func:`negative_sample`: the
+    largest power of two with ≥ ``target`` expected items per bucket
+    (floor to a power of two so the count is reproducible from the one
+    scalar ``n_items`` — no float-rounding ambiguity), floored at the
+    smallest power of two ≥ k (an anchor addresses k DISTINCT buckets).
+    With the default target the realized bucket size lands in
+    [32, 64) — inside the documented 10-100 band — at EVERY corpus
+    size, which is what keeps candidates linear in |anchors|·k instead
+    of quadratic in corpus growth."""
+    import math
+
+    b = 1 << max(0, int(math.floor(math.log2(max(1.0, n_items / target)))))
+    k_floor = 1 << max(0, (max(k, 1) - 1).bit_length())
+    return max(b, k_floor)
+
+
 def negative_sample(
     anchors: DataFrame,
     corpus: DataFrame,
@@ -153,7 +170,7 @@ def negative_sample(
     anchor_id: str = "anchor_id",
     item_id: str = "item_id",
     positives: DataFrame | None = None,
-    buckets: int = 1024,
+    buckets: int | None = None,
     seed: int = 0,
 ) -> DataFrame:
     """k pseudo-random negatives per anchor for contrastive training
@@ -170,15 +187,24 @@ def negative_sample(
     any non-positive remains in the bucket.
 
     Cost shape: candidates = k × |corpus|/buckets rows per anchor —
-    size ``buckets`` so corpus/buckets is a small constant (e.g. 10-100
-    items per bucket); one shuffle each for the bucket join, the
+    ``buckets`` must keep corpus/buckets a SMALL CONSTANT (10-100 items
+    per bucket) or candidate volume grows with the corpus and the whole
+    op turns quadratic under joint anchor+corpus scaling. The default
+    (``buckets=None``) derives that automatically: one cheap scalar
+    ``corpus.count()`` → :func:`negative_sample_buckets` (power of two,
+    ~32-64 items/bucket at any scale, ≥ k). Pass ``buckets`` explicitly
+    only when samples must stay bit-stable while the corpus grows —
+    results are a pure function of (inputs, k, buckets, seed), so a
+    FIXED bucket count pins the draw and the auto default re-derives it
+    per corpus size. One shuffle each for the bucket join, the
     positives anti-join, and the per-(anchor, draw) min. Sampling is
     approximately uniform (hash buckets are balanced by construction);
     it is NOT a perfect uniform-without-replacement draw — documented
     trade for determinism without a global shuffle. Buckets beyond the
-    corpus size come back empty (fewer than k rows for some anchors):
-    keep buckets ≤ |corpus|/10.
+    corpus size come back empty (fewer than k rows for some anchors).
     """
+    if buckets is None:
+        buckets = negative_sample_buckets(corpus.count(), k)
     if k > buckets:
         raise ValueError(f"k={k} must be <= buckets={buckets}")
     a = anchors.select(anchor_id).distinct()
