@@ -70,6 +70,25 @@ def test_dsir_bucketed_equals_unbucketed_when_collision_free(spark):
     assert exact == bucketed
 
 
+def test_dsir_portable_hash_is_weight_equivalent(spark):
+    """LAW: the feature hash is identity-only — swapping xxhash64 for
+    the oracle-replayable md5-prefix hash changes no weight, bucketed
+    (collision-free width) or unbucketed. Pins the dsir_wb adjudication
+    rows to the production xxhash64 path's arithmetic."""
+    raw, target = _corpora(spark)
+
+    def weights(**kw):
+        return {
+            r["doc_id"]: (r["n_feats"], r["logw_q4"])
+            for r in dsir_log_weights(raw, fit_dsir(raw, target, **kw)).collect()
+        }
+
+    assert weights() == weights(portable_hash=True)
+    assert weights(num_buckets=1 << 20) == weights(
+        num_buckets=1 << 20, portable_hash=True
+    )
+
+
 def test_dsir_weights_partition_invariant(spark):
     raw, target = _corpora(spark)
     base = {

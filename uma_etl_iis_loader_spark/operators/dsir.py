@@ -77,16 +77,26 @@ def _gram_rows(docs: DataFrame, id_col: str, text_col: str):
     )
 
 
-def _featurize(grams, num_buckets: int | None):
-    """Feature key per gram row: ALWAYS an 8-byte ``xxhash64`` of the
-    gram (the ``contamination`` recipe — count aggregations and the
+def _featurize(grams, num_buckets: int | None, portable: bool = False):
+    """Feature key per gram row: by default an 8-byte ``xxhash64`` of
+    the gram (the ``contamination`` recipe — count aggregations and the
     scoring join shuffle longs, never gram strings; a count merge
     needs an xxhash64 collision between two distinct vocab grams,
     negligible below ~10¹⁸ grams and exactly the blur ``num_buckets``
     embraces anyway). ``num_buckets`` additionally folds the hash into
     B buckets — the 100 TB path where the ratio table is exactly B
-    rows and broadcasts."""
-    h = F.xxhash64("gram")
+    rows and broadcasts.
+
+    ``portable=True`` swaps the hash for the top 60 bits of md5 —
+    bit-identical in DuckDB as ``CAST('0x' || substr(md5(g),1,15) AS
+    BIGINT)`` — so the BUCKETED pipeline (bucket fold → B-row ratio
+    table → broadcast scoring join, the exact plan the default hash
+    runs) is oracle-replayable end to end. Same code path, slower
+    hash: use it for adjudication, xxhash64 for production."""
+    if portable:
+        h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("gram")
     if num_buckets is not None:
         h = F.pmod(h, F.lit(num_buckets))
     return grams.select("id", h.alias("feat"))
@@ -98,6 +108,7 @@ def fit_dsir(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int | None = None,
+    portable_hash: bool = False,
 ) -> dict:
     """Fit the importance-ratio model: per-feature Laplace-smoothed
     log p_target − log p_raw. Returns lazy DataFrames (never collected):
@@ -116,19 +127,21 @@ def fit_dsir(
     # not two aggs + a full-outer join (which would re-run the gram
     # explodes and triple the stage count of the fit)
     counts = _tagged_counts(
-        raw_docs, target_docs, text_col, id_col, num_buckets
+        raw_docs, target_docs, text_col, id_col, num_buckets, portable_hash
     )
-    return _derive_model(counts, num_buckets)
+    return _derive_model(counts, num_buckets, portable_hash)
 
 
-def _tagged_counts(raw_docs, target_docs, text_col, id_col, num_buckets):
+def _tagged_counts(
+    raw_docs, target_docs, text_col, id_col, num_buckets, portable=False
+):
     """(feat, ct, cr) — per-feature occurrence counts in the target and
     raw corpora, from one tagged union + one aggregation."""
     tagged = _featurize(
-        _gram_rows(target_docs, id_col, text_col), num_buckets
+        _gram_rows(target_docs, id_col, text_col), num_buckets, portable
     ).select("feat", F.lit(1).alias("t")).unionByName(
         _featurize(
-            _gram_rows(raw_docs, id_col, text_col), num_buckets
+            _gram_rows(raw_docs, id_col, text_col), num_buckets, portable
         ).select("feat", F.lit(0).alias("t"))
     )
     return tagged.groupBy("feat").agg(
@@ -137,7 +150,9 @@ def _tagged_counts(raw_docs, target_docs, text_col, id_col, num_buckets):
     )
 
 
-def _derive_model(counts, num_buckets: int | None) -> dict:
+def _derive_model(
+    counts, num_buckets: int | None, portable: bool = False
+) -> dict:
     """Derive ratios/fallback from a mergeable (feat, ct, cr) counts
     frame — the arithmetic half of :func:`fit_dsir`, shared with
     :func:`update_dsir`."""
@@ -165,6 +180,7 @@ def _derive_model(counts, num_buckets: int | None) -> dict:
         "ratios": ratios,
         "fallback": fallback,
         "num_buckets": num_buckets,
+        "portable_hash": portable,
     }
 
 
@@ -192,13 +208,16 @@ def update_dsir(
         text_col,
         id_col,
         model["num_buckets"],
+        model.get("portable_hash", False),
     )
     merged = (
         model["counts"].unionByName(fresh)
         .groupBy("feat")
         .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
     )
-    return _derive_model(merged, model["num_buckets"])
+    return _derive_model(
+        merged, model["num_buckets"], model.get("portable_hash", False)
+    )
 
 
 def dsir_log_weights(
@@ -217,7 +236,9 @@ def dsir_log_weights(
     shuffled and are the adjudication rung, not the scale rung) → one
     per-doc sum with map-side partial aggregation."""
     feats = _featurize(
-        _gram_rows(docs, id_col, text_col), model["num_buckets"]
+        _gram_rows(docs, id_col, text_col),
+        model["num_buckets"],
+        model.get("portable_hash", False),
     )
     ratios = model["ratios"]
     if model["num_buckets"] is not None:

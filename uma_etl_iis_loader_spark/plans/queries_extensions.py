@@ -1285,10 +1285,52 @@ FROM (
         )
         ORDER BY key DESC, doc_id
         LIMIT 25
+    ),
+    gb AS (
+        -- the bucketed rung's portable feature hash: top 60 bits of
+        -- md5, folded into 1024 buckets (Spark: conv(substr(md5,1,15),
+        -- 16,10) % 1024 — bit-identical)
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                   % 1024 AS feat
+        FROM g
+    ),
+    tcb AS (SELECT feat, count(*) AS ct FROM gb
+            WHERE doc_id % 7 = 0 GROUP BY 1),
+    rcb AS (SELECT feat, count(*) AS cr FROM gb
+            WHERE doc_id % 7 <> 0 GROUP BY 1),
+    totb AS (
+        SELECT (SELECT coalesce(sum(ct), 0) FROM tcb) AS tt,
+               (SELECT coalesce(sum(cr), 0) FROM rcb) AS tr,
+               (SELECT count(*) FROM
+                   (SELECT feat FROM tcb UNION SELECT feat FROM rcb)) AS v
+    ),
+    ratiob AS (
+        SELECT feat,
+               CAST(round(ln((coalesce(ct, 0) + 1.0) / (tt + v))
+                          - ln((coalesce(cr, 0) + 1.0) / (tr + v)), 8)
+                    AS DECIMAL(20,8)) AS r
+        FROM tcb FULL JOIN rcb USING (feat) CROSS JOIN totb
+    ),
+    fbb AS (
+        SELECT CAST(round(ln(1.0 / (tt + v)) - ln(1.0 / (tr + v)), 8)
+                    AS DECIMAL(20,8)) AS r0
+        FROM totb
+    ),
+    swb AS (
+        SELECT gb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(round(sum(coalesce(ratiob.r, fbb.r0)), 4) * 10000
+                    AS BIGINT) AS logw_q4
+        FROM gb LEFT JOIN ratiob USING (feat) CROSS JOIN fbb
+        WHERE gb.doc_id % 7 <> 0
+        GROUP BY 1
     )
     SELECT 'dsir_w' AS method, doc_id, n_feats AS k1, logw_q4 AS k2 FROM sw
     UNION ALL
     SELECT 'dsir_pick', doc_id, NULL, logw_q4 FROM pick
+    UNION ALL
+    SELECT 'dsir_wb', doc_id, n_feats, logw_q4 FROM swb
 ) m
 UNION ALL
 SELECT 'shard', doc_id, CAST(NULL AS VARCHAR),
@@ -1397,8 +1439,16 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       uniforms — weights AND the resampled id set hash-adjudicated
       (features are xxhash64 longs in Spark, gram strings in the
       oracle — hash equality == string equality absent collisions, the
-      contamination precedent). The bucketed variant (B-row broadcast
-      ratio table, the 100 TB path) is law-tested in tests/test_dsir.py.
+      contamination precedent). The scored frame is persisted: both
+      row families (weights + Gumbel pick) consume it under one union,
+      and without the persist the fit+score gram explodes ran twice.
+    - 'dsir_wb' rows: the BUCKETED scale path itself (num_buckets=1024
+      → 1024-row broadcast ratio table — the 100 TB rung), fit+scored
+      with the portable md5-prefix feature hash so the oracle replays
+      the bucket fold bit-exactly (CAST('0x'||substr(md5(g),1,15) AS
+      BIGINT) % 1024); same plan shape as the xxhash64 default, which
+      stays law-tested (bucketed == unbucketed absent bucket
+      collisions) in tests/test_dsir.py.
     - 'shard' rows: the reproducible training shuffle
       (sampling.shuffle_for_training) — deterministic (shard, pos)
       from the family's salted integer hash, so every epoch reader
@@ -1475,7 +1525,13 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = pref.filter("doc_id % 7 <> 0")
     target = pref.filter("doc_id % 7 = 0")
-    dsir_w = dsir_log_weights(raw, fit_dsir(raw, target))
+    # persist the scored frame: dsir_w_rows AND dsir_select both consume
+    # it under the final union, and the fit+score gram explodes over
+    # raw+target would otherwise execute twice per action (ReuseExchange
+    # doesn't bridge the two consumers' differing post-agg subtrees);
+    # rows are doc-count-sized, and Spark's ContextCleaner unpersists
+    # once the frame is unreachable
+    dsir_w = dsir_log_weights(raw, fit_dsir(raw, target)).persist()
     null_s = F.lit(None).cast("string")
     dsir_w_rows = dsir_w.select(
         F.lit("dsir_w").alias("method"),
@@ -1489,6 +1545,20 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         null_s.alias("split"),
         null_l.alias("n_ngrams"),
+        F.col("logw_q4").alias("n_contaminated"),
+    )
+    # the bucketed scale rung, adjudicated: portable md5-prefix hash
+    # folds features into 1024 buckets (DuckDB replays the fold
+    # bit-exactly), ratio table broadcasts — same plan the xxhash64
+    # default runs at 100 TB
+    dsir_wb = dsir_log_weights(
+        raw, fit_dsir(raw, target, num_buckets=1024, portable_hash=True)
+    )
+    dsir_wb_rows = dsir_wb.select(
+        F.lit("dsir_wb").alias("method"),
+        "doc_id",
+        null_s.alias("split"),
+        F.col("n_feats").alias("n_ngrams"),
         F.col("logw_q4").alias("n_contaminated"),
     )
     from ..operators.sampling import shuffle_for_training
@@ -1519,6 +1589,7 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tm_rows)
         .unionByName(dsir_w_rows)
         .unionByName(dsir_pick_rows)
+        .unionByName(dsir_wb_rows)
         .unionByName(shard_rows)
         .unionByName(dec_rows)
     )
@@ -3071,7 +3142,10 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
-    ppl = score_perplexity(docs, lm)
+    # persisted: lm_rows AND ccnet_bucket consume the scored frame under
+    # the final union — without it the trigram explode + scoring join
+    # runs twice per action (the sampling_ops dsir_w precedent)
+    ppl = score_perplexity(docs, lm).persist()
     lm_rows = ppl.select(
         F.lit("lm_ppl").alias("method"),
         F.col("doc_id").cast("long").alias("doc_id"),
