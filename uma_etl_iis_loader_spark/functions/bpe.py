@@ -16,7 +16,12 @@ Scale design (100 TB shape):
   size-bounded driver artifact — vocabularies are trained on samples in
   every production tokenizer pipeline). Pair counting uses incremental
   updates (only words containing the merged pair are touched per round),
-  not a full recount.
+  not a full recount. For CORPUS-EXACT merge statistics,
+  ``bpe_word_counts`` computes the mergeable (pre-token, count) table
+  distributedly (one JVM-side agg; additive across shards via
+  ``update_bpe_counts`` — the ``lm.update_char_lm`` shape) and
+  ``train_bpe_from_counts`` trains from its capped top-``max_words``
+  head; update == recount-on-concatenation exactly (law-tested).
 - ENCODE is fully distributed: the merge table (a few KB) ships in the
   task closure, each Arrow batch keeps a pre-token → ids memo (Zipf:
   the distinct-word working set is far smaller than the token stream),
@@ -73,7 +78,86 @@ def train_bpe(
     for r in rows:
         for tok in _PRETOKEN_RE.findall(r["t"][:max_chars_per_doc]):
             word_freq[tok] += 1
+    return _merges_from_word_freq(word_freq, vocab_size)
 
+
+def bpe_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_chars_per_doc: int | None = None,
+) -> DataFrame:
+    """(word, n) pre-token occurrence counts — the MERGEABLE training
+    statistic behind BPE (training consumes only the word-frequency
+    table, never raw text, so the counts frame is to :func:`train_bpe`
+    what ``lm.train_char_lm``'s trigram counts are to perplexity).
+    Counts are additive: persist per shard and fold new shards in with
+    :func:`update_bpe_counts` without rescanning old corpora.
+
+    Fully distributed and JVM-side: ``regexp_extract_all`` replays the
+    exact ``\\S+|\\s+`` pre-token partition, one explode, ONE count
+    aggregation with map-side combine. The result is
+    vocabulary-sized (Zipf — distinct pre-tokens ≪ token stream), not
+    corpus-sized."""
+    t = F.col(text_col).cast("string")
+    if max_chars_per_doc is not None:
+        t = F.substring(t, 1, max_chars_per_doc)
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(t, F.lit(r"\S+|\s+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def update_bpe_counts(counts: DataFrame, new_docs: DataFrame, **kwargs) -> DataFrame:
+    """Fold a new document shard into an existing (word, n) counts
+    frame WITHOUT rescanning the old corpus — counts are additive, so
+    ``update == recount-on-concatenation`` EXACTLY (law-tested). The
+    ``update_char_lm`` / ``update_dsir`` mergeable-statistic shape."""
+    return (
+        counts.unionByName(bpe_word_counts(new_docs, **kwargs))
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def train_bpe_from_counts(
+    counts: DataFrame,
+    vocab_size: int = 512,
+    max_words: int = 65_536,
+) -> list[tuple[bytes, bytes]]:
+    """Corpus-exact BPE training from a distributed (word, n) counts
+    frame: collect the ``max_words`` most frequent pre-tokens (count
+    DESC, word ASC — a deterministic distributed top-k via
+    TakeOrderedAndProject, never a global sort; the tail it drops is
+    singleton-grade mass that cannot win a merge against the head) and
+    run the same deterministic merge loop as :func:`train_bpe`.
+
+    Use when merge statistics must reflect the WHOLE corpus rather than
+    the driver sample: the shuffle is one count agg over pre-tokens,
+    the collect is capped at ``max_words`` rows. Same determinism
+    contract: identical counts → identical merge table."""
+    rows = (
+        counts.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    word_freq: Counter = Counter({r["word"]: r["n"] for r in rows})
+    return _merges_from_word_freq(word_freq, vocab_size)
+
+
+def _merges_from_word_freq(
+    word_freq: Counter, vocab_size: int
+) -> list[tuple[bytes, bytes]]:
+    """The deterministic merge loop shared by the driver-sample and
+    distributed-counts training paths: highest pair count wins, ties
+    break to the lexicographically smallest (left, right) byte pair;
+    stops early when no pair occurs twice. Pair counting is incremental
+    (only words containing the merged pair are touched per round)."""
     seqs: dict[str, tuple[bytes, ...]] = {
         w: tuple(bytes([b]) for b in w.encode("utf-8")) for w in word_freq
     }
