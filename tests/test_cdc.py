@@ -278,8 +278,12 @@ def test_compact_minhash_index_dedupes_replay_residue(spark):
     append_minhash_index(shard, idx, **kw)  # simulated replay residue
     grams = spark.read.parquet(idx + "/grams")
     assert grams.count() > grams.distinct().count()  # residue exists
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        resolve_table,
+    )
+
     compact_minhash_index(spark, idx)
-    grams2 = spark.read.parquet(idx + "/grams")
+    grams2 = spark.read.parquet(resolve_table(idx, "grams"))
     assert grams2.count() == grams2.distinct().count()
     # the shard now matches its own indexed copy: zero survivors
     out = dedup_increment(shard, idx, threshold=0.35, update_index=False, **kw)
@@ -467,10 +471,22 @@ def test_funnel_compaction_via_stream_attach(spark):
     }
     assert {tuple(r) for r in m.read_exact(spark).collect()} == want
 
-    # crash residue: stale .next and .old beside a live dir self-heal
-    shutil.copytree(base + "/exact", base + "/exact.next")
-    shutil.copytree(base + "/exact", base + "/exact.old")
+    # crash residue of the RETIRED rename-away protocol: stale
+    # .next/.old dirs self-heal away and the swap still lands (the live
+    # table is now a pointer-resolved generation dir)
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        resolve_table,
+    )
+
+    live = resolve_table(base, "exact")
+    shutil.copytree(live, base + "/exact.next")
+    shutil.copytree(live, base + "/exact.old")
+    # an in-flight reader bound to the pre-compaction generation must
+    # survive the swap (the pointer-protocol contract)
+    inflight = spark.read.parquet(live)
+    n_before = inflight.count()
     m.compact(spark)
+    assert inflight.count() == n_before
     assert {tuple(r) for r in m.read_exact(spark).collect()} == want
     assert not os.path.isdir(base + "/exact.next")
     assert not os.path.isdir(base + "/exact.old")

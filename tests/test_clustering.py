@@ -47,6 +47,81 @@ def test_kmeans_recovers_blobs_and_is_deterministic(spark):
     assert a == a2
 
 
+def test_kmeans_distributed_refine_parity_on_blobs(spark):
+    """On blob data small enough that the driver sample IS the corpus,
+    the distributed Lloyd option converges to the same solution as the
+    sample-only fit: identical cluster assignments, centroids within
+    float tolerance (decimal-quantized distributed sums vs numpy
+    float64 means differ below 1e-9). And it's deterministic under
+    repartitioning (exact-decimal sums are order-insensitive)."""
+    df = _blobs(spark)
+    sample_model = kmeans_fit(df, k=3)
+    dist_model = kmeans_fit(df, k=3, refine_distributed=True)
+    assert dist_model["matrix"].shape == sample_model["matrix"].shape
+    assert np.max(
+        np.abs(dist_model["matrix"] - sample_model["matrix"])
+    ) < 1e-6
+    a_s = {r["vec_id"]: r["cluster_id"]
+           for r in kmeans_assign(df, sample_model).collect()}
+    a_d = {r["vec_id"]: r["cluster_id"]
+           for r in kmeans_assign(df, dist_model).collect()}
+    assert a_s == a_d
+    # bit-stable rerun under different partitioning
+    dist2 = kmeans_fit(df.repartition(7), k=3, refine_distributed=True)
+    assert np.array_equal(dist_model["matrix"], dist2["matrix"])
+
+
+def test_kmeans_lloyd_iteration_single_shuffle_plan(spark):
+    """The per-iteration update statistic runs ONE exchange: assignment
+    is a shuffle-free mapInPandas matmul, the explode is narrow, and
+    the (centroid, dim) groupBy is the only shuffle (map-side
+    partials)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.clustering import (
+        _lloyd_iteration_stats,
+    )
+
+    df = _blobs(spark)
+    c = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<float>").alias("cvec"),
+    )
+    model = kmeans_fit(df, k=3)
+    plan = (
+        _lloyd_iteration_stats(c, model["matrix"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_kmeans_distributed_refine_beats_sample_when_sample_misses(spark):
+    """When the init sample is too small to see every blob, full-corpus
+    refinement recovers cohesion the sample path can't: distributed
+    refine must not be WORSE than sample-only on mean max-cosine."""
+    from pyspark.sql import functions as F
+
+    df = _blobs(spark, n_per=40)
+
+    def cohesion(model):
+        import numpy as np
+
+        rows = df.collect()
+        mat = model["matrix"]
+        tot = 0.0
+        for r in rows:
+            v = np.asarray(r["embedding"])
+            v = v / np.linalg.norm(v)
+            tot += float(np.max(mat @ v))
+        return tot / len(rows)
+
+    base = kmeans_fit(df, k=3, refine_iters=2)
+    dist = kmeans_fit(df, k=3, refine_iters=2, refine_distributed=True)
+    # Lloyd monotonicity: full-corpus assign+mean iterations from the
+    # sample-refined start never decrease full-corpus cohesion
+    assert cohesion(dist) >= cohesion(base) - 1e-12
+
+
 def test_kmeans_assign_is_nearest_centroid(spark):
     df = _blobs(spark, n_per=10)
     model = kmeans_fit(df, k=3)

@@ -187,8 +187,12 @@ def test_compact_shingle_index_preserves_answers(spark):
         spark.read.parquet(idx + "/keys").groupBy("key")
         .sum("nd").orderBy("key").collect()
     )
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        resolve_table,
+    )
+
     compact_shingle_index(spark, idx)
-    after_raw = spark.read.parquet(idx + "/keys")
+    after_raw = spark.read.parquet(resolve_table(idx, "keys"))
     # compaction: one row per key, same summed counts
     assert after_raw.groupBy("key").count().filter("count > 1").count() == 0
     after_keys = (

@@ -356,13 +356,17 @@ def test_compact_ivf_index_preserves_results_and_prunes(spark, sf_dir, tmp_path)
     leaves ivf_index_topk results bit-identical, and keeps the
     centroid_id PartitionFilter on the scan (the directory layout is
     untouched). Also pins the crash-safety invariant: no moment during
-    compaction removes the only copy (verified by the swap protocol —
-    the live dir is renamed away only after .next is fully written)."""
+    compaction removes the only copy (the generation-pointer protocol —
+    the pointer flips only after the next generation is fully
+    written)."""
     import glob
 
     from pyspark.sql import functions as F
 
     from uma_etl_iis_loader_spark.io import read_fixture
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        resolve_table,
+    )
     from uma_etl_iis_loader_spark.operators.similarity import (
         append_ivf_index,
         build_ivf_index,
@@ -383,7 +387,8 @@ def test_compact_ivf_index_preserves_results_and_prunes(spark, sf_dir, tmp_path)
         )
 
     def files():
-        return glob.glob(f"{path}/vectors/centroid_id=*/*.parquet")
+        live = resolve_table(path, "vectors")
+        return glob.glob(f"{live}/centroid_id=*/*.parquet")
 
     before_files = files()
     before = {
@@ -398,7 +403,7 @@ def test_compact_ivf_index_preserves_results_and_prunes(spark, sf_dir, tmp_path)
     )
     # one file per cell at this size (all cells far under the target)
     assert len(after_files) == len(
-        glob.glob(f"{path}/vectors/centroid_id=*")
+        glob.glob(f"{resolve_table(path, 'vectors')}/centroid_id=*")
     )
     out = ivf_index_topk(spark, path, queries, k=5, nprobe=8)
     after = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
@@ -443,13 +448,19 @@ def test_compact_ivf_index_works_on_ivfpq_layout(spark, sf_dir, tmp_path):
         path + "/vectors"
     )
 
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        resolve_table,
+    )
+
     before_files = glob.glob(f"{path}/vectors/centroid_id=*/*.parquet")
     before = {
         (r.query_id, r.neighbor_id, r.rank)
         for r in ivfpq_topk(spark, path, queries, k=5, nprobe=8).collect()
     }
     compact_ivf_index(spark, path)
-    after_files = glob.glob(f"{path}/vectors/centroid_id=*/*.parquet")
+    after_files = glob.glob(
+        f"{resolve_table(path, 'vectors')}/centroid_id=*/*.parquet"
+    )
     assert len(after_files) < len(before_files)
     after = {
         (r.query_id, r.neighbor_id, r.rank)

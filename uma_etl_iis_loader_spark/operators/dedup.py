@@ -975,10 +975,14 @@ def _write_index_state(
     gram lookup fails — candidates silently vanishing in the verify
     join; ``dedup_increment`` additionally fails loudly on that state.
     """
-    sigs.select("id", "grams", "fp").write.mode(mode).parquet(f"{path}/grams")
+    from .index_pointer import resolve_table
+
+    sigs.select("id", "grams", "fp").write.mode(mode).parquet(
+        resolve_table(path, "grams")
+    )
     _band_entries(sigs, bands, rows).write.mode(mode).partitionBy(
         "band"
-    ).parquet(f"{path}/bands")
+    ).parquet(resolve_table(path, "bands"))
 
 
 def build_minhash_index(
@@ -1090,8 +1094,10 @@ def dedup_increment(
     ).persist()
     banded_new = _band_entries(sigs, bands, rows).persist()
 
-    idx_bands = spark.read.parquet(f"{index_path}/bands")
-    idx_grams = spark.read.parquet(f"{index_path}/grams")
+    from .index_pointer import resolve_table
+
+    idx_bands = spark.read.parquet(resolve_table(index_path, "bands"))
+    idx_grams = spark.read.parquet(resolve_table(index_path, "grams"))
 
     # vs the existing corpus: bucket join against the index, gram-verify.
     # The index side arrives band-partitioned; only buckets colliding with
@@ -1209,41 +1215,32 @@ def compact_minhash_index(spark, path: str) -> None:
     """Deduplicate replay residue in the append-only LSH index (replayed
     appends can leave identical (id, grams) / (id, band, bucket) rows —
     harmless for correctness, wasteful for the bucket join) and rewrite
-    each table into fewer files. Rename-away swap per table (see
-    compact_shingle_index — no crash point destroys data), grams first
-    (same crash-ordering contract as the appends: bands ⊆ grams always
-    holds for any id).
-
-    CONCURRENCY: requires exclusive access — between the two renames
-    the live table momentarily doesn't exist, so a concurrent reader
-    (incremental_minhash_dedup / streaming ingest) on the same path can
-    fail mid-compaction. Run it from the maintenance job that owns the
-    index (crash-safety above covers failures, not concurrent reads)."""
-    import os
-    import shutil
+    each table into fewer files. Generation-pointer swap per table
+    (``operators/index_pointer``, shared with
+    ``similarity.compact_ivf_index``): the next generation is written
+    beside the live one and the pointer file flips atomically, so
+    concurrent READERS (incremental_minhash_dedup / streaming ingest
+    mid-scan, or resolving just before the flip) always see a complete
+    table — the replaced generation stays on disk until the NEXT
+    compaction (test-pinned). Grams first (same crash-ordering contract
+    as the appends: bands ⊆ grams always holds for any id). Concurrent
+    WRITERS are still excluded: an append into the old generation after
+    the flip is dropped from the live view — appends and compaction
+    share one maintenance owner."""
+    from .index_pointer import heal_legacy, resolve_table, swap_table
 
     for sub in ("grams", "bands"):  # grams first: see _write_index_state
-        live, nxt, old = f"{path}/{sub}", f"{path}/{sub}.next", f"{path}/{sub}.old"
-        # self-heal residue of a crashed prior compaction (same protocol
-        # as similarity.compact_ivf_index): restore `.old` if the live
-        # dir is gone, discard incomplete `.next` / leftover `.old`
-        if os.path.isdir(old) and not os.path.isdir(live):
-            os.rename(old, live)
-        if os.path.isdir(nxt):
-            shutil.rmtree(nxt)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        heal_legacy(path, sub)
+        live = resolve_table(path, sub)
         df = spark.read.parquet(live).distinct()
-        w = df.write.mode("overwrite")
-        if sub == "bands":
-            w = w.partitionBy("band")
-        w.parquet(nxt)
-        # rename-away swap: a complete copy exists on disk at every
-        # instant — a crash between the renames leaves the data intact
-        # under .old/.next for a trivial rename recovery, never destroyed
-        os.rename(live, old)
-        os.rename(nxt, live)
-        shutil.rmtree(old)
+
+        def write_next(dst: str, _df=df, _sub=sub) -> None:
+            w = _df.write.mode("overwrite")
+            if _sub == "bands":
+                w = w.partitionBy("band")
+            w.parquet(dst)
+
+        swap_table(path, sub, write_next)
 
 
 # ---------------------------------------------------------------------------

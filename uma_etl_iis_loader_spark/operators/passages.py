@@ -153,12 +153,14 @@ def build_shingle_index(
     Appends by ``passages_increment`` add (key, nd) rows; readers SUM nd
     per key, so the index is append-only (compact periodically with an
     overwrite rewrite if the append count grows large)."""
+    from .index_pointer import resolve_table
+
     sh = shingle_positions(docs, k, id_col, text_col, hashed=True)
     (
         sh.groupBy("key")
         .agg(F.count_distinct("id").alias("nd"))
         .write.mode("overwrite")
-        .parquet(f"{path}/keys")
+        .parquet(resolve_table(path, "keys"))
     )
 
 
@@ -205,8 +207,10 @@ def passages_increment(
         # aggregation, the mark join, and (via nd_new) the index append
         sh = sh.persist()
     nd_new = sh.groupBy("key").agg(F.count_distinct("id").alias("nd_new"))
+    from .index_pointer import resolve_table
+
     idx = (
-        spark.read.parquet(f"{index_path}/keys")
+        spark.read.parquet(resolve_table(index_path, "keys"))
         .groupBy("key")
         .agg(F.sum("nd").alias("nd_old"))
     )
@@ -227,7 +231,7 @@ def passages_increment(
     if update_index:
         nd_new.withColumnRenamed("nd_new", "nd").write.mode(
             "append"
-        ).parquet(f"{index_path}/keys")
+        ).parquet(resolve_table(index_path, "keys"))
     nd_out = nd_new.withColumnRenamed("nd_new", "nd")
     if pin:
         nd_out = nd_out.localCheckpoint(eager=True)
@@ -243,23 +247,22 @@ def passages_increment(
 
 def compact_shingle_index(spark, path: str) -> None:
     """Rewrite the append-only (key, nd) log into one summed row per key
-    — same answers, fewer files/rows. Swap via rename-away (live→old,
-    next→live, delete old): a complete copy of the data exists on disk at
-    every instant, so no crash point destroys the index — the worst case
-    (dying between the two renames) leaves the data intact under
-    keys.old/keys.next for a trivial rename recovery. Single-writer
-    assumption as with the other index maintainers."""
-    import os
-    import shutil
+    — same answers, fewer files/rows. Generation-pointer swap
+    (``operators/index_pointer``, shared with the LSH/IVF compactors):
+    concurrent READERS always see a complete table (the replaced
+    generation survives until the next compaction); the pointer flip is
+    the atomic commit point. WRITERS (the update_index append) remain
+    single-owner with compaction."""
+    from .index_pointer import heal_legacy, resolve_table, swap_table
 
-    live, nxt, old = f"{path}/keys", f"{path}/keys.next", f"{path}/keys.old"
-    (
+    heal_legacy(path, "keys")
+    live = resolve_table(path, "keys")
+    compacted = (
         spark.read.parquet(live)
         .groupBy("key")
         .agg(F.sum("nd").alias("nd"))
-        .write.mode("overwrite")
-        .parquet(nxt)
     )
-    os.rename(live, old)
-    os.rename(nxt, live)
-    shutil.rmtree(old)
+    swap_table(
+        path, "keys",
+        lambda dst: compacted.write.mode("overwrite").parquet(dst),
+    )

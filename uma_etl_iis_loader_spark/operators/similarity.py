@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_arrow
+from .index_pointer import resolve_table
 
 
 def _exact_local_topk(sims, ids, top):
@@ -469,7 +470,7 @@ def build_ivf_index(
     cent_mat = _ivf_centroids(c, nlist)
     assigned = _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        path + "/vectors"
+        resolve_table(path, "vectors")
     )
     cent_rows = [
         (i, [float(x) for x in cent_mat[i]]) for i in range(cent_mat.shape[0])
@@ -513,7 +514,7 @@ def ivf_index_topk(
     probe_ids = [
         r.centroid_id for r in probed.select("centroid_id").distinct().collect()
     ]
-    vectors = spark.read.parquet(path + "/vectors").filter(
+    vectors = spark.read.parquet(resolve_table(path, "vectors")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
     scored = probed.join(vectors, "centroid_id").withColumn(
@@ -548,7 +549,7 @@ def append_ivf_index(
     pytest-pinned)."""
     ivf_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
-    ).partitionBy("centroid_id").parquet(path + "/vectors")
+    ).partitionBy("centroid_id").parquet(resolve_table(path, "vectors"))
 
 
 def ivf_append_frame(
@@ -606,7 +607,7 @@ def append_ivfpq_index(
     is pytest-pinned."""
     ivfpq_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
-    ).partitionBy("centroid_id").parquet(path + "/vectors")
+    ).partitionBy("centroid_id").parquet(resolve_table(path, "vectors"))
 
 
 def ivfpq_append_frame(
@@ -669,7 +670,7 @@ def ivf_cell_stats(spark, path: str) -> DataFrame:
     under append drift; re-run the build to re-center when the ratio
     degrades."""
     return (
-        spark.read.parquet(path + "/vectors")
+        spark.read.parquet(resolve_table(path, "vectors"))
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -720,43 +721,28 @@ def compact_ivf_index(
     directories AND file sizes correctly. Results and pruning are
     preserved exactly: rows are unchanged, the ``centroid_id=K``
     directory layout is unchanged, only file boundaries move.
-    Crash-safe rename-away swap (the same protocol as
-    ``dedup.compact_minhash_index``): a complete copy of the table
-    exists on disk at every instant; a crash between the renames leaves
-    ``.old``/``.next`` for recovery, and the next compaction run
-    self-heals any residue on entry.
+    Generation-pointer swap (``operators/index_pointer`` — shared with
+    ``dedup.compact_minhash_index``): the next generation is written
+    BESIDE the live one, the ``vectors.CURRENT`` pointer flips
+    atomically, and the replaced generation stays on disk until the
+    NEXT compaction — so concurrent READERS (``ivf_index_topk`` /
+    ``ivfpq_topk`` mid-scan, or resolving just before the flip) always
+    see a complete table (test-pinned). Crash-safe: the pointer flip is
+    the single commit point. Concurrent WRITERS are still excluded: an
+    append landing in the old generation after the flip would be
+    dropped from the live view — run appends and compaction from the
+    same maintenance owner.
 
-    Local-filesystem paths (object stores: swap the two renames for the
-    store's atomic-manifest commit; the Spark work is identical).
-
-    CONCURRENCY: compaction requires exclusive access to the index.
-    Crash-safety (above) protects the data across a failed run, but
-    between the two renames there is an instant where ``vectors`` does
-    not exist — a concurrent ``ivf_index_topk`` / ``ivfpq_topk`` on the
-    same path can fail mid-compaction. Schedule compaction in the
-    maintenance window that owns the index (the same contract as
-    ``dedup.compact_minhash_index``); on an object store the
-    atomic-manifest commit removes the window entirely."""
+    Local-filesystem paths (object stores: swap the pointer file for
+    the store's atomic-manifest commit; the Spark work is identical)."""
     import os
-    import shutil
 
     import pyarrow.parquet as pq
 
-    live, nxt, old = (
-        f"{path}/vectors",
-        f"{path}/vectors.next",
-        f"{path}/vectors.old",
-    )
-    # self-heal residue of a crashed prior compaction: between the two
-    # renames only `.old` holds the data (restore it); a leftover
-    # `.next` is incomplete (discard); a leftover `.old` beside a live
-    # dir is a completed swap whose cleanup was interrupted (discard)
-    if os.path.isdir(old) and not os.path.isdir(live):
-        os.rename(old, live)
-    if os.path.isdir(nxt):
-        shutil.rmtree(nxt)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    from .index_pointer import heal_legacy, swap_table
+
+    heal_legacy(path, "vectors")
+    live = resolve_table(path, "vectors")
     total_bytes = 0
     total_rows = 0
     n_cells = 0
@@ -775,17 +761,18 @@ def compact_ivf_index(
         return
     avg_row_bytes = max(total_bytes / total_rows, 1.0)
     rows_per_file = max(int(target_file_bytes / avg_row_bytes), 1)
-    (
-        spark.read.parquet(live)
-        .repartition(n_cells, "centroid_id")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", rows_per_file)
-        .partitionBy("centroid_id")
-        .parquet(nxt)
-    )
-    os.rename(live, old)
-    os.rename(nxt, live)
-    shutil.rmtree(old)
+
+    def write_next(dst: str) -> None:
+        (
+            spark.read.parquet(live)
+            .repartition(n_cells, "centroid_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy("centroid_id")
+            .parquet(dst)
+        )
+
+    swap_table(path, "vectors", write_next)
 
 
 # ---------------------------------------------------------------------------
@@ -1252,7 +1239,7 @@ def build_ivfpq_index(
         assign_encode,
         "neighbor_id long, cvec array<float>, centroid_id int, codes binary",
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-        path + "/vectors"
+        resolve_table(path, "vectors")
     )
     spark.createDataFrame(
         [
@@ -1412,7 +1399,7 @@ def ivfpq_topk(
         [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows],
         f"query_id long, {vec_col} array<float>",
     )
-    vectors = spark.read.parquet(path + "/vectors").filter(
+    vectors = spark.read.parquet(resolve_table(path, "vectors")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
     return pq_topk(
@@ -1493,7 +1480,7 @@ def _ivfpq_topk_distributed(
     probe_ids = [
         r.centroid_id for r in probed.select("centroid_id").distinct().collect()
     ]
-    vectors = spark.read.parquet(path + "/vectors").filter(
+    vectors = spark.read.parquet(resolve_table(path, "vectors")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
 

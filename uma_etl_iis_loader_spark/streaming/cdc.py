@@ -263,6 +263,8 @@ class PassagesIngestMaintainer:
         import glob
         import shutil
 
+        from ..operators.index_pointer import resolve_table
+
         tmp = os.path.join(self.index_path, f"keys.batch-{batch_id}.tmp")
         out["nd"].coalesce(1).write.mode("overwrite").parquet(tmp)
         parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
@@ -270,7 +272,8 @@ class PassagesIngestMaintainer:
         os.replace(
             parts[0],
             os.path.join(
-                self.index_path, "keys", f"batch-{batch_id}.parquet"
+                resolve_table(self.index_path, "keys"),
+                f"batch-{batch_id}.parquet",
             ),
         )
         shutil.rmtree(tmp)
@@ -309,9 +312,9 @@ class FunnelCompactionMaintainer:
       batch ``operators/funnel.funnel_steps`` — the SAME code path as
       the batch operator, so semantics cannot drift — over all landed
       events with ``ts <= horizon``, and atomically swaps the result
-      into ``<base>/exact`` (write ``.next`` → rename-away, the
-      compact_ivf_index protocol; requires exclusive access during the
-      swap). ``horizon`` is the caller's lateness bound — typically
+      into ``<base>/exact`` (generation-pointer swap via
+      ``operators/index_pointer``, the compact_ivf_index protocol —
+      concurrent readers survive the swap; single compaction owner). ``horizon`` is the caller's lateness bound — typically
       ``max landed ts - watermark delay``, or ``None`` for everything
       landed. Scheduled like any maintenance job (after each ingest
       run, hourly, etc.).
@@ -386,8 +389,9 @@ class FunnelCompactionMaintainer:
     def compact(self, spark: SparkSession, horizon=None) -> None:
         """Re-run the batch funnel over landed events with ``ts <=
         horizon`` (``None`` → all landed) and atomically replace
-        ``<base>/exact``. Exclusive-access contract during the swap
-        (same as every compactor in this package)."""
+        ``<base>/exact`` via the generation-pointer swap (concurrent
+        readers keep a complete table; one compaction owner at a
+        time — same contract as every compactor in this package)."""
         from pyspark.sql import functions as F
 
         from ..operators.funnel import funnel_steps
@@ -403,23 +407,15 @@ class FunnelCompactionMaintainer:
             ts_col=self.ts_col,
             **self.funnel_kwargs,
         )
-        live = os.path.join(self.base_path, "exact")
-        nxt, old = live + ".next", live + ".old"
-        # self-heal residue of a crashed prior compaction
-        if os.path.isdir(old) and not os.path.isdir(live):
-            os.rename(old, live)
-        if os.path.isdir(nxt):
-            shutil.rmtree(nxt)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        exact.write.mode("overwrite").parquet(nxt)
-        with open(os.path.join(nxt, "_HORIZON"), "w") as fh:
-            fh.write("" if horizon is None else str(horizon))
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(nxt, live)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        from ..operators.index_pointer import heal_legacy, swap_table
+
+        def write_next(dst: str) -> None:
+            exact.write.mode("overwrite").parquet(dst)
+            with open(os.path.join(dst, "_HORIZON"), "w") as fh:
+                fh.write("" if horizon is None else str(horizon))
+
+        heal_legacy(self.base_path, "exact")
+        swap_table(self.base_path, "exact", write_next)
 
     def compact_behind_watermark(
         self, spark: SparkSession, delay_s: int
@@ -440,7 +436,9 @@ class FunnelCompactionMaintainer:
         self.compact(spark, horizon=hi - timedelta(seconds=delay_s))
 
     def read_exact(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base_path, "exact"))
+        from ..operators.index_pointer import resolve_table
+
+        return spark.read.parquet(resolve_table(self.base_path, "exact"))
 
 
 class AnnIngestMaintainer:
