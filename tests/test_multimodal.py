@@ -346,6 +346,56 @@ def test_png_decode_all_filter_types():
             assert (got == px).all(), (ch, filters)
 
 
+def test_png_unfilter_throughput_supports_16mp_cap():
+    """Pins the decode throughput the 16 MP cap is sized for: the
+    worst-case all-Paeth recurrence (plain-int loop, measured ~0.24
+    µs/byte) must stay under 1 µs/byte even on a noisy CI box, and the
+    vectorized Sub lane-cumsum must beat 20 MB/s. Regressing to the old
+    numpy-scalar per-byte loop (~2-3 µs/byte) trips both bounds."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from uma_etl_iis_loader_spark.operators.multimodal import decode_png
+
+    def build(filt, w=500, h=500, ch=3):
+        rng = np.random.default_rng(0)
+        rows = b"".join(
+            bytes([filt])
+            + rng.integers(0, 256, w * ch, dtype=np.uint8).tobytes()
+            for _ in range(h)
+        )
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows, 1)) + chunk(b"IEND", b"")
+        )
+
+    n_bytes = 500 * 500 * 3
+    paeth = build(4)
+    decode_png(paeth)  # warm
+    t0 = time.time()
+    decode_png(paeth)
+    per_byte = (time.time() - t0) / n_bytes
+    assert per_byte < 1e-6, f"Paeth unfilter {per_byte*1e9:.0f} ns/byte"
+
+    sub = build(1)
+    t0 = time.time()
+    decode_png(sub)
+    assert n_bytes / (time.time() - t0) > 20e6, "Sub lane-cumsum too slow"
+
+    # the raised cap admits >4 MP imagery (old ceiling) outright
+    big = build(0, w=2400, h=2400)  # 5.76 MP, filter-0 (vectorized)
+    assert decode_png(big).shape == (2400, 2400, 3)
+
+
 def test_png_decode_rejects_corrupt():
     import numpy as np
     import pytest as _pytest

