@@ -230,6 +230,44 @@ def workloads(spark, sf_dir: str, base_dir: str):
         orders = read_fixture(spark, sf_dir, "orders")
         return weighted_sample(orders, "o_orderkey", "o_totalprice", k=1000)
 
+    def training_shuffle():
+        # one hash exchange + per-shard local sort, never a global sort
+        from uma_etl_iis_loader_spark.operators.sampling import (
+            shuffle_for_training,
+        )
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        return shuffle_for_training(docs.select("doc_id"), shards=64)
+
+    def kmeans_assign_corpus():
+        # fit on the bounded sample (constant cost), assign the whole
+        # corpus through the zero-shuffle matmul kernel — the
+        # production clustering shape (SemDeDup/IVF-style)
+        from uma_etl_iis_loader_spark.operators.clustering import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        emb = read_fixture(spark, sf_dir, "embeddings", split=False)
+        model = kmeans_fit(emb, k=16)
+        return kmeans_assign(emb, model)
+
+    def decontam_strike():
+        # GPT-3-recipe span strike: 8-byte hashed gram join, bounded
+        # explode; test split is a fixed doc_id slice so the blocklist
+        # scales with the corpus like a real eval suite would not —
+        # still linear in train-side grams
+        from uma_etl_iis_loader_spark.operators.contamination import (
+            strike_contaminated_spans,
+        )
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        return strike_contaminated_spans(
+            docs.filter("doc_id % 10 <> 0"),
+            docs.filter("doc_id % 10 = 0"),
+            n=5,
+        )
+
     def zorder_prune():
         # one shuffle z-order write + footer-stats collect + pruned box
         # read — the full layout lifecycle; work ∝ rows written + files
@@ -301,6 +339,9 @@ def workloads(spark, sf_dir: str, base_dir: str):
         "resample_ffill_daily": resample_daily,
         "negative_sample_k8": negative_sampling,
         "weighted_sample_top1k": weighted_sampling,
+        "training_shuffle_64shards": training_shuffle,
+        "kmeans_assign_k16": kmeans_assign_corpus,
+        "decontam_strike_5gram": decontam_strike,
         "sampling_ops_incl_dsir_decontam": from_registry("sampling_ops"),
         "zorder_write_prune_read": zorder_prune,
     }
