@@ -255,6 +255,69 @@ def test_negative_sample_fixed_buckets_pin_the_draw(spark):
     assert len(auto) == 40 * 5
 
 
+def test_negative_sample_portable_face_contract(spark):
+    """The portable (md5-prefix) face honors the same contract as the
+    xxhash64 default: k distinct negatives per anchor, positives
+    excluded, deterministic under repartitioning. (Its draw differs —
+    different uniform source — which is exactly why the oracle can
+    replay it.)"""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import negative_sample
+
+    corpus = spark.range(0, 1000).select(F.col("id").alias("item_id"))
+    anchors = spark.range(0, 30).select(F.col("id").alias("anchor_id"))
+    pos = anchors.select("anchor_id", F.col("anchor_id").alias("item_id"))
+    out = negative_sample(
+        anchors, corpus, k=4, positives=pos, buckets=64, seed=7,
+        portable_hash=True,
+    )
+    rows = [(r.anchor_id, r.item_id) for r in out.collect()]
+    per = {}
+    for a, i in rows:
+        per.setdefault(a, []).append(i)
+    assert set(per) == set(range(30))
+    for a, items in per.items():
+        assert len(items) == 4 and len(set(items)) == 4
+        assert a not in items  # self-positive excluded
+    out2 = negative_sample(
+        anchors.repartition(3), corpus.repartition(9), k=4, positives=pos,
+        buckets=64, seed=7, portable_hash=True,
+    )
+    assert set(rows) == {(r.anchor_id, r.item_id) for r in out2.collect()}
+
+
+def test_weighted_sample_portable_face_contract(spark):
+    """Portable A-Res face: exactly k rows, deterministic, and heavier
+    weights win more often (same inclusion-odds law as the default —
+    the log-domain key is a monotone transform of u^(1/w))."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"),
+    )
+    got = {
+        r.doc_id
+        for r in weighted_sample(
+            df, "doc_id", "w", k=80, seed=3, portable_hash=True
+        ).collect()
+    }
+    assert len(got) == 80
+    # the 100 heavy rows (1000x weight) dominate the sample
+    assert sum(1 for d in got if d < 100) > 60
+    got2 = {
+        r.doc_id
+        for r in weighted_sample(
+            df.repartition(7), "doc_id", "w", k=80, seed=3,
+            portable_hash=True,
+        ).collect()
+    }
+    assert got == got2
+
+
 def test_negative_sample_spread(spark):
     """No item dominates: with many anchors the sample frequency of any
     single item stays within a small multiple of the mean (hash buckets

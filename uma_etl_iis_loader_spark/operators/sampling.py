@@ -146,6 +146,23 @@ def temperature_rates(
     }
 
 
+def _portable_hash64(cols, seed: int):
+    """60-bit md5-prefix hash of ':'-joined column strings + seed —
+    bit-identical in DuckDB as ``CAST('0x' || substr(md5(c1 || ':' ||
+    … || ':<seed>'), 1, 15) AS BIGINT)`` (the DSIR portable-feature
+    precedent). Slower than xxhash64; used by the ``portable_hash``
+    faces of the samplers so their FULL draw is oracle-replayable."""
+    parts = [
+        (F.col(c) if isinstance(c, str) else c).cast("string")
+        for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts, F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def negative_sample_buckets(n_items: int, k: int, target: int = 32) -> int:
     """Deterministic bucket count for :func:`negative_sample`: the
     largest power of two with ≥ ``target`` expected items per bucket
@@ -172,6 +189,7 @@ def negative_sample(
     positives: DataFrame | None = None,
     buckets: int | None = None,
     seed: int = 0,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """k pseudo-random negatives per anchor for contrastive training
     pairs — deterministic (same inputs → same samples, any partitioning)
@@ -202,25 +220,37 @@ def negative_sample(
     it is NOT a perfect uniform-without-replacement draw — documented
     trade for determinism without a global shuffle. Buckets beyond the
     corpus size come back empty (fewer than k rows for some anchors).
+
+    ``portable_hash=True`` draws the SAME scheme from the md5-prefix
+    hash instead of xxhash64 — a different (equally pseudo-random)
+    sample whose every step replays bit-exactly in ANSI SQL, which is
+    how the sampling_ops oracle adjudicates the full draw (bucket
+    addressing, positives anti-join, per-draw argmin). Production keeps
+    the faster xxhash64 default.
     """
     if buckets is None:
         buckets = negative_sample_buckets(corpus.count(), k)
     if k > buckets:
         raise ValueError(f"k={k} must be <= buckets={buckets}")
+
+    def h(cols, s):
+        if portable_hash:
+            return _portable_hash64(cols, s)
+        return F.xxhash64(*[F.col(c) for c in cols], F.lit(s))
+
     a = anchors.select(anchor_id).distinct()
     draws = a.select(
         anchor_id, F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j")
     ).withColumn(
         "__b",
         F.pmod(
-            F.pmod(F.xxhash64(F.col(anchor_id), F.lit(seed)), F.lit(buckets))
-            + F.col("__j"),
+            F.pmod(h([anchor_id], seed), F.lit(buckets)) + F.col("__j"),
             F.lit(buckets),
         ),
     )
     items = corpus.select(
         F.col(item_id),
-        F.pmod(F.xxhash64(F.col(item_id), F.lit(seed)), F.lit(buckets)).alias("__b"),
+        F.pmod(h([item_id], seed), F.lit(buckets)).alias("__b"),
     )
     cand = draws.join(items, "__b")
     if positives is not None:
@@ -231,8 +261,7 @@ def negative_sample(
         cand.groupBy(anchor_id, "__j")
         .agg(
             F.min_by(
-                F.col(item_id),
-                F.xxhash64(F.col(item_id), F.col(anchor_id), F.lit(seed + 1)),
+                F.col(item_id), h([item_id, anchor_id], seed + 1)
             ).alias(item_id)
         )
         .select(anchor_id, item_id)
@@ -240,10 +269,22 @@ def negative_sample(
     return out
 
 
-def _ares_key(id_col: str, weight_col: str, seed: int):
-    """Efraimidis-Spirakis A-Res key ``u^(1/w)`` with ``u`` uniform in
-    (0,1) derived from ``xxhash64(id, seed)`` — shared by the global and
-    per-group faces so their documented equivalence stays bit-exact."""
+def _ares_key(id_col: str, weight_col: str, seed: int, portable: bool = False):
+    """Efraimidis-Spirakis A-Res key with ``u`` uniform in (0,1) from a
+    salted id hash — shared by the global and per-group faces so their
+    documented equivalence stays bit-exact per mode.
+
+    Default: ``u^(1/w)`` from ``xxhash64`` (fast path). Portable:
+    ``round(ln(u)/w, 8)`` from the md5-prefix hash — the LOG of the same
+    key (a strictly monotone transform, identical selection order), in
+    the rounded-single-``ln`` form the Gumbel keys use so the ordering
+    replays bit-exactly in ANSI SQL (``pow`` is libm-dependent across
+    engines; ``ln``+division round-trip exactly)."""
+    if portable:
+        u = (
+            F.pmod(_portable_hash64([id_col], seed), F.lit(1 << 31)) + 0.5
+        ) / F.lit(float(1 << 31))
+        return F.round(F.log(u) / F.col(weight_col).cast("double"), 8)
     u = (
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31)) + 0.5
     ) / F.lit(float(1 << 31))
@@ -256,6 +297,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     seed: int = 0,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """k-item weighted sample WITHOUT replacement (Efraimidis-Spirakis
     A-Res): each row draws ``key = u^(1/w)`` with ``u`` uniform in (0,1)
@@ -274,7 +316,9 @@ def weighted_sample(
         raise ValueError("k must be positive")
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__wkey", _ares_key(id_col, weight_col, seed))
+        .withColumn(
+            "__wkey", _ares_key(id_col, weight_col, seed, portable_hash)
+        )
         # id tie-break: u^(1/w) collides in double precision for huge
         # weights (keys pile up within an ulp of 1.0), and a tie at the
         # k boundary under a bare orderBy would pick a partition-order-
@@ -293,6 +337,7 @@ def weighted_sample_per_group(
     weight_col: str,
     k: int,
     seed: int = 0,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """k-item weighted sample WITHOUT replacement PER GROUP (the
     per-domain/per-source face of :func:`weighted_sample`): within each
@@ -317,7 +362,9 @@ def weighted_sample_per_group(
     )
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__wkey", _ares_key(id_col, weight_col, seed))
+        .withColumn(
+            "__wkey", _ares_key(id_col, weight_col, seed, portable_hash)
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__wkey", "__rn")

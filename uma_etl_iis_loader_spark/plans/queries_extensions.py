@@ -1398,6 +1398,59 @@ FROM (
            CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS k2
     FROM tw t LEFT JOIN reb r USING (doc_id) LEFT JOIN nh USING (doc_id)
 ) d
+UNION ALL
+SELECT 'negsample', p.anchor_id, CAST(NULL AS VARCHAR),
+       p.item_id, CAST(NULL AS BIGINT)
+FROM (
+    -- full replay of negative_sample(k=4, buckets=64, seed=7,
+    -- portable): anchor draws 4 consecutive buckets from the md5-prefix
+    -- hash, self-positives excluded, per-draw argmin on the pair hash
+    WITH nsd AS (
+        SELECT anchor_id, t.j,
+               ((CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR)
+                                          || ':7'), 1, 15)) AS BIGINT)
+                 % 64) + t.j) % 64 AS b
+        FROM (SELECT DISTINCT doc_id AS anchor_id FROM documents
+              WHERE doc_id % 11 = 0),
+             range(0, 4) t(j)
+    ),
+    nsi AS (
+        SELECT doc_id AS item_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':7'), 1, 15)) AS BIGINT)
+                   % 64 AS b
+        FROM documents
+    ),
+    nsc AS (
+        SELECT d.anchor_id, d.j, i.item_id,
+               CAST(('0x' || substr(md5(CAST(i.item_id AS VARCHAR) || ':'
+                                        || CAST(d.anchor_id AS VARCHAR)
+                                        || ':8'), 1, 15)) AS BIGINT) AS key
+        FROM nsd d JOIN nsi i USING (b)
+        WHERE i.item_id <> d.anchor_id
+    )
+    SELECT anchor_id, j,
+           first(item_id ORDER BY key ASC, item_id ASC) AS item_id
+    FROM nsc GROUP BY 1, 2
+) p
+UNION ALL
+SELECT 'wsample', doc_id, CAST(NULL AS VARCHAR),
+       CAST(w AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+    -- Efraimidis-Spirakis A-Res top-50, portable log-domain key
+    -- round(ln(u)/w, 8) with u from the md5-prefix hash (seed 3)
+    SELECT doc_id, w FROM (
+        SELECT doc_id, w,
+               round(ln(((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || ':3'), 1, 15))
+                               AS BIGINT) % 2147483648) + 0.5)
+                         / 2147483648.0) / w, 8) AS key
+        FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS w
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+    )
+    ORDER BY key DESC, doc_id ASC
+    LIMIT 50
+)
 """
 
 
@@ -1461,6 +1514,16 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       the cleaned TEXT itself rides in the split column, so the rebuild
       (ordering, casing, strike unions) is hash-adjudicated, with
       n_ngrams slot = words struck, n_contaminated slot = hit windows.
+    - 'negsample' rows: contrastive negative sampling
+      (sampling.negative_sample, portable md5-prefix hash face): the
+      ENTIRE draw — consecutive-bucket addressing, self-positive
+      anti-join, per-draw pair-hash argmin — replays in the oracle;
+      doc_id=anchor, n_ngrams=the sampled negative id.
+    - 'wsample' rows: Efraimidis-Spirakis weighted sampling without
+      replacement (weight=text length, portable log-domain keys
+      round(ln(u)/w, 8) — the Gumbel-key rounding recipe, since pow is
+      libm-dependent but single-ln terms replay): the selected top-50
+      id set is hash-adjudicated.
     """
     from ..operators.contamination import (
         ngram_contamination,
@@ -1583,6 +1646,53 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words_struck").cast("long").alias("n_ngrams"),
         F.col("n_hits").alias("n_contaminated"),
     )
+    # 'negsample' rows: the contrastive-negatives draw end to end
+    # (sampling.negative_sample, portable md5-prefix hash face) —
+    # bucket addressing, the positives anti-join (self-pairs), and the
+    # per-draw argmin ALL replay in the oracle. doc_id=anchor,
+    # n_ngrams=the sampled negative. buckets pinned (64) so the draw
+    # is corpus-size-independent for the gate.
+    from ..operators.sampling import negative_sample, weighted_sample
+
+    ns_anchors = docs.filter("doc_id % 11 = 0").select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    ns_rows = negative_sample(
+        ns_anchors,
+        docs.select(F.col("doc_id").alias("item_id")),
+        k=4,
+        positives=ns_anchors.select(
+            "anchor_id", F.col("anchor_id").alias("item_id")
+        ),
+        buckets=64,
+        seed=7,
+        portable_hash=True,
+    ).select(
+        F.lit("negsample").alias("method"),
+        F.col("anchor_id").alias("doc_id"),
+        null_s.alias("split"),
+        F.col("item_id").cast("long").alias("n_ngrams"),
+        null_l.alias("n_contaminated"),
+    )
+    # 'wsample' rows: Efraimidis-Spirakis weighted sampling without
+    # replacement (weight = text length), portable log-domain keys —
+    # the selected id set is hash-adjudicated. n_ngrams carries the
+    # weight (recomputed by the oracle).
+    ws_rows = weighted_sample(
+        docs.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.length("text").cast("double").alias("w")),
+        "doc_id",
+        "w",
+        k=50,
+        seed=3,
+        portable_hash=True,
+    ).select(
+        F.lit("wsample").alias("method"),
+        "doc_id",
+        null_s.alias("split"),
+        F.col("w").cast("long").alias("n_ngrams"),
+        null_l.alias("n_contaminated"),
+    )
     return (
         split_rows.unionByName(cont_rows)
         .unionByName(strat_rows)
@@ -1592,6 +1702,8 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_wb_rows)
         .unionByName(shard_rows)
         .unionByName(dec_rows)
+        .unionByName(ns_rows)
+        .unionByName(ws_rows)
     )
 
 
