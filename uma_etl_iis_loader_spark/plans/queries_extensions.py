@@ -1492,9 +1492,10 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       uniforms — weights AND the resampled id set hash-adjudicated
       (features are xxhash64 longs in Spark, gram strings in the
       oracle — hash equality == string equality absent collisions, the
-      contamination precedent). The scored frame is persisted: both
-      row families (weights + Gumbel pick) consume it under one union,
-      and without the persist the fit+score gram explodes ran twice.
+      contamination precedent). The scored frame is eagerly
+      checkpointed: both row families (weights + Gumbel pick) consume
+      it under one union, and without it the fit+score gram explodes
+      ran twice (ReuseExchange doesn't bridge these consumers).
     - 'dsir_wb' rows: the BUCKETED scale path itself (num_buckets=1024
       → 1024-row broadcast ratio table — the 100 TB rung), fit+scored
       with the portable md5-prefix feature hash so the oracle replays
@@ -1588,13 +1589,16 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = pref.filter("doc_id % 7 <> 0")
     target = pref.filter("doc_id % 7 = 0")
-    # persist the scored frame: dsir_w_rows AND dsir_select both consume
-    # it under the final union, and the fit+score gram explodes over
-    # raw+target would otherwise execute twice per action (ReuseExchange
-    # doesn't bridge the two consumers' differing post-agg subtrees);
-    # rows are doc-count-sized, and Spark's ContextCleaner unpersists
-    # once the frame is unreachable
-    dsir_w = dsir_log_weights(raw, fit_dsir(raw, target)).persist()
+    # eagerly checkpoint the scored frame: dsir_w_rows AND dsir_select
+    # both consume it under the final union, and the fit+score gram
+    # explodes over raw+target would otherwise execute twice per action
+    # (ReuseExchange doesn't bridge these two consumers — measured; a
+    # lazy .persist() is WORSE than nothing here because both branches
+    # race to build the cache). localCheckpoint materializes the
+    # doc-count-sized rows once, A/B-measured fastest of the three.
+    dsir_w = dsir_log_weights(raw, fit_dsir(raw, target)).localCheckpoint(
+        eager=True
+    )
     null_s = F.lit(None).cast("string")
     dsir_w_rows = dsir_w.select(
         F.lit("dsir_w").alias("method"),
@@ -3254,10 +3258,12 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lm = train_char_lm(docs.filter("doc_id % 10 = 0"))
-    # persisted: lm_rows AND ccnet_bucket consume the scored frame under
-    # the final union — without it the trigram explode + scoring join
-    # runs twice per action (the sampling_ops dsir_w precedent)
-    ppl = score_perplexity(docs, lm).persist()
+    # NOT cached deliberately: lm_rows and ccnet_bucket share this
+    # subtree under the union, but ReuseExchange already dedups the
+    # identical scoring aggregation here — A/B-measured (sf0.1 warm):
+    # plain 0.7-1.0 s vs persist/localCheckpoint 2.4-2.7 s (the
+    # materialization defeats the reuse and costs more than it saves)
+    ppl = score_perplexity(docs, lm)
     lm_rows = ppl.select(
         F.lit("lm_ppl").alias("method"),
         F.col("doc_id").cast("long").alias("doc_id"),
