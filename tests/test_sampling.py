@@ -206,26 +206,24 @@ def test_negative_sample_contract(spark):
 
 
 def test_negative_sample_buckets_derivation():
-    """The auto-derived bucket count is a pure, deterministic function
-    of the corpus scalar: power of two, ~[target, 2*target) items per
-    bucket at every scale, never below the smallest pow2 >= k."""
+    """The auto-derived bucket count is a pure, deterministic integer
+    function of the corpus scalar: EXACTLY ~target items per bucket at
+    every scale (ceil(n/target)), never below k — so the per-anchor
+    candidate constant is scale-invariant, not a pow2-band drifter."""
     from uma_etl_iis_loader_spark.operators.sampling import (
         negative_sample_buckets,
     )
 
     for n in (1_000, 100_000, 1_000_000, 10_000_000, 10**9):
         b = negative_sample_buckets(n, k=8)
-        assert b & (b - 1) == 0  # power of two
-        assert 32 <= n / b < 64  # items/bucket inside the band
-    # tiny corpus: floor at pow2(k)
+        assert 31 <= n / b <= 32  # items/bucket pinned at ~target
+    # tiny corpus: floor at k
     assert negative_sample_buckets(100, k=8) == 8
-    assert negative_sample_buckets(100, k=5) == 8
-    assert negative_sample_buckets(0, k=3) == 4
-    # 10x corpus -> ~10x buckets (8x or 16x, pow2-rounded)
-    assert negative_sample_buckets(10_000_000, k=8) in (
-        8 * negative_sample_buckets(1_000_000, k=8),
-        16 * negative_sample_buckets(1_000_000, k=8),
-    )
+    assert negative_sample_buckets(100, k=5) == 5
+    assert negative_sample_buckets(0, k=3) == 3
+    # 10x corpus -> exactly 10x buckets (candidates scale linearly)
+    assert negative_sample_buckets(10_000_000, k=8) == \
+        10 * negative_sample_buckets(1_000_000, k=8)
 
 
 def test_negative_sample_fixed_buckets_pin_the_draw(spark):
