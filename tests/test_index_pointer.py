@@ -97,6 +97,37 @@ def test_heal_legacy_ignores_pointer_era_layout(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_writer_guard_blocks_appends_during_compaction(tmp_path):
+    """Appends into a table being compacted would silently vanish after
+    the pointer flip — writer_guard turns that into a loud error; the
+    sentinel is owned (and cleaned, even on failure) by swap_table."""
+    import pytest
+
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        writer_guard,
+    )
+
+    p = str(tmp_path)
+    _mk_gen(os.path.join(p, "vectors"), "g0")
+    writer_guard(p, "vectors")  # no compaction in flight: fine
+
+    def write_and_check(d):
+        _mk_gen(d, "g1")
+        with pytest.raises(RuntimeError, match="being compacted"):
+            writer_guard(p, "vectors")
+
+    swap_table(p, "vectors", write_and_check)
+    writer_guard(p, "vectors")  # sentinel cleaned after the swap
+
+    # a FAILED compaction also cleans its sentinel (nothing visible
+    # changed, appends are safe to resume)
+    with pytest.raises(ValueError, match="boom"):
+        swap_table(p, "vectors", lambda d: (_ for _ in ()).throw(
+            ValueError("boom")
+        ))
+    writer_guard(p, "vectors")
+
+
 def test_concurrent_read_survives_ivf_compaction(spark, sf_dir, tmp_path):
     """A reader that file-listed the vectors table BEFORE compaction
     (spark.read.parquet binds the file list eagerly) must still count

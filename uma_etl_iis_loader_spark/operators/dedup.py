@@ -975,8 +975,10 @@ def _write_index_state(
     gram lookup fails — candidates silently vanishing in the verify
     join; ``dedup_increment`` additionally fails loudly on that state.
     """
-    from .index_pointer import resolve_table
+    from .index_pointer import resolve_table, writer_guard
 
+    writer_guard(path, "grams")
+    writer_guard(path, "bands")
     sigs.select("id", "grams", "fp").write.mode(mode).parquet(
         resolve_table(path, "grams")
     )

@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 import shutil
 
-__all__ = ["heal_legacy", "resolve_table", "swap_table"]
+__all__ = ["heal_legacy", "resolve_table", "swap_table", "writer_guard"]
 
 
 def _pointer(path: str, name: str) -> str:
@@ -82,6 +82,30 @@ def heal_legacy(path: str, name: str) -> None:
             shutil.rmtree(residue)
 
 
+def _sentinel(path: str, name: str) -> str:
+    return os.path.join(path, f"{name}.COMPACTING")
+
+
+def writer_guard(path: str, name: str) -> None:
+    """Fail-fast check for index APPEND paths: raise while a compaction
+    of ``name`` is in flight. An append that lands in the old
+    generation after the pointer flips is silently dropped from the
+    live view — this guard turns that silent loss into a loud error.
+    (Readers need no guard: the pointer protocol keeps the replaced
+    generation on disk for them.) The sentinel is removed even when the
+    compactor raises; only a hard kill strands it — then the error
+    message names the file to remove (or re-run the compaction, which
+    owns and refreshes it)."""
+    s = _sentinel(path, name)
+    if os.path.exists(s):
+        raise RuntimeError(
+            f"index table '{name}' at {path} is being compacted "
+            f"(sentinel {s} exists); retry the append after compaction "
+            f"finishes — if the compactor crashed hard, remove the "
+            f"sentinel or re-run the compaction"
+        )
+
+
 def swap_table(path: str, name: str, write_fn) -> str:
     """Compact-and-swap ``name`` under the pointer protocol:
     ``write_fn(next_dir)`` materializes the next generation, the
@@ -89,8 +113,10 @@ def swap_table(path: str, name: str, write_fn) -> str:
     replaced are deleted (the replaced generation itself stays on disk
     for in-flight readers until the NEXT compaction). Also self-heals
     residue of the retired rename-away protocol (``.old``/``.next``
-    directories from a crashed pre-upgrade run). Returns the new live
-    directory."""
+    directories from a crashed pre-upgrade run). Posts the
+    ``.COMPACTING`` sentinel that :func:`writer_guard` checks — a
+    stale sentinel from a hard-killed run is simply refreshed here (the
+    compactor owns it). Returns the new live directory."""
     heal_legacy(path, name)
 
     live = resolve_table(path, name)
@@ -100,27 +126,38 @@ def swap_table(path: str, name: str, write_fn) -> str:
     if os.path.isdir(nxt_dir):
         shutil.rmtree(nxt_dir)  # half-written next gen of a crashed run
 
-    write_fn(nxt_dir)
-
-    ptr = _pointer(path, name)
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as f:
+    sentinel = _sentinel(path, name)
+    os.makedirs(path, exist_ok=True)
+    with open(sentinel, "w") as f:
         f.write(nxt_base)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, ptr)  # THE commit point — atomic on POSIX
+    try:
+        write_fn(nxt_dir)
 
-    # deferred deletion: keep the generation we just replaced (in-flight
-    # readers may still be scanning it), delete everything older
-    for entry in os.listdir(path):
-        full = os.path.join(path, entry)
-        if not os.path.isdir(full):
-            continue
-        if entry == name or entry.startswith(f"{name}-g"):
-            try:
-                g = _gen_no(name, entry)
-            except ValueError:
+        ptr = _pointer(path, name)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt_base)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, ptr)  # THE commit point — atomic on POSIX
+
+        # deferred deletion: keep the generation we just replaced
+        # (in-flight readers may still be scanning it), delete older
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if not os.path.isdir(full):
                 continue
-            if g < cur:
-                shutil.rmtree(full)
+            if entry == name or entry.startswith(f"{name}-g"):
+                try:
+                    g = _gen_no(name, entry)
+                except ValueError:
+                    continue
+                if g < cur:
+                    shutil.rmtree(full)
+    finally:
+        # removed even on failure: an aborted compaction changes nothing
+        # visible (the live generation is untouched until the pointer
+        # flip), so appends are safe to resume
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
     return nxt_dir

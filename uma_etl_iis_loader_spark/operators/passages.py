@@ -229,6 +229,9 @@ def passages_increment(
     if pin:
         marked = marked.localCheckpoint(eager=True)
     if update_index:
+        from .index_pointer import writer_guard
+
+        writer_guard(index_path, "keys")
         nd_new.withColumnRenamed("nd_new", "nd").write.mode(
             "append"
         ).parquet(resolve_table(index_path, "keys"))

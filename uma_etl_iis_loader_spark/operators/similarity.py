@@ -547,6 +547,9 @@ def append_ivf_index(
     build_ivf_index to re-center when drift accumulates; recall-parity
     of appended vs rebuilt vectors on the stationary fixture is
     pytest-pinned)."""
+    from .index_pointer import writer_guard
+
+    writer_guard(path, "vectors")
     ivf_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("centroid_id").parquet(resolve_table(path, "vectors"))
@@ -605,6 +608,9 @@ def append_ivfpq_index(
     frozen, so re-run :func:`build_ivfpq_index` when distribution drift
     accumulates; append==rebuild recall parity on a stationary fixture
     is pytest-pinned."""
+    from .index_pointer import writer_guard
+
+    writer_guard(path, "vectors")
     ivfpq_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
     ).partitionBy("centroid_id").parquet(resolve_table(path, "vectors"))

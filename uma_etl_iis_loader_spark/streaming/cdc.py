@@ -263,8 +263,9 @@ class PassagesIngestMaintainer:
         import glob
         import shutil
 
-        from ..operators.index_pointer import resolve_table
+        from ..operators.index_pointer import resolve_table, writer_guard
 
+        writer_guard(self.index_path, "keys")
         tmp = os.path.join(self.index_path, f"keys.batch-{batch_id}.tmp")
         out["nd"].coalesce(1).write.mode("overwrite").parquet(tmp)
         parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
