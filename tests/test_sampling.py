@@ -226,6 +226,72 @@ def test_negative_sample_buckets_derivation():
         10 * negative_sample_buckets(1_000_000, k=8)
 
 
+def test_negative_sample_buckets_properties():
+    """Property sweep: for any (n, k) the derivation keeps items/bucket
+    ≤ target, stays ≥ k, and is monotone in n — so candidates per
+    anchor are bounded by k·target at EVERY corpus size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        negative_sample_buckets,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**12),
+        k=st.integers(min_value=1, max_value=4096),
+        target=st.integers(min_value=1, max_value=1024),
+    )
+    def law(n, k, target):
+        b = negative_sample_buckets(n, k, target)
+        assert b >= k
+        assert max(n, 1) / b <= target  # bounded candidate constant
+        b2 = negative_sample_buckets(n + max(n // 10, 1), k, target)
+        assert b2 >= b  # monotone in corpus size
+
+    law()
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """Cross-engine law under the negsample/wsample/dsir_wb
+    adjudications: the md5-prefix 60-bit hash is bit-identical between
+    Spark (conv(substr(md5,1,15),16,10)) and DuckDB
+    (CAST('0x'||substr(md5,1,15) AS BIGINT)), for multi-part keys and
+    unicode."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import _portable_hash64
+
+    rows = [
+        (1, "hello"), (2, "héllo wörld"), (3, ""), (4, "a:b:c"),
+        (5, "кириллица"), (6, "0"), (7, " " * 10), (8, "日本語テスト"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        r["id"]: (r["h1"], r["h2"])
+        for r in df.select(
+            "id",
+            _portable_hash64(["id"], 7).alias("h1"),
+            _portable_hash64(["s", "id"], 8).alias("h2"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        h1 = con.execute(
+            "SELECT CAST(('0x' || substr(md5(? || ':7'), 1, 15)) AS BIGINT)",
+            [str(i)],
+        ).fetchone()[0]
+        h2 = con.execute(
+            "SELECT CAST(('0x' || substr(md5(? || ':' || ? || ':8'), 1, 15))"
+            " AS BIGINT)",
+            [s, str(i)],
+        ).fetchone()[0]
+        assert got[i] == (h1, h2), (i, s)
+
+
 def test_negative_sample_fixed_buckets_pin_the_draw(spark):
     """LAW: sampled ids are a pure function of (inputs, k, buckets,
     seed) — holding buckets FIXED yields identical ids whether passed
