@@ -153,8 +153,9 @@ def build_shingle_index(
     Appends by ``passages_increment`` add (key, nd) rows; readers SUM nd
     per key, so the index is append-only (compact periodically with an
     overwrite rewrite if the append count grows large)."""
-    from .index_pointer import resolve_table
+    from .index_pointer import resolve_table, writer_guard
 
+    writer_guard(path, "keys")
     sh = shingle_positions(docs, k, id_col, text_col, hashed=True)
     (
         sh.groupBy("key")

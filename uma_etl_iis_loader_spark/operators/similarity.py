@@ -469,6 +469,9 @@ def build_ivf_index(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     cent_mat = _ivf_centroids(c, nlist)
     assigned = _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
+    from .index_pointer import writer_guard
+
+    writer_guard(path, "vectors")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         resolve_table(path, "vectors")
     )
@@ -791,6 +794,15 @@ def compact_ivf_index(
 # recall. (Public method: Jegou, Douze, Schmid, "Product Quantization for
 # Nearest Neighbor Search", IEEE TPAMI 2011.)
 # ---------------------------------------------------------------------------
+
+
+def _guarded_vectors_dir(path: str) -> str:
+    """resolve_table + writer_guard for rebuild writes into the live
+    vectors generation (rebuilds race compaction exactly like appends)."""
+    from .index_pointer import resolve_table, writer_guard
+
+    writer_guard(path, "vectors")
+    return resolve_table(path, "vectors")
 
 
 def train_pq_codebooks(
@@ -1245,7 +1257,7 @@ def build_ivfpq_index(
         assign_encode,
         "neighbor_id long, cvec array<float>, centroid_id int, codes binary",
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-        resolve_table(path, "vectors")
+        _guarded_vectors_dir(path)
     )
     spark.createDataFrame(
         [
