@@ -151,7 +151,12 @@ def _portable_hash64(cols, seed: int):
     bit-identical in DuckDB as ``CAST('0x' || substr(md5(c1 || ':' ||
     … || ':<seed>'), 1, 15) AS BIGINT)`` (the DSIR portable-feature
     precedent). Slower than xxhash64; used by the ``portable_hash``
-    faces of the samplers so their FULL draw is oracle-replayable."""
+    faces of the samplers so their FULL draw is oracle-replayable.
+
+    NULL caveat: ``concat_ws`` SKIPS null parts while SQL ``||``
+    propagates NULL — keep NULL keys out of portable-hash draws (the
+    samplers hash non-null ids by contract; the adjudication fixtures
+    carry none)."""
     parts = [
         (F.col(c) if isinstance(c, str) else c).cast("string")
         for c in cols
