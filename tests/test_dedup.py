@@ -92,6 +92,49 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert len(lsh) >= len(exact) - 1  # at most one borderline pair missed
 
 
+def test_lsh_bucket_stats_predict_candidate_pairs(spark, tmp_path):
+    """The telemetry's candidate_pairs equals the pair join's actual
+    pre-distinct candidate volume (Σ n·(n−1)/2 over colliding buckets),
+    identical docs land in one bucket per band, and the persisted-index
+    face agrees with the from-docs face."""
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        build_minhash_index,
+        lsh_bucket_balance,
+        lsh_bucket_stats,
+        lsh_index_bucket_stats,
+    )
+
+    docs = _docs(spark)
+    kw = dict(num_hashes=64, bands=16, n=5, char_level=True)
+    stats = lsh_bucket_stats(docs, **kw)
+    bal = lsh_bucket_balance(stats)
+    # docs 1 and 2 are identical -> they share all 16 band buckets, so
+    # candidate mass is at least 16 pairs
+    assert bal["candidate_pairs"] >= 16
+    assert bal["max_bucket"] >= 2 and bal["n_buckets"] >= 16
+    # cross-check against the raw band-entry self-join count
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        _band_entries,
+        minhash_signature,
+    )
+
+    sigs = minhash_signature(docs, "doc_id", "text", 64, 5, True)
+    be = _band_entries(sigs, 16, 4)
+    raw = (
+        be.alias("a").join(be.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id")).count()
+    )
+    assert bal["candidate_pairs"] == raw
+
+    # persisted-index face matches (index built from the same corpus,
+    # char-level 5-grams are not the index default -> pass explicitly)
+    idx = str(tmp_path / "lshidx")
+    build_minhash_index(docs, idx, num_hashes=64, bands=16, n=5,
+                        char_level=True)
+    bal2 = lsh_bucket_balance(lsh_index_bucket_stats(spark, idx))
+    assert bal2 == bal
+
+
 def test_simhash_flags_exact_and_near(spark):
     pairs = {
         (r.id_a, r.id_b)

@@ -409,6 +409,73 @@ def minhash_lsh_pairs(
     return verified
 
 
+def lsh_bucket_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    char_level: bool = True,
+) -> DataFrame:
+    """(band, bucket, n_docs) occupancy of every non-singleton LSH
+    bucket under the given banding — the candidate-mass telemetry for
+    :func:`minhash_lsh_pairs` (``ivf_cell_stats``'s analogue for the
+    dedup family). One signature pass + one count agg; singleton
+    buckets (the overwhelming majority) are filtered out, so the result
+    is collision-sized, not corpus-sized."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, n, char_level)
+    return (
+        _band_entries(sigs, bands, rows)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def lsh_index_bucket_stats(spark, path: str) -> DataFrame:
+    """Bucket occupancy straight from a PERSISTED LSH index's bands
+    table — no signature recompute (the cheap face for monitoring a
+    live incremental index)."""
+    from .index_pointer import resolve_table
+
+    return (
+        spark.read.parquet(resolve_table(path, "bands"))
+        .groupBy("band", "bucket")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def lsh_bucket_balance(stats: DataFrame) -> dict:
+    """Driver summary over :func:`lsh_bucket_stats` /
+    :func:`lsh_index_bucket_stats` — a bounded aggregation collect (one
+    row), never the bucket rows themselves:
+
+    - ``candidate_pairs``: Σ n·(n−1)/2 over colliding buckets — THE
+      pre-flight cost predictor for the verify join (the 100x scale
+      step measured this growing ~quadratically in duplicate-family
+      size at a recall-oriented banding; re-band until this number fits
+      the budget, THEN run the pair join);
+    - ``n_buckets`` (colliding), ``max_bucket``, ``mean_bucket``.
+    """
+    row = stats.agg(
+        F.coalesce(
+            F.sum(F.col("n_docs") * (F.col("n_docs") - 1) / 2), F.lit(0.0)
+        ).alias("cp"),
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("mx"),
+        F.coalesce(F.avg("n_docs"), F.lit(0.0)).alias("mean"),
+    ).collect()[0]
+    return {
+        "candidate_pairs": int(row["cp"]),
+        "n_buckets": int(row["nb"]),
+        "max_bucket": int(row["mx"]),
+        "mean_bucket": float(row["mean"]),
+    }
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
