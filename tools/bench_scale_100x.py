@@ -101,6 +101,19 @@ def main() -> None:
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     scaled = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf10"
+    for d, tiles, src in ((base, 10, "/root/testdata/sf0.1"),
+                          (scaled, 100, "/root/testdata/sf0.1")):
+        if not os.path.isdir(d):
+            sys.exit(
+                f"fixture dir {d} missing (gitignored) — regenerate with:\n"
+                f"  python tools/gen_scale_fixture.py {src} {d} {tiles}"
+            )
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g") == "8g":
+        print(
+            "warning: sf10 aggregations OOM the 8g default heap — "
+            "run with SPARK_GRAFT_DRIVER_MEM=48g",
+            file=sys.stderr,
+        )
     spark = build_session("bench_scale_100x")
     spark.sparkContext.setLogLevel("ERROR")
     r = spark.read.parquet(os.path.join(base, "region.parquet"))
