@@ -458,6 +458,59 @@ def test_weighted_sample_respects_weights(spark):
     assert ratio > 3.0, (heavy, light)  # ~9 expected; 3 is a loose floor
 
 
+def test_weighted_sample_per_group_portable_equals_global(spark):
+    """The portable face preserves the documented per-group == global
+    equivalence (both faces share ONE key formula per mode)."""
+    from pyspark.sql import functions as F
+
+    from uma_etl_iis_loader_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    df = spark.range(0, 600).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") % 7 + 1).cast("double").alias("wgt"),
+    )
+    per = {}
+    for r in weighted_sample_per_group(
+        df, "src", "id", "wgt", k=40, seed=3, portable_hash=True
+    ).collect():
+        per.setdefault(r.src, set()).add(r.id)
+    for g in ("0", "1"):
+        want = {
+            r.id
+            for r in weighted_sample(
+                df.filter(F.col("src") == g), "id", "wgt", k=40, seed=3,
+                portable_hash=True,
+            ).collect()
+        }
+        assert per[g] == want, g
+
+
+def test_lsh_bucket_balance_empty_and_collision_free(spark):
+    """Telemetry zeros out cleanly on a corpus with no colliding
+    buckets (all-distinct docs) — the coalesce paths, not a crash."""
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        lsh_bucket_balance,
+        lsh_bucket_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"utterly unique document number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(12))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    bal = lsh_bucket_balance(
+        lsh_bucket_stats(docs, num_hashes=64, bands=16, n=5)
+    )
+    assert bal == {
+        "candidate_pairs": 0, "n_buckets": 0,
+        "max_bucket": 0, "mean_bucket": 0.0,
+    }
+
+
 def test_weighted_sample_per_group(spark):
     """Per-group A-Res: exactly min(k, group size) rows per group; the
     kept set equals an independent per-group evaluation of the global
