@@ -142,7 +142,18 @@ def test_bpe_distributed_counts_match_driver_tokenization(spark):
         bpe_word_counts,
     )
 
-    texts = ["the cat  sat\n\ton the mat", "thé café ", " ", ""]
+    # includes UNICODE whitespace (NBSP, thin space, line separator):
+    # Java's bare \s is ASCII-only, so without (?U) in the JVM pattern
+    # these partition differently than Python's _PRETOKEN_RE and the
+    # counts-trained merges silently diverge from encode tokenization
+    texts = [
+        "the cat  sat\n\ton the mat",
+        "thé café ",
+        " ",
+        "",
+        "nbsp\u00a0split and\u2009thin",
+        "line\u2028sep\u00a0\u2009run",
+    ]
     expect: Counter = Counter()
     for t in texts:
         expect.update(_PRETOKEN_RE.findall(t))

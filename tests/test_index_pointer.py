@@ -92,6 +92,51 @@ def test_heal_legacy_ignores_pointer_era_layout(tmp_path):
     assert not os.path.isdir(os.path.join(p, "vectors.old"))
 
 
+def test_append_commit_check_catches_race_with_compaction(tmp_path):
+    """writer_guard is check-then-write: a compaction that posts its
+    sentinel AFTER the guard passes, during the append's long Spark
+    write, still flips the pointer — append_commit_check (called after
+    the write with the dir actually written) closes that window. Three
+    states: clean append passes; pointer flipped mid-write raises
+    'lost a race'; sentinel appeared mid-write (compaction in flight,
+    snapshot may omit the rows) raises 'raced a compaction'."""
+    import pytest
+
+    from uma_etl_iis_loader_spark.operators.index_pointer import (
+        append_commit_check,
+        writer_guard,
+    )
+
+    p = str(tmp_path)
+    _mk_gen(os.path.join(p, "vectors"), "g0")
+
+    # clean append: guard → write → commit-check, nothing raced
+    writer_guard(p, "vectors")
+    written = resolve_table(p, "vectors")
+    append_commit_check(p, "vectors", written)  # passes silently
+
+    # race 1: a compaction ran to completion during the write — the
+    # pointer now names a different generation; the appended rows are
+    # in a dead dir
+    writer_guard(p, "vectors")
+    written = resolve_table(p, "vectors")
+    swap_table(p, "vectors", lambda d: _mk_gen(d, "g1"))  # the racer
+    with pytest.raises(RuntimeError, match="lost a race"):
+        append_commit_check(p, "vectors", written)
+
+    # race 2: a compaction is in flight at commit time (sentinel up,
+    # pointer not yet flipped) — its snapshot may omit the append
+    writer_guard(p, "vectors")
+    written = resolve_table(p, "vectors")
+
+    def racer_checks_midflight(d):
+        _mk_gen(d, "g2")
+        with pytest.raises(RuntimeError, match="raced a compaction"):
+            append_commit_check(p, "vectors", written)
+
+    swap_table(p, "vectors", racer_checks_midflight)
+
+
 # ---------------------------------------------------------------------------
 # concurrent read during real index compaction
 # ---------------------------------------------------------------------------

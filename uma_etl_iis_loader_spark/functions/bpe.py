@@ -95,9 +95,15 @@ def bpe_word_counts(
 
     Fully distributed and JVM-side: ``regexp_extract_all`` replays the
     exact ``\\S+|\\s+`` pre-token partition, one explode, ONE count
-    aggregation with map-side combine. The result is
-    vocabulary-sized (Zipf — distinct pre-tokens ≪ token stream), not
-    corpus-sized."""
+    aggregation with map-side combine. The JVM pattern carries ``(?U)``
+    (UNICODE_CHARACTER_CLASS): Java's bare ``\\s`` is ASCII-only while
+    Python's ``re`` (the driver/encode tokenizer, ``_PRETOKEN_RE``) is
+    Unicode-aware — without the flag, Unicode whitespace (NBSP
+    ``\\u00a0``, thin space ``\\u2009``, line sep ``\\u2028``)
+    partitions differently here than at encode time and counts-trained
+    merges silently diverge (parity is law-tested with non-ASCII
+    whitespace in ``test_bpe.py``). The result is vocabulary-sized
+    (Zipf — distinct pre-tokens ≪ token stream), not corpus-sized."""
     t = F.col(text_col).cast("string")
     if max_chars_per_doc is not None:
         t = F.substring(t, 1, max_chars_per_doc)
@@ -105,7 +111,7 @@ def bpe_word_counts(
         docs.where(F.col(text_col).isNotNull())
         .select(
             F.explode(
-                F.regexp_extract_all(t, F.lit(r"\S+|\s+"), 0)
+                F.regexp_extract_all(t, F.lit(r"(?U)\S+|\s+"), 0)
             ).alias("word")
         )
         .groupBy("word")
@@ -128,24 +134,36 @@ def update_bpe_counts(counts: DataFrame, new_docs: DataFrame, **kwargs) -> DataF
 def train_bpe_from_counts(
     counts: DataFrame,
     vocab_size: int = 512,
-    max_words: int = 65_536,
+    max_words: int | None = 65_536,
 ) -> list[tuple[bytes, bytes]]:
-    """Corpus-exact BPE training from a distributed (word, n) counts
-    frame: collect the ``max_words`` most frequent pre-tokens (count
-    DESC, word ASC — a deterministic distributed top-k via
-    TakeOrderedAndProject, never a global sort; the tail it drops is
-    singleton-grade mass that cannot win a merge against the head) and
-    run the same deterministic merge loop as :func:`train_bpe`.
+    """BPE training from a distributed (word, n) counts frame —
+    corpus-exact up to the ``max_words`` head: collect the ``max_words``
+    most frequent pre-tokens (count DESC, word ASC — a deterministic
+    distributed top-k via TakeOrderedAndProject, never a global sort)
+    and run the same deterministic merge loop as :func:`train_bpe`. The
+    dropped tail is singleton-grade PER WORD, but its aggregate pair
+    mass (pair counts summed across many rare words) can in principle
+    tip a close merge race — pass ``max_words=None`` to collect the
+    full vocabulary-sized counts frame for truly corpus-exact merges
+    (safe when distinct pre-tokens fit on the driver, which Zipf makes
+    common; the head cap is the bounded-driver-artifact default).
 
-    Use when merge statistics must reflect the WHOLE corpus rather than
+    Use when merge statistics must reflect the whole corpus rather than
     the driver sample: the shuffle is one count agg over pre-tokens,
-    the collect is capped at ``max_words`` rows. Same determinism
-    contract: identical counts → identical merge table."""
-    rows = (
-        counts.orderBy(F.col("n").desc(), F.col("word"))
-        .limit(max_words)
-        .collect()
-    )
+    the collect is ``max_words`` rows (or all distinct pre-tokens when
+    None). Same determinism contract: identical counts → identical
+    merge table."""
+    if max_words is not None:
+        # top-k: TakeOrderedAndProject, never a global sort
+        rows = (
+            counts.orderBy(F.col("n").desc(), F.col("word"))
+            .limit(max_words)
+            .collect()
+        )
+    else:
+        # full collect: no sort needed — the merge loop is
+        # order-independent (count + lexicographic tie-break)
+        rows = counts.collect()
     word_freq: Counter = Counter({r["word"]: r["n"] for r in rows})
     return _merges_from_word_freq(word_freq, vocab_size)
 

@@ -1042,16 +1042,20 @@ def _write_index_state(
     gram lookup fails — candidates silently vanishing in the verify
     join; ``dedup_increment`` additionally fails loudly on that state.
     """
-    from .index_pointer import resolve_table, writer_guard
+    from .index_pointer import append_commit_check, resolve_table, writer_guard
 
     writer_guard(path, "grams")
     writer_guard(path, "bands")
-    sigs.select("id", "grams", "fp").write.mode(mode).parquet(
-        resolve_table(path, "grams")
-    )
+    grams_dir = resolve_table(path, "grams")
+    bands_dir = resolve_table(path, "bands")
+    sigs.select("id", "grams", "fp").write.mode(mode).parquet(grams_dir)
     _band_entries(sigs, bands, rows).write.mode(mode).partitionBy(
         "band"
-    ).parquet(resolve_table(path, "bands"))
+    ).parquet(bands_dir)
+    # post-write: close the guard's check-then-write window (a
+    # compaction that started during the two Spark writes above)
+    append_commit_check(path, "grams", grams_dir)
+    append_commit_check(path, "bands", bands_dir)
 
 
 def build_minhash_index(

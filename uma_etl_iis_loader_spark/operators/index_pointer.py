@@ -38,7 +38,13 @@ from __future__ import annotations
 import os
 import shutil
 
-__all__ = ["heal_legacy", "resolve_table", "swap_table", "writer_guard"]
+__all__ = [
+    "append_commit_check",
+    "heal_legacy",
+    "resolve_table",
+    "swap_table",
+    "writer_guard",
+]
 
 
 def _pointer(path: str, name: str) -> str:
@@ -87,15 +93,20 @@ def _sentinel(path: str, name: str) -> str:
 
 
 def writer_guard(path: str, name: str) -> None:
-    """Fail-fast check for index APPEND paths: raise while a compaction
-    of ``name`` is in flight. An append that lands in the old
+    """Fail-fast PRE-write check for index APPEND paths: raise while a
+    compaction of ``name`` is in flight. An append that lands in the old
     generation after the pointer flips is silently dropped from the
-    live view — this guard turns that silent loss into a loud error.
-    (Readers need no guard: the pointer protocol keeps the replaced
-    generation on disk for them.) The sentinel is removed even when the
-    compactor raises; only a hard kill strands it — then the error
-    message names the file to remove (or re-run the compaction, which
-    owns and refreshes it)."""
+    live view — this guard turns loss from a compaction ALREADY in
+    flight into a loud error. It is check-then-write: a compaction that
+    posts its sentinel after this check passes, during the append's
+    (long) Spark write, still slips through — pair it with
+    :func:`append_commit_check` AFTER the write to close that window
+    (every append/rebuild site in this package does). (Readers need no
+    guard: the pointer protocol keeps the replaced generation on disk
+    for them.) The sentinel is removed even when the compactor raises;
+    only a hard kill strands it — then the error message names the file
+    to remove (or re-run the compaction, which owns and refreshes
+    it)."""
     s = _sentinel(path, name)
     if os.path.exists(s):
         raise RuntimeError(
@@ -103,6 +114,37 @@ def writer_guard(path: str, name: str) -> None:
             f"(sentinel {s} exists); retry the append after compaction "
             f"finishes — if the compactor crashed hard, remove the "
             f"sentinel or re-run the compaction"
+        )
+
+
+def append_commit_check(path: str, name: str, written_dir: str) -> None:
+    """POST-write verification closing :func:`writer_guard`'s
+    check-then-write window: call with the directory the append (or
+    rebuild) actually wrote into, AFTER the write finishes. Raises when
+    a compaction raced the write — either the pointer already flipped
+    (``written_dir`` is no longer the live generation: the rows are in
+    a dead generation and invisible) or a compaction sentinel is now
+    present (the compactor snapshotted the live table before/while the
+    rows landed, so the next generation may omit them). Either way the
+    append must be replayed after the compaction settles; raising here
+    is what makes that loss loud instead of silent. Pure local-fs
+    metadata reads — no Spark work."""
+    live = resolve_table(path, name)
+    if os.path.abspath(live) != os.path.abspath(written_dir):
+        raise RuntimeError(
+            f"append to index table '{name}' at {path} lost a race with "
+            f"a compaction: wrote into {written_dir} but the live "
+            f"generation is now {live}; the appended rows are NOT "
+            f"visible — replay the append against the new generation"
+        )
+    s = _sentinel(path, name)
+    if os.path.exists(s):
+        raise RuntimeError(
+            f"append to index table '{name}' at {path} raced a "
+            f"compaction now in flight (sentinel {s} appeared during "
+            f"the write); the compacted generation may omit the "
+            f"appended rows — wait for the compaction, then replay "
+            f"the append"
         )
 
 

@@ -209,8 +209,10 @@ def negative_sample(
     per bucket) or candidate volume grows with the corpus and the whole
     op turns quadratic under joint anchor+corpus scaling. The default
     (``buckets=None``) derives that automatically: one cheap scalar
-    ``corpus.count()`` → :func:`negative_sample_buckets` (power of two,
-    ~32-64 items/bucket at any scale, ≥ k). Pass ``buckets`` explicitly
+    ``corpus.count()`` → :func:`negative_sample_buckets` (exact
+    ``ceil(n / 32)``, i.e. ~32 items/bucket at any scale, floored at
+    ``k`` so every anchor can draw k distinct buckets). Pass ``buckets``
+    explicitly
     only when samples must stay bit-stable while the corpus grows —
     results are a pure function of (inputs, k, buckets, seed), so a
     FIXED bucket count pins the draw and the auto default re-derives it

@@ -469,12 +469,12 @@ def build_ivf_index(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     cent_mat = _ivf_centroids(c, nlist)
     assigned = _assign_centroid(c, cent_mat, "neighbor_id", "cvec", 1)
-    from .index_pointer import writer_guard
+    from .index_pointer import append_commit_check, writer_guard
 
     writer_guard(path, "vectors")
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        resolve_table(path, "vectors")
-    )
+    vec_dir = resolve_table(path, "vectors")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vec_dir)
+    append_commit_check(path, "vectors", vec_dir)
     cent_rows = [
         (i, [float(x) for x in cent_mat[i]]) for i in range(cent_mat.shape[0])
     ]
@@ -550,12 +550,14 @@ def append_ivf_index(
     build_ivf_index to re-center when drift accumulates; recall-parity
     of appended vs rebuilt vectors on the stationary fixture is
     pytest-pinned)."""
-    from .index_pointer import writer_guard
+    from .index_pointer import append_commit_check, writer_guard
 
     writer_guard(path, "vectors")
+    vec_dir = resolve_table(path, "vectors")
     ivf_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
-    ).partitionBy("centroid_id").parquet(resolve_table(path, "vectors"))
+    ).partitionBy("centroid_id").parquet(vec_dir)
+    append_commit_check(path, "vectors", vec_dir)
 
 
 def ivf_append_frame(
@@ -611,12 +613,14 @@ def append_ivfpq_index(
     frozen, so re-run :func:`build_ivfpq_index` when distribution drift
     accumulates; append==rebuild recall parity on a stationary fixture
     is pytest-pinned."""
-    from .index_pointer import writer_guard
+    from .index_pointer import append_commit_check, writer_guard
 
     writer_guard(path, "vectors")
+    vec_dir = resolve_table(path, "vectors")
     ivfpq_append_frame(new_vectors, path, id_col, vec_col).write.mode(
         "append"
-    ).partitionBy("centroid_id").parquet(resolve_table(path, "vectors"))
+    ).partitionBy("centroid_id").parquet(vec_dir)
+    append_commit_check(path, "vectors", vec_dir)
 
 
 def ivfpq_append_frame(
@@ -1253,12 +1257,14 @@ def build_ivfpq_index(
             out["codes"] = [cc.tobytes() for cc in codes]
             yield out
 
+    vec_dir = _guarded_vectors_dir(path)
     c.mapInPandas(
         assign_encode,
         "neighbor_id long, cvec array<float>, centroid_id int, codes binary",
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-        _guarded_vectors_dir(path)
-    )
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(vec_dir)
+    from .index_pointer import append_commit_check
+
+    append_commit_check(path, "vectors", vec_dir)
     spark.createDataFrame(
         [
             (i, [float(x) for x in cent_mat[i]])
