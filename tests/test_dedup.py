@@ -92,6 +92,114 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert len(lsh) >= len(exact) - 1  # at most one borderline pair missed
 
 
+def _docs_with_empties(spark):
+    """_docs plus zero-gram documents (empty / shorter than n): they
+    share the sentinel MinHash signature, so they bucket-collide with
+    each other — the verify strategies must agree on dropping them."""
+    rows = [(7, ""), (8, "ab"), (9, ""), (10, None)]
+    return _docs(spark).unionByName(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def test_minhash_lsh_grouped_equals_join_verify(spark):
+    """LAW: the grouped (per-bucket Arrow kernel) and join (candidate
+    pair join) verify strategies emit the IDENTICAL pair set — including
+    on zero-gram docs, where grouped filters the sentinel bucket before
+    bucketing and join drops the same pairs via 0/0→NULL Jaccard."""
+    docs = _docs_with_empties(spark)
+    kw = dict(num_hashes=64, bands=16, n=5, threshold=0.5, char_level=True)
+    grouped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, verify="grouped", **kw).collect()
+    }
+    join = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, verify="join", **kw).collect()
+    }
+    assert grouped == join and len(grouped) > 0
+    # no sentinel pairs: empty docs never pair under either strategy
+    assert all(a < 7 and b < 7 for a, b in grouped)
+
+
+def test_minhash_lsh_sig_margin_preserves_pairs(spark):
+    """The estimate-first cascade with a generous margin (0.35 → false-
+    negative bound exp(-2·0.35²·64) ≈ 1e-7 per pair) emits the same
+    pair set as the exhaustive verify."""
+    docs = _docs(spark)
+    kw = dict(num_hashes=64, bands=16, n=5, threshold=0.5, char_level=True)
+    base = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, **kw).collect()
+    }
+    casc = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, sig_margin=0.35, **kw).collect()
+    }
+    assert casc == base
+
+
+def test_minhash_lsh_chained_subset_and_closure(spark):
+    """Representative chaining above max_bucket: (a) chained pairs ⊆
+    unbounded pairs (never a false positive), (b) on a duplicate FAMILY
+    (one bucket, all pairs qualify) the star edges reach every member,
+    so connected_components restores the family cluster exactly."""
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 10-copy family (identical docs: every pair J=1.0) + distinct noise
+    rows = [(i, BASE) for i in range(1, 11)] + [
+        (11, "unrelated words about columnar storage and row groups"),
+        (12, "another distinct text mentioning adaptive query execution"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=16, n=5, threshold=0.5, char_level=True)
+    full = minhash_lsh_pairs(docs, **kw)
+    chained = minhash_lsh_pairs(docs, max_bucket=4, **kw)
+    sf = {(r.id_a, r.id_b) for r in full.collect()}
+    sc = {(r.id_a, r.id_b) for r in chained.collect()}
+    assert sc <= sf
+    assert len(sc) < len(sf)  # the family bucket really chained (9 < 45)
+    comp_full = {(r.node, r.comp) for r in connected_components(full).collect()}
+    comp_chained = {
+        (r.node, r.comp) for r in connected_components(chained).collect()
+    }
+    assert comp_full == comp_chained
+
+
+def test_minhash_lsh_candidate_budget_guard(spark):
+    """max_candidate_pairs raises BEFORE verify work with the measured
+    mass and the banding recipe; a sufficient budget (and the chaining-
+    adjusted mass) passes. Covers both verify strategies."""
+    import pytest
+
+    docs = _docs(spark)
+    kw = dict(num_hashes=64, bands=16, n=5, threshold=0.5, char_level=True)
+    for strategy in ("grouped", "join"):
+        with pytest.raises(RuntimeError, match="16 bands x 4 rows"):
+            minhash_lsh_pairs(
+                docs, verify=strategy, max_candidate_pairs=1, **kw
+            )
+    # generous budget: runs to completion
+    assert (
+        minhash_lsh_pairs(docs, max_candidate_pairs=10_000, **kw).count() > 0
+    )
+    # chaining ceiling shrinks the budgeted mass: a 10-copy family is
+    # 45 pairs/bucket unbounded but 9 with max_bucket=4 — a budget
+    # between the two passes only with chaining accounted
+    fam = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 11)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="candidate budget exceeded"):
+        minhash_lsh_pairs(fam, max_candidate_pairs=200, **kw)
+    assert (
+        minhash_lsh_pairs(
+            fam, max_candidate_pairs=200, max_bucket=4, **kw
+        ).count()
+        > 0
+    )
+
+
 def test_lsh_bucket_stats_predict_candidate_pairs(spark, tmp_path):
     """The telemetry's candidate_pairs equals the pair join's actual
     pre-distinct candidate volume (Σ n·(n−1)/2 over colliding buckets),
