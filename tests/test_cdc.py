@@ -251,6 +251,62 @@ def test_dedup_ingest_zero_gram_docs_idempotent(spark):
     assert {r.doc_id for r in m.read_corpus(spark).collect()} == {1, 10, 12}
 
 
+def test_dedup_ingest_candidate_budget_guard(spark):
+    """A boilerplate-heavy shard at a recall-tuned banding must fail
+    fast (with the measured candidate mass in the error) BEFORE the
+    verify join — not stall the stream — and must leave no partial
+    state: no batch directory, no marker, no index append. Guarded
+    batches within budget record per-batch telemetry."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from uma_etl_iis_loader_spark.operators.dedup import build_minhash_index
+    from uma_etl_iis_loader_spark.streaming.cdc import DedupIngestMaintainer
+
+    kw = dict(num_hashes=16, bands=4, n=3, char_level=False)
+    seed = spark.createDataFrame(
+        [(1, "a seed document with a good number of distinct words inside")],
+        "doc_id long, text string",
+    )
+    boiler = "shared boilerplate header repeated across every page footer"
+    heavy = spark.createDataFrame(
+        [(100 + i, f"{boiler} variant {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    light = spark.createDataFrame(
+        [(500, "one genuinely novel document about columnar encodings")],
+        "doc_id long, text string",
+    )
+
+    base = tempfile.mkdtemp(prefix="dedup_guard_")
+    idx, corpus = base + "/idx", base + "/corpus"
+    build_minhash_index(seed, idx, **kw)
+    seed.write.mode("overwrite").parquet(corpus)
+
+    m = DedupIngestMaintainer(
+        corpus, idx, threshold=0.35, max_candidate_pairs=50, **kw
+    )
+    with pytest.raises(RuntimeError, match="ingest candidate budget"):
+        m.apply_batch(heavy, 0)
+    # nothing landed: no batch dir, no marker, corpus unchanged
+    assert not os.path.exists(os.path.join(corpus, "batch-0"))
+    assert not os.path.exists(
+        os.path.join(corpus, "_commits", "batch-0.done")
+    )
+    assert m.read_corpus(spark).count() == 1
+    assert 0 not in m.batch_telemetry
+
+    # a within-budget batch proceeds and records its telemetry
+    m.apply_batch(light, 1)
+    assert m.read_corpus(spark).count() == 2
+    assert m.batch_telemetry[1]["candidate_mass"] <= 50
+    assert set(m.batch_telemetry[1]) == {
+        "candidate_mass", "n_buckets", "max_new", "max_old",
+    }
+
+
 def test_compact_minhash_index_dedupes_replay_residue(spark):
     """Replay residue (duplicate index rows) must compact away without
     changing increment results."""

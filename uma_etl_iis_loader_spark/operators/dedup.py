@@ -1336,6 +1336,7 @@ def dedup_increment(
     threshold: float = 0.5,
     char_level: bool = True,
     update_index: bool = True,
+    max_candidate_pairs: int | None = None,
 ) -> dict[str, DataFrame]:
     """Dedup a NEWLY LANDED shard against the persisted index + itself,
     and (by default) append the surviving docs' LSH state to the index —
@@ -1362,6 +1363,17 @@ def dedup_increment(
     Candidate generation is IDENTICAL to the batch ``minhash_lsh_pairs``
     (same seeded hash family, same banding), so incremental pair recall
     equals the batch run's — pinned by the parity test.
+
+    ``max_candidate_pairs``: fail-fast budget guard — when set, one
+    count aggregation measures the batch's candidate mass
+    (Σ over colliding buckets of m_new·m_old + m_new·(m_new−1)/2,
+    shard-vs-index plus within-shard) BEFORE the verify joins run, and
+    raises with the measured mass and the banding recipe if over
+    budget — one boilerplate-heavy shard at a recall-tuned banding
+    should be a one-line error, not a stalled ingest. The measured
+    telemetry is returned under the ``"telemetry"`` key (a plain dict:
+    ``candidate_mass``, ``n_buckets``, ``max_new``, ``max_old``);
+    ``None`` when the guard is off (no extra index scan).
     """
     spark = new_docs.sparkSession
     rows = num_hashes // bands
@@ -1374,6 +1386,50 @@ def dedup_increment(
 
     idx_bands = spark.read.parquet(resolve_table(index_path, "bands"))
     idx_grams = spark.read.parquet(resolve_table(index_path, "grams"))
+
+    telemetry = None
+    if max_candidate_pairs is not None:
+        new_cnt = banded_new.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("m_new")
+        )
+        # count_distinct: duplicate index rows (benign replayed-append
+        # residue, see the loud-guard comment below) must not inflate mass
+        old_cnt = idx_bands.groupBy("band", "bucket").agg(
+            F.count_distinct("id").alias("m_old")
+        )
+        mn, mo = F.col("m_new"), F.coalesce(F.col("m_old"), F.lit(0))
+        stat = (
+            new_cnt.join(old_cnt, ["band", "bucket"], "left")
+            .agg(
+                F.coalesce(
+                    F.sum(mn * mo + mn * (mn - 1) / 2), F.lit(0.0)
+                ).alias("mass"),
+                F.coalesce(F.max(mn), F.lit(0)).alias("max_new"),
+                F.coalesce(F.max(mo), F.lit(0)).alias("max_old"),
+                F.count(F.lit(1)).alias("n_buckets"),
+            )
+            .collect()[0]
+        )
+        telemetry = {
+            "candidate_mass": int(stat["mass"]),
+            "n_buckets": int(stat["n_buckets"]),
+            "max_new": int(stat["max_new"]),
+            "max_old": int(stat["max_old"]),
+        }
+        if telemetry["candidate_mass"] > max_candidate_pairs:
+            sigs.unpersist()
+            banded_new.unpersist()
+            raise RuntimeError(
+                f"LSH ingest candidate budget exceeded: "
+                f"{telemetry['candidate_mass']} candidate pairs (budget "
+                f"{max_candidate_pairs}) for this shard at banding "
+                f"{bands} bands x {rows} rows, threshold {threshold} "
+                f"(largest shard bucket {telemetry['max_new']}, largest "
+                f"colliding index bucket {telemetry['max_old']}). The "
+                f"shard is boilerplate-heavy for this banding — re-band "
+                f"(fewer/wider bands), pre-clean the shard, or raise "
+                f"the budget."
+            )
 
     # vs the existing corpus: bucket join against the index, gram-verify.
     # The index side arrives band-partitioned; only buckets colliding with
@@ -1484,7 +1540,12 @@ def dedup_increment(
 
     sigs.unpersist()
     banded_new.unpersist()
-    return {"pairs_old": pairs_old, "pairs_new": pairs_new, "survivors": survivors}
+    return {
+        "pairs_old": pairs_old,
+        "pairs_new": pairs_new,
+        "survivors": survivors,
+        "telemetry": telemetry,
+    }
 
 
 def compact_minhash_index(spark, path: str) -> None:

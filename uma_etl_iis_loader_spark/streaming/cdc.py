@@ -120,6 +120,18 @@ class DedupIngestMaintainer:
     A marker present at entry short-circuits the whole batch (cheap
     full-replay no-op). Read the corpus via :meth:`read_corpus` — the
     batch-scoped subdirectories need a recursive file listing.
+
+    ``max_candidate_pairs`` (inherited from
+    ``operators/dedup.dedup_increment``): per-batch fail-fast candidate
+    budget — one boilerplate-heavy shard at a recall-tuned banding puts
+    m²-grade pairs through the verify join and stalls the whole stream;
+    with the budget set, that batch raises BEFORE verify work (the
+    stream stops loudly with the measured mass and the banding recipe
+    in the error — re-band, pre-clean the shard, or raise the budget,
+    then restart; the batch replays). Each guarded batch's measured
+    telemetry (candidate_mass, n_buckets, max_new, max_old) is recorded
+    in :attr:`batch_telemetry` keyed by batch id — the stream-side
+    ``lsh_bucket_balance`` face.
     """
 
     def __init__(
@@ -127,12 +139,15 @@ class DedupIngestMaintainer:
         corpus_path: str,
         index_path: str,
         threshold: float = 0.5,
+        max_candidate_pairs: int | None = None,
         **lsh_kwargs,
     ):
         self.corpus_path = corpus_path
         self.index_path = index_path
         self.threshold = threshold
+        self.max_candidate_pairs = max_candidate_pairs
         self.lsh_kwargs = lsh_kwargs
+        self.batch_telemetry: dict[int, dict] = {}
 
     def read_corpus(self, spark: SparkSession) -> DataFrame:
         """The deduplicated corpus: seed files at the root plus every
@@ -157,8 +172,11 @@ class DedupIngestMaintainer:
             self.index_path,
             threshold=self.threshold,
             update_index=False,
+            max_candidate_pairs=self.max_candidate_pairs,
             **self.lsh_kwargs,
         )
+        if out["telemetry"] is not None:
+            self.batch_telemetry[batch_id] = out["telemetry"]
         batch_dir = os.path.join(self.corpus_path, f"batch-{batch_id}")
         # pin the survivor set NOW: it must be computed against the index
         # state BEFORE this batch's append (lazy re-evaluation after the
