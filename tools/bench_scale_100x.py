@@ -13,12 +13,20 @@ rather than silent):
   corpus_stats_ops, multimodal_ops) embed exact-oracle recomputation by
   DESIGN (the correctness gate's cost, not the production path); their
   production constituents are measured individually below;
-- the ANN index families (knn_*, pq, ivfpq) were measured at the first
-  step with the scaled-nlist recipe; at sf10 the corpus-sized query
-  batch is a ~10-minute run that measures the same constant-cell-size
-  arithmetic — skipped for harness runtime, noted here;
+- the PERSISTED ANN serving layout IS measured here (r9): IVF index
+  build (one-time ingest cost, scaled nlist = constant cell size) and
+  the partition-pruned query pass timed as SEPARATE rows, plus the
+  IVF+PQ build + distributed query path. The transient knn_* rows
+  (index rebuilt per query call) stay first-step-only — they measure
+  the same arithmetic with the build cost mixed in;
 - z-order layout is a full-table rewrite (IO-bound; linear by
   construction — file count = ceil(bytes/target)).
+
+etl_job_sync is additionally split into `etl_payload_build` (pure
+driver-side Python building the REST-client payloads from the customer
+table — grows with the fixture but is NOT an engine scaling signal)
+and `etl_spark_sync` (payloads prebuilt, the two run_etl syncs +
+materialization timed alone) so growth attributes to the right side.
 
 Usage: python tools/bench_scale_100x.py [sf1_dir] [sf10_dir]
 Prints one JSON line; paste into SCALE.md's 100x section.
@@ -38,8 +46,15 @@ from bench_scale import workloads  # noqa: E402  (tools/ sibling)
 SUBSET = [
     "flagship_occupancy",
     "etl_job_sync",
+    "etl_payload_build",
+    "etl_spark_sync",
+    "ivf_index_build",
+    "ivf_index_query",
+    "ivfpq_index_build",
+    "ivfpq_index_query_dist",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_bounded",
     "dedup_minhash_lsh_hiprec",
     "repeated_passages_hashed",
     "bm25_rank",
@@ -88,11 +103,133 @@ def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
         )
 
     w["dedup_minhash_lsh_hiprec"] = lsh_hiprec
+
+    def lsh_bounded():
+        # the same RECALL-oriented operating point as the default row
+        # (16 bands x 4 rows, threshold 0.35) under the production
+        # bounds: buckets above max_bucket=32 verify by representative
+        # chaining (m-1 comparisons; connected_components downstream
+        # restores the family closure — component equality on dup-
+        # family fixtures is law-tested in tests/test_dedup.py). This
+        # is how a hard recall requirement is SERVED on a boilerplate-
+        # dense corpus without paying m^2/2 verifies per dup family.
+        from uma_etl_iis_loader_spark.io import read_fixture
+        from uma_etl_iis_loader_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=3, threshold=0.35,
+            char_level=False, max_bucket=32,
+        )
+
+    w["dedup_minhash_lsh_bounded"] = lsh_bounded
+
+    # --- etl_job_sync phase split: driver payload build vs Spark sync ---
+    payloads: dict[str, tuple] = {}
+
+    def etl_payload_build():
+        from uma_etl_iis_loader_spark.plans.queries_reference import (
+            etl_api_payloads,
+        )
+
+        payloads[sf_dir] = etl_api_payloads(sf_dir)
+        return spark.range(1)
+
+    def etl_spark_sync():
+        from uma_etl_iis_loader_spark.plans.etl_job import run_etl
+
+        api1, api2 = payloads[sf_dir]  # prebuilt by etl_payload_build
+        out1 = run_etl(spark, api1, now_ts="2026-03-01 00:00:00")
+        seed = {
+            k: out1[k]
+            for k in (
+                "system_state", "faculties", "departments",
+                "specialities", "student_groups", "employees",
+                "departments_employees", "auditories",
+            )
+        }
+        out2 = run_etl(
+            spark, api2, now_ts="2026-03-08 00:00:00", initial=seed
+        )
+        return out2["student_groups"]
+
+    w["etl_payload_build"] = etl_payload_build
+    w["etl_spark_sync"] = etl_spark_sync
+
+    # --- persisted ANN serving layout: build and query timed apart ---
+    # scaled nlist keeps cell size ~125 vectors (the production recipe);
+    # queries are the base SF's fixed set, so query work scales with the
+    # CORPUS only. Build rows measure the one-time ingest cost; query
+    # rows measure the partition-pruned serving pass the layout exists
+    # for (PartitionFilter pruning itself is plan-asserted in
+    # tests/test_similarity.py).
+    import shutil
+    import tempfile
+
+    from uma_etl_iis_loader_spark.io import read_fixture as _rf
+    from uma_etl_iis_loader_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_index_topk,
+        ivfpq_topk,
+    )
+
+    ann_paths: dict[str, str] = {}
+
+    def _emb():
+        return _rf(spark, sf_dir, "embeddings", split=False)
+
+    def _fixed_queries():
+        from pyspark.sql import functions as F
+
+        emb_base = _rf(spark, base_dir, "embeddings", split=False)
+        return emb_base.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    def _nlist():
+        return max(16, _emb().count() // 125)
+
+    def ivf_index_build():
+        base = tempfile.mkdtemp(prefix="scale100x_ivf_")
+        ann_paths["ivf"] = base + "/idx"
+        build_ivf_index(_emb(), ann_paths["ivf"], nlist=_nlist())
+        return spark.read.parquet(ann_paths["ivf"] + "/centroids")
+
+    def ivf_index_query():
+        return ivf_index_topk(
+            spark, ann_paths["ivf"], _fixed_queries(), k=10, nprobe=8
+        )
+
+    def ivfpq_index_build():
+        base = tempfile.mkdtemp(prefix="scale100x_ivfpq_")
+        ann_paths["ivfpq"] = base + "/idx"
+        build_ivfpq_index(
+            _emb(), ann_paths["ivfpq"], nlist=_nlist(), m=8, ksub=256,
+            opq_iters=0,
+        )
+        return spark.read.parquet(ann_paths["ivfpq"] + "/centroids")
+
+    def ivfpq_index_query_dist():
+        return ivfpq_topk(
+            spark, ann_paths["ivfpq"], _fixed_queries(), k=10,
+            nprobe=8, distributed=True,
+        )
+
+    w["ivf_index_build"] = ivf_index_build
+    w["ivf_index_query"] = ivf_index_query
+    w["ivfpq_index_build"] = ivfpq_index_build
+    w["ivfpq_index_query_dist"] = ivfpq_index_query_dist
+
     out = {}
     for name in SUBSET:
         t0 = time.time()
         w[name]().count()
         out[name] = round(time.time() - t0, 3)
+    for p in ann_paths.values():
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
     return out
 
 

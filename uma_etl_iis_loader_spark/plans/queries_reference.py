@@ -601,20 +601,16 @@ FROM marked WHERE NOT gone2 AND NOT t2_change
 """
 
 
-@register("etl_job_sync", _ETL_JOB_ORACLE)
-def q_etl_job_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1: the WHOLE job DAG (`main.py:32-64` → `plans/etl_job.run_etl`)
-    driver-adjudicated. Builds API payloads from the fixture tables
-    (driver-side, like the reference's REST client), runs the full sync at
-    t1, then a changed re-sync at t2 seeded from the first run's outputs:
-    a type-2 course change (close+reopen), a type-1 student-count patch
-    (in place), and dropped keys (deletion-close). Returns the final
-    student_groups SCD2 history. Exercises M2-M4 merges, J1 FK repair, C2
-    semi-join filter, and every SCD2 transition (C1-C7) through the real
-    orchestration path rather than isolated operators."""
+def etl_api_payloads(sf_dir: str) -> tuple[dict, dict]:
+    """Driver-side API payload construction for the E1 job — the role
+    the reference's REST client plays (`iis_etl/client.py`): pure
+    Python over pyarrow-read fixture tables, no Spark work. Split out
+    of :func:`q_etl_job_sync` so the scale harnesses can attribute
+    driver-side payload cost (which grows with the customer table and
+    is NOT an engine scaling signal) separately from the Spark sync.
+    Returns ``(api1, api2)`` — the t1 payload and the changed re-sync
+    payload (type-2 course change, type-1 student patch, deletions)."""
     import pyarrow.parquet as pq
-
-    from .etl_job import run_etl
 
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
@@ -680,6 +676,25 @@ def q_etl_job_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "specialities": specialities,
         "student_groups": groups_payload(resync=False),
     }
+    api2 = dict(api1, student_groups=groups_payload(resync=True))
+    return api1, api2
+
+
+@register("etl_job_sync", _ETL_JOB_ORACLE)
+def q_etl_job_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the WHOLE job DAG (`main.py:32-64` → `plans/etl_job.run_etl`)
+    driver-adjudicated. Builds API payloads from the fixture tables
+    (driver-side, like the reference's REST client — see
+    :func:`etl_api_payloads`), runs the full sync at t1, then a changed
+    re-sync at t2 seeded from the first run's outputs: a type-2 course
+    change (close+reopen), a type-1 student-count patch (in place), and
+    dropped keys (deletion-close). Returns the final student_groups
+    SCD2 history. Exercises M2-M4 merges, J1 FK repair, C2 semi-join
+    filter, and every SCD2 transition (C1-C7) through the real
+    orchestration path rather than isolated operators."""
+    from .etl_job import run_etl
+
+    api1, api2 = etl_api_payloads(sf_dir)
     out1 = run_etl(spark, api1, now_ts="2026-03-01 00:00:00")
     # the re-sync runs directly on run 1's lazy outputs: measured FASTER
     # than an eager localCheckpoint of the 8 seed tables here (the dims
@@ -698,7 +713,6 @@ def q_etl_job_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auditories",
         )
     }
-    api2 = dict(api1, student_groups=groups_payload(resync=True))
     out2 = run_etl(spark, api2, now_ts="2026-03-08 00:00:00", initial=seed)
     return out2["student_groups"].select(
         "id",
