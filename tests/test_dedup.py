@@ -242,6 +242,16 @@ def test_lsh_bucket_stats_predict_candidate_pairs(spark, tmp_path):
     bal2 = lsh_bucket_balance(lsh_index_bucket_stats(spark, idx))
     assert bal2 == bal
 
+    # bounded accounting: a 10-copy family fills one size-10 bucket per
+    # band; with ceiling 4 each counts 9 chain comparisons, not 45 —
+    # the same arithmetic the in-operator budget guard applies
+    fam = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 11)], "doc_id long, text string"
+    )
+    fs = lsh_bucket_stats(fam, **kw)
+    assert lsh_bucket_balance(fs)["candidate_pairs"] == 16 * 45
+    assert lsh_bucket_balance(fs, max_bucket=4)["candidate_pairs"] == 16 * 9
+
 
 def test_simhash_flags_exact_and_near(spark):
     pairs = {

@@ -651,7 +651,7 @@ def lsh_index_bucket_stats(spark, path: str) -> DataFrame:
     )
 
 
-def lsh_bucket_balance(stats: DataFrame) -> dict:
+def lsh_bucket_balance(stats: DataFrame, max_bucket: int | None = None) -> dict:
     """Driver summary over :func:`lsh_bucket_stats` /
     :func:`lsh_index_bucket_stats` — a bounded aggregation collect (one
     row), never the bucket rows themselves:
@@ -659,14 +659,25 @@ def lsh_bucket_balance(stats: DataFrame) -> dict:
     - ``candidate_pairs``: Σ n·(n−1)/2 over colliding buckets — THE
       pre-flight cost predictor for the verify join (the 100x scale
       step measured this growing ~quadratically in duplicate-family
-      size at a recall-oriented banding; re-band until this number fits
+      size at a recall-oriented banding; re-band — or set
+      ``minhash_lsh_pairs``'s chaining ceiling — until this number fits
       the budget, THEN run the pair join);
     - ``n_buckets`` (colliding), ``max_bucket``, ``mean_bucket``.
+
+    Pass ``max_bucket`` (the chaining ceiling you would hand
+    ``minhash_lsh_pairs``) to get the BOUNDED path's mass — buckets
+    above the ceiling count m−1 representative-chain comparisons
+    instead of m·(m−1)/2 — i.e. exactly the accounting the in-operator
+    ``max_candidate_pairs`` guard applies.
     """
+    n = F.col("n_docs")
+    per_bucket = n * (n - 1) / 2
+    if max_bucket is not None:
+        per_bucket = F.when(
+            n > max_bucket, (n - 1).cast("double")
+        ).otherwise(per_bucket)
     row = stats.agg(
-        F.coalesce(
-            F.sum(F.col("n_docs") * (F.col("n_docs") - 1) / 2), F.lit(0.0)
-        ).alias("cp"),
+        F.coalesce(F.sum(per_bucket), F.lit(0.0)).alias("cp"),
         F.count(F.lit(1)).alias("nb"),
         F.coalesce(F.max("n_docs"), F.lit(0)).alias("mx"),
         F.coalesce(F.avg("n_docs"), F.lit(0.0)).alias("mean"),
