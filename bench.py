@@ -223,42 +223,41 @@ def main() -> None:
     notes = {
         "_host_speed": "uniform host-speed drift persists (r7: identical "
         "code measured 60.9 s and 75-76 s in different idle hours; r8: "
-        "three same-code runs in one hour spread query totals "
-        "41.2-42.2 s with untouched-query medians x1.08-1.19 over the "
-        "r7 sidecar) — compare per-query ratios within a run, not "
-        "absolute seconds across hours",
-        "_window_r8": "committed sidecar = the cleanest of three r8 "
-        "runs (query_total 41.2 s); untouched-query median ratio vs "
-        "BENCH_r07 is x1.16 — treat that as the window factor when "
-        "reading per-query deltas below",
-        "sampling_ops": "1.65 -> 2.14 s raw (~x1.1 net of the window) "
-        "= THREE new hash-adjudicated families (method=dsir_wb: the "
-        "bucketed 1024-bucket DSIR scale rung, fit+scored with the "
-        "portable md5-prefix hash; method=negsample: the full "
-        "negative_sample draw; method=wsample: A-Res weighted "
-        "sampling) minus the savings from eagerly checkpointing the "
-        "shared dsir_w subtree (it computed twice at r7). The md5 "
-        "portable hash is adjudication-only; production paths keep "
-        "xxhash64",
-        "llm_prep_ops": "persist experiment reverted after measurement: "
-        "a lazy .persist() on the shared lm-scoring subtree REGRESSED "
-        "this query 1.09 -> 3.46 s (both union branches race to build "
-        "the cache and materialization defeats ReuseExchange, which "
-        "already dedups the identical aggregation here); plain plan "
-        "restored, 1.24 s raw = flat net of window",
-        "grouping_analytics": "0.84 -> 1.20-1.27 s across all three r8 "
-        "runs with NO code change to its operators this round "
-        "(pagerank/bloom rows untouched since r6) — stable "
-        "within-hour, reads as the r7 sidecar catching a faster hour "
-        "for this query; ratio sits at the window ceiling, flagged "
-        "for re-measurement next round",
+        "41.2-42.2 s query totals; r9: 34.0-34.9 s, i.e. the r8 "
+        "committed sidecar sat in a SLOW hour — untouched-query median "
+        "ratio r9 vs r8 is ~x0.88) — compare per-query ratios within a "
+        "run, not absolute seconds across hours; "
+        "tools/bench_compare.py OLD NEW --changed q1,q2 computes the "
+        "untouched-median window and per-query net ratios mechanically",
+        "_window_r9": "committed sidecar = the last of four same-hour "
+        "r9 runs (query totals 34.0/34.1/34.9/35.6 s, tight); per-query "
+        "deltas vs BENCH_r08 read ~x0.88 from the window alone",
+        "grouping_analytics": "r8 flag RESOLVED by three same-hour r9 "
+        "runs on identical operator code: 0.82 / 1.06 / 1.23 s — the "
+        "query's OWN run-to-run spread is ±0.4 s (it unions cube + "
+        "grouping-sets + an 8-round pagerank (~25 tiny stages) + a "
+        "bloom join: scheduler/GC-sensitive, stage-count-bound, not "
+        "data-bound). r6's 0.84 and r8's 1.21 are both inside this "
+        "distribution; no code cause, watch closed",
+        "dedup_lsh_pairs": "r9 grouped verify (per-bucket Arrow kernel, "
+        "default): 2.56 -> 2.23-2.42 s here where the in-plan exact-"
+        "Jaccard oracle baseline dominates; the production-path win is "
+        "at scale — sf10 recall-tuned banding 269 s (r8 join verify) "
+        "-> ~43-89 s (grouped), see SCALE_STEP_100X.json",
+        "sampling_ops": "1.83-2.13 s across r9 runs = flat net of "
+        "window vs r8's 2.27 s (the r8 additions' pricing note stands: "
+        "three hash-adjudicated families rode in at r8; portable md5 "
+        "hash is adjudication-only, production keeps xxhash64)",
+        "llm_prep_ops": "r8 persist experiment stays reverted (lazy "
+        ".persist() on the shared lm-scoring subtree regressed 1.09 -> "
+        "3.46 s: both union branches raced to build the cache and "
+        "materialization defeated ReuseExchange); 0.98-1.2 s at r9",
         "knn_ann": "setup still includes per-run OPQ training (~2.4 s, "
-        "documented r7) — persisted-index builds pay it once",
-        "multimodal_ops": "x0.84-0.98 vs r7 across runs: the r8 "
-        "vectorized PNG unfilter (per-lane cumsum + plain-int "
-        "Average/Paeth, 6-10x the old numpy-scalar loop; cap raised "
-        "4 -> 16 MP) trims the png rows while codec rows are "
-        "unchanged",
+        "documented r7) — persisted-index builds pay it once (now "
+        "measured as ivf/ivfpq index build+query rows in "
+        "SCALE_STEP_100X.json)",
+        "multimodal_ops": "2.40-2.80 s across r9 runs vs r8's 3.59 — "
+        "window-consistent, no media code change this round",
     }
     detail = {
         "metric": "headline_queries_total_runtime",
