@@ -229,8 +229,9 @@ def main() -> None:
         "run, not absolute seconds across hours; "
         "tools/bench_compare.py OLD NEW --changed q1,q2 computes the "
         "untouched-median window and per-query net ratios mechanically",
-        "_window_r9": "committed sidecar = the last of four same-hour "
-        "r9 runs (query totals 34.0/34.1/34.9/35.6 s, tight); per-query "
+        "_window_r9": "committed sidecar = the last of five same-hour "
+        "r9 runs (query totals 34.0/34.1/34.9/35.6/35.3 s, tight; the "
+        "final run carries the streamed-kernel LSH default); per-query "
         "deltas vs BENCH_r08 read ~x0.88 from the window alone",
         "grouping_analytics": "r8 flag RESOLVED by three same-hour r9 "
         "runs on identical operator code: 0.82 / 1.06 / 1.23 s — the "
