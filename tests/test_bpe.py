@@ -153,6 +153,12 @@ def test_bpe_distributed_counts_match_driver_tokenization(spark):
         "",
         "nbsp\u00a0split and\u2009thin",
         "line\u2028sep\u00a0\u2009run",
+        # U+001C-U+001F (FS/GS/RS/US): Python's bare \s matches them,
+        # Java's (?U)\s (White_Space property) does NOT \u2014 _PRETOKEN_RE
+        # pins to the Java class, so these glom into the adjacent
+        # non-space runs on BOTH sides (the residual-gap fix)
+        "fs\x1cgs\x1drs\x1eus\x1f end",
+        "\x1c\x1d lead and trail \x1e\x1f",
     ]
     expect: Counter = Counter()
     for t in texts:

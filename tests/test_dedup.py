@@ -516,6 +516,48 @@ def test_incremental_index_parity_and_idempotence(spark, sf_dir, tmp_path):
     assert again["survivors"].count() == 0
 
 
+def test_dedup_increment_telemetry_counts_colliding_buckets_only(spark):
+    """The ingest guard's n_buckets telemetry matches the batch guard's
+    colliding-bucket semantics: singleton shard buckets with zero
+    candidate mass (no index collision, <2 shard members) are excluded.
+    A shard of one index-dup + two distinct docs must report at most
+    `bands` buckets (the dup's collisions), not every shard (band,
+    bucket) group."""
+    import tempfile
+
+    from uma_etl_iis_loader_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_increment,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(0, base)], "doc_id long, text string"
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of the indexed doc: collides per band
+            (11, "completely unrelated first text about gardening tools"),
+            (12, "another disjoint document discussing maritime law"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = tempfile.mkdtemp(prefix="dedup_telem_") + "/idx"
+    kw = dict(num_hashes=16, bands=4, n=3, char_level=False)
+    build_minhash_index(corpus, idx, **kw)
+    out = dedup_increment(
+        shard, idx, threshold=0.5, update_index=False,
+        max_candidate_pairs=10_000, **kw
+    )
+    t = out["telemetry"]
+    # the dup collides in every band (identical text -> identical
+    # signature); the two distinct docs' singleton buckets contribute
+    # zero mass and must not inflate the count
+    assert t["candidate_mass"] >= 4
+    assert 1 <= t["n_buckets"] <= 4  # never the ~12 total shard groups
+    assert t["max_new"] >= 1 and t["max_old"] >= 1
+
+
 def test_dedup_increment_fails_loudly_on_bands_without_grams(spark):
     """A band entry whose id has no gram row means the index's two tables
     diverged (external corruption — the grams-first write order cannot

@@ -43,8 +43,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# partitions the text completely: every char is in exactly one pre-token
-_PRETOKEN_RE = re.compile(r"\S+|\s+")
+# partitions the text completely: every char is in exactly one pre-token.
+# The whitespace class is pinned to the Unicode White_Space property —
+# exactly what the JVM's ``(?U)\s`` in bpe_word_counts matches. Python's
+# bare ``\s`` additionally counts U+001C–U+001F (FS/GS/RS/US control
+# separators: bidi class B/S, but White_Space=No), so with the naive
+# pattern text containing those four chars pre-tokenizes differently on
+# the driver/encode side than in the distributed counts path. The four
+# are moved to the NON-space side here to match Java; parity is
+# law-tested including U+001C–U+001F (test_bpe.py).
+_PRETOKEN_RE = re.compile(r"[\S\u001c-\u001f]+|[^\S\u001c-\u001f]+")
 
 BASE_VOCAB = 256
 
@@ -97,13 +105,17 @@ def bpe_word_counts(
     exact ``\\S+|\\s+`` pre-token partition, one explode, ONE count
     aggregation with map-side combine. The JVM pattern carries ``(?U)``
     (UNICODE_CHARACTER_CLASS): Java's bare ``\\s`` is ASCII-only while
-    Python's ``re`` (the driver/encode tokenizer, ``_PRETOKEN_RE``) is
-    Unicode-aware — without the flag, Unicode whitespace (NBSP
-    ``\\u00a0``, thin space ``\\u2009``, line sep ``\\u2028``)
-    partitions differently here than at encode time and counts-trained
-    merges silently diverge (parity is law-tested with non-ASCII
-    whitespace in ``test_bpe.py``). The result is vocabulary-sized
-    (Zipf — distinct pre-tokens ≪ token stream), not corpus-sized."""
+    Python's ``re`` is Unicode-aware — without the flag, Unicode
+    whitespace (NBSP ``\\u00a0``, thin space ``\\u2009``, line sep
+    ``\\u2028``) partitions differently here than at encode time and
+    counts-trained merges silently diverge. The residual asymmetry runs
+    the OTHER way: Python's ``\\s`` also matches U+001C–U+001F (bidi
+    B/S controls, White_Space=No), which Java's ``(?U)\\s`` does not —
+    so ``_PRETOKEN_RE`` pins its whitespace class to the Unicode
+    White_Space property too. Parity is exact and law-tested with
+    non-ASCII whitespace AND U+001C–U+001F in ``test_bpe.py``. The
+    result is vocabulary-sized (Zipf — distinct pre-tokens ≪ token
+    stream), not corpus-sized."""
     t = F.col(text_col).cast("string")
     if max_chars_per_doc is not None:
         t = F.substring(t, 1, max_chars_per_doc)

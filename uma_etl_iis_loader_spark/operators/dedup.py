@@ -353,6 +353,41 @@ def _band_entries(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("id", "bb.band", "bb.bucket")
 
 
+def _chained_mass_expr(m, max_bucket: int | None):
+    """Per-bucket candidate mass: m·(m−1)/2, or m−1 above the
+    representative-chaining ceiling."""
+    per_bucket = m * (m - 1) / 2
+    if max_bucket is not None:
+        per_bucket = F.when(m > max_bucket, (m - 1).cast("double")).otherwise(
+            per_bucket
+        )
+    return per_bucket
+
+
+def _raise_lsh_budget(
+    mass: int,
+    n_buckets: int,
+    max_m: int,
+    max_candidate_pairs: int,
+    max_bucket: int | None,
+    bands: int,
+    rows: int,
+    threshold: float,
+) -> None:
+    raise RuntimeError(
+        f"LSH candidate budget exceeded: {mass} candidate pairs "
+        f"(budget {max_candidate_pairs}) at banding {bands} bands x "
+        f"{rows} rows, threshold {threshold} "
+        f"({n_buckets} colliding buckets, largest "
+        f"{max_m} docs, max_bucket={max_bucket}). Options: "
+        f"(a) fewer/wider bands (rows per band up) raises the "
+        f"collision s-curve and cuts candidate mass, (b) set or "
+        f"lower max_bucket to verify giant buckets by "
+        f"representative chaining (m-1 comparisons), (c) raise "
+        f"max_candidate_pairs if the mass is genuinely budgeted."
+    )
+
+
 def _lsh_candidate_budget_check(
     banded: DataFrame,
     max_candidate_pairs: int,
@@ -367,19 +402,18 @@ def _lsh_candidate_budget_check(
     boilerplate-dense corpus at a recall-tuned banding can put millions
     of pairs through the verify step; this turns a multi-minute (at
     100 TB: multi-hour) surprise into an immediate error that carries
-    the measured mass and the banding recipe."""
+    the measured mass and the banding recipe. (The grouped verify path
+    folds this check into its collision-stats collect instead of
+    calling here — one aggregation serves guard + shuffle sizing.)"""
     m = F.col("m")
-    per_bucket = m * (m - 1) / 2
-    if max_bucket is not None:
-        per_bucket = F.when(m > max_bucket, (m - 1).cast("double")).otherwise(
-            per_bucket
-        )
     stat = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(m >= 2)
         .agg(
-            F.coalesce(F.sum(per_bucket), F.lit(0.0)).alias("mass"),
+            F.coalesce(
+                F.sum(_chained_mass_expr(m, max_bucket)), F.lit(0.0)
+            ).alias("mass"),
             F.coalesce(F.max("m"), F.lit(0)).alias("max_m"),
             F.count(F.lit(1)).alias("n_buckets"),
         )
@@ -387,17 +421,9 @@ def _lsh_candidate_budget_check(
     )
     mass = int(stat["mass"])
     if mass > max_candidate_pairs:
-        raise RuntimeError(
-            f"LSH candidate budget exceeded: {mass} candidate pairs "
-            f"(budget {max_candidate_pairs}) at banding {bands} bands x "
-            f"{rows} rows, threshold {threshold} "
-            f"({stat['n_buckets']} colliding buckets, largest "
-            f"{stat['max_m']} docs, max_bucket={max_bucket}). Options: "
-            f"(a) fewer/wider bands (rows per band up) raises the "
-            f"collision s-curve and cuts candidate mass, (b) set or "
-            f"lower max_bucket to verify giant buckets by "
-            f"representative chaining (m-1 comparisons), (c) raise "
-            f"max_candidate_pairs if the mass is genuinely budgeted."
+        _raise_lsh_budget(
+            mass, int(stat["n_buckets"]), int(stat["max_m"]),
+            max_candidate_pairs, max_bucket, bands, rows, threshold,
         )
 
 
@@ -477,7 +503,11 @@ def minhash_lsh_pairs(
     Scale: the bucket shuffle keys on (band, band_hash) — web-scale safe
     because bucket sizes concentrate around duplicates; the three knobs
     above are the answer for corpora where they don't (boilerplate-
-    dense web crawls).
+    dense web crawls). The grouped verify's shuffle degree is PINNED
+    from the collision stats (candidate mass / colliding member rows)
+    rather than inherited from ``spark.sql.shuffle.partitions`` or AQE
+    coalescing, so the verify plan is identical run-to-run and scales
+    its task count with the measured work, not a static config.
     """
     if verify not in ("grouped", "join"):
         raise ValueError(f"verify must be 'grouped' or 'join', got {verify!r}")
@@ -495,24 +525,57 @@ def minhash_lsh_pairs(
         banded = _band_entries(
             sigs.filter(F.size("grams") > 0), bands, rows
         )
-        if max_candidate_pairs is not None:
-            _lsh_candidate_budget_check(
-                banded, max_candidate_pairs, max_bucket, bands, rows, threshold
-            )
         # singleton buckets (the overwhelming majority) drop here while
         # rows are still (id, band, bucket) — a count agg whose result
         # is collision-sized (AQE broadcasts it back); gram arrays join
         # in ONLY for the colliding survivor set, so no shuffle ever
-        # moves documents for non-colliding entries.
-        colliding_keys = (
+        # moves documents for non-colliding entries. The stats frame is
+        # persisted and driver-summarized ONCE: the same aggregation
+        # serves the fail-fast budget guard AND pins the verify
+        # shuffle's partition count (below), so the guard costs nothing
+        # extra in grouped mode.
+        bstats = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("bsize"))
             .filter(F.col("bsize") >= 2)
-            .select("band", "bucket")
+            .persist()
         )
-        members = banded.join(colliding_keys, ["band", "bucket"]).join(
-            nonempty, "id"
+        bs = F.col("bsize")
+        summ = bstats.agg(
+            F.coalesce(
+                F.sum(_chained_mass_expr(bs, max_bucket)), F.lit(0.0)
+            ).alias("mass"),
+            F.coalesce(F.max(bs), F.lit(0)).alias("max_m"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.coalesce(F.sum(bs), F.lit(0)).alias("members"),
+        ).collect()[0]
+        mass, members_n = int(summ["mass"]), int(summ["members"])
+        if max_candidate_pairs is not None and mass > max_candidate_pairs:
+            sigs.unpersist()
+            bstats.unpersist()
+            _raise_lsh_budget(
+                mass, int(summ["n_buckets"]), int(summ["max_m"]),
+                max_candidate_pairs, max_bucket, bands, rows, threshold,
+            )
+        # verify-shuffle degree PINNED from the collision stats instead
+        # of inheriting spark.sql.shuffle.partitions / AQE coalescing
+        # (run-to-run plan variance): balance by candidate mass (the
+        # kernel's work unit, ~100k exact-Jaccard comparisons per task)
+        # with a member-row floor (gram-array shuffle volume, ~25k
+        # member rows per task), never below the cluster parallelism.
+        # An explicit numPartitions also stops AQE from re-coalescing
+        # the exchange differently across runs.
+        nparts = min(
+            4096,
+            max(
+                docs.sparkSession.sparkContext.defaultParallelism,
+                -(-mass // 100_000),
+                -(-members_n // 25_000),
+            ),
         )
+        members = banded.join(
+            bstats.select("band", "bucket"), ["band", "bucket"]
+        ).join(nonempty, "id")
 
         id_dt = sigs.schema["id"].dataType.simpleString()
         kern = _bucket_verify_stream_kernel(threshold, max_bucket, sig_margin)
@@ -523,7 +586,7 @@ def minhash_lsh_pairs(
         # 5.3 s streaming, join-verify parity; sf10 recall point:
         # 34 s vs 131 s join verify).
         verified = (
-            members.repartition("band", "bucket")
+            members.repartition(nparts, "band", "bucket")
             .sortWithinPartitions("band", "bucket")
             .mapInPandas(kern, f"id_a {id_dt}, id_b {id_dt}")
             .distinct()
@@ -568,6 +631,8 @@ def minhash_lsh_pairs(
     if pin:
         verified = verified.localCheckpoint(eager=True)
         sigs.unpersist()
+        if verify == "grouped":
+            bstats.unpersist()
     return verified
 
 
@@ -1430,7 +1495,10 @@ def dedup_increment(
     should be a one-line error, not a stalled ingest. The measured
     telemetry is returned under the ``"telemetry"`` key (a plain dict:
     ``candidate_mass``, ``n_buckets``, ``max_new``, ``max_old``);
-    ``None`` when the guard is off (no extra index scan).
+    ``None`` when the guard is off (no extra index scan). ``n_buckets``
+    counts MASS-CONTRIBUTING buckets only (an index collision, or ≥2
+    shard members) — the batch guard's colliding-bucket semantics, not
+    every shard (band, bucket) group.
     """
     spark = new_docs.sparkSession
     rows = num_hashes // bands
@@ -1457,6 +1525,11 @@ def dedup_increment(
         mn, mo = F.col("m_new"), F.coalesce(F.col("m_old"), F.lit(0))
         stat = (
             new_cnt.join(old_cnt, ["band", "bucket"], "left")
+            # mass-contributing buckets only (m_new·m_old + m_new·(m_new−1)/2
+            # > 0 ⇔ index collision or ≥2 shard members) — singleton shard
+            # buckets with zero candidate mass are excluded so n_buckets
+            # matches the batch guard's colliding-bucket semantics
+            .filter((mo >= 1) | (mn >= 2))
             .agg(
                 F.coalesce(
                     F.sum(mn * mo + mn * (mn - 1) / 2), F.lit(0.0)
