@@ -13,22 +13,38 @@ rather than silent):
   corpus_stats_ops, multimodal_ops) embed exact-oracle recomputation by
   DESIGN (the correctness gate's cost, not the production path); their
   production constituents are measured individually below;
-- the PERSISTED ANN serving layout IS measured here (r9): IVF index
-  build (one-time ingest cost, scaled nlist = constant cell size) and
-  the partition-pruned query pass timed as SEPARATE rows, plus the
-  IVF+PQ build + distributed query path. The transient knn_* rows
-  (index rebuilt per query call) stay first-step-only — they measure
-  the same arithmetic with the build cost mixed in;
+- the PERSISTED ANN serving layout IS measured here: IVF index build
+  (one-time ingest cost, scaled nlist = constant cell size) and the
+  partition-pruned query pass timed as SEPARATE rows, plus the IVF+PQ
+  build + distributed query path, plus the two stateless ANN rungs
+  (SRP-LSH and flat PQ+refine over the fixed query set). The transient
+  knn_* rows (index rebuilt per query call) stay first-step-only — they
+  measure the same arithmetic with the build cost mixed in;
 - z-order layout is a full-table rewrite (IO-bound; linear by
   construction — file count = ceil(bytes/target)).
 
-etl_job_sync is additionally split into `etl_payload_build` (pure
-driver-side Python building the REST-client payloads from the customer
-table — grows with the fixture but is NOT an engine scaling signal)
-and `etl_spark_sync` (payloads prebuilt, the two run_etl syncs +
-materialization timed alone) so growth attributes to the right side.
+ENGINE vs SIMULATION rows: etl_job_sync is split into
+`etl_payload_build` (pure driver-side Python building the REST-client
+payloads from the customer table — the REFERENCE CLIENT's role, grows
+with the fixture but is NOT an engine scaling signal) and
+`etl_spark_sync` (payloads prebuilt, the two run_etl syncs +
+materialization timed alone). The headline `total_ratio` covers ENGINE
+rows only: `etl_payload_build` (driver simulation) and `etl_job_sync`
+(which embeds that simulation) are reported per-row for attribution but
+excluded from the totals; `all_rows_total_ratio` keeps the
+everything-in number for continuity with r8/r9 artifacts.
+
+ISOLATED PROBES (mechanized): any row whose scaled-pass time disagrees
+with the committed SCALE_STEP_100X.json by more than --probe-threshold
+(default 1.5x, either direction) is automatically re-measured in 3
+FRESH sessions (subprocess per run, same warm-up discipline) and the
+probe MEDIAN is what lands in scaled_s/base_s/ratio; the inline value
+and all probe runs are preserved under "probes" so the spread is
+auditable. --force-probe=row1,row2 probes rows unconditionally;
+--no-probe disables the phase (e.g. for quick smoke runs).
 
 Usage: python tools/bench_scale_100x.py [sf1_dir] [sf10_dir]
+           [--probe-threshold X] [--force-probe a,b] [--no-probe]
 Prints one JSON line; paste into SCALE.md's 100x section.
 """
 
@@ -36,6 +52,8 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -52,8 +70,11 @@ SUBSET = [
     "ivf_index_query",
     "ivfpq_index_build",
     "ivfpq_index_query_dist",
+    "srp_lsh_topk",
+    "pq_flat_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_margin",
     "dedup_minhash_lsh_bounded",
     "dedup_minhash_lsh_hiprec",
     "repeated_passages_hashed",
@@ -71,8 +92,27 @@ SUBSET = [
     "decontam_strike_5gram",
 ]
 
+# rows that are NOT engine scaling signals (driver-side REST-client
+# payload simulation, and the combined row that embeds it) — reported
+# for attribution, excluded from the headline totals
+SIMULATION_ROWS = {"etl_payload_build", "etl_job_sync"}
 
-def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
+# probe-mode dependency graph: rows whose thunk consumes state another
+# row's thunk produces (payload dicts, persisted index paths). Probing
+# a dependent row runs its deps first, untimed, in the same session.
+DEPS = {
+    "etl_spark_sync": ["etl_payload_build"],
+    "ivf_index_query": ["ivf_index_build"],
+    "ivfpq_index_query_dist": ["ivfpq_index_build"],
+}
+
+
+def build_workloads(spark, sf_dir: str, base_dir: str):
+    """Full thunk dict for one SF dir (bench_scale's workloads plus the
+    100x-only rows). Returns (thunks, cleanup_fn). State produced by one
+    thunk for another (ETL payloads, ANN index paths) lives in closure
+    dicts keyed by sf_dir, so deps must run first — run() follows SUBSET
+    order; probe mode follows DEPS."""
     from uma_etl_iis_loader_spark.plans.fixtures import (
         materialize_schedule_fixture,
     )
@@ -126,6 +166,28 @@ def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
 
     w["dedup_minhash_lsh_bounded"] = lsh_bounded
 
+    def lsh_margin():
+        # the estimate-first cascade at the recall operating point:
+        # pairs whose signature-estimated Jaccard falls below
+        # threshold - 0.2 skip the exact gram intersection
+        # (false-negative prob per true pair <= exp(-2*0.2^2*64) ~ 0.6%,
+        # Hoeffding). Emitted pairs are a SUBSET of the grouped row's
+        # (estimate only ever skips; everything emitted is still
+        # exact-verified), so measured recall = rows(margin)/rows(grouped)
+        # — computed below from the captured row counts.
+        from uma_etl_iis_loader_spark.io import read_fixture
+        from uma_etl_iis_loader_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = read_fixture(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, n=3, threshold=0.35,
+            char_level=False, sig_margin=0.2,
+        )
+
+    w["dedup_minhash_lsh_margin"] = lsh_margin
+
     # --- etl_job_sync phase split: driver payload build vs Spark sync ---
     payloads: dict[str, tuple] = {}
 
@@ -168,12 +230,15 @@ def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
     import shutil
     import tempfile
 
+    from pyspark.sql import functions as F
+
     from uma_etl_iis_loader_spark.io import read_fixture as _rf
     from uma_etl_iis_loader_spark.operators.similarity import (
         build_ivf_index,
         build_ivfpq_index,
         ivf_index_topk,
         ivfpq_topk,
+        srp_lsh_topk,
     )
 
     ann_paths: dict[str, str] = {}
@@ -182,8 +247,6 @@ def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
         return _rf(spark, sf_dir, "embeddings", split=False)
 
     def _fixed_queries():
-        from pyspark.sql import functions as F
-
         emb_base = _rf(spark, base_dir, "embeddings", split=False)
         return emb_base.filter(F.col("vec_id") % 25 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -223,21 +286,166 @@ def run(spark, sf_dir: str, base_dir: str) -> dict[str, float]:
     w["ivfpq_index_build"] = ivfpq_index_build
     w["ivfpq_index_query_dist"] = ivfpq_index_query_dist
 
-    out = {}
-    for name in SUBSET:
+    def srp_topk_row():
+        # the STATELESS ANN rung: data-independent hyperplane signatures
+        # (pure map on the ingest side, no training pass, survives
+        # arbitrary appends) + banded candidate join + exact-cosine
+        # rescore. Production banding for a 200k-vector corpus:
+        # 32 bits / 4 bands = 8-bit chunks — random-pair collision
+        # ~0.4%/band, so the candidate join stays ~|Q| x |C| x 1.6%
+        # instead of brute force's |Q| x |C|. Serves the append-heavy /
+        # no-retrain regime; IVF(+PQ) serves the read-heavy one.
+        return srp_lsh_topk(
+            _emb(), _fixed_queries(), k=10, n_bits=32, bands=4, d=64
+        )
+
+    def pq_flat_row():
+        # the flat PQ+refine rung (bench_scale's pq_fixed_q shape):
+        # constant-size codebook train + linear Arrow encode + ADC scan
+        # with partition-local top-k + exact rescore of k*4 candidates.
+        # Serves memory-bound corpora where 8-byte codes must replace
+        # 256-byte vectors but cell-pruned layouts aren't warranted
+        # (uniform query load, no hot cells).
+        from uma_etl_iis_loader_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        emb = _emb()
+        books = train_pq_codebooks(emb, m=8, ksub=256)
+        return pq_topk(
+            pq_encode(emb, books), books, _fixed_queries(), k=10,
+            refine_corpus=emb, refine_factor=4,
+        )
+
+    w["srp_lsh_topk"] = srp_topk_row
+    w["pq_flat_topk"] = pq_flat_row
+
+    def cleanup():
+        for p in ann_paths.values():
+            shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+    return w, cleanup
+
+
+def run(spark, sf_dir: str, base_dir: str, names=None):
+    """Time each row; returns (times, row_counts)."""
+    w, cleanup = build_workloads(spark, sf_dir, base_dir)
+    out, counts = {}, {}
+    try:
+        for name in names or SUBSET:
+            t0 = time.time()
+            counts[name] = w[name]().count()
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        cleanup()
+    return out, counts
+
+
+def _warmup(spark, base: str):
+    r = spark.read.parquet(os.path.join(base, "region.parquet"))
+    r.alias("a").join(r.alias("b"), "r_regionkey").count()
+
+
+def probe_row(name: str, base: str, scaled: str) -> None:
+    """One fresh-session isolated probe: warm at base (deps + row,
+    untimed), timed base run, then deps + timed scaled run. Prints one
+    PROBE_RESULT line."""
+    from uma_etl_iis_loader_spark.session import build_session
+
+    spark = build_session("bench_scale_100x_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, base)
+    deps = DEPS.get(name, [])
+
+    w, cleanup = build_workloads(spark, base, base)
+    try:
+        for d in deps:
+            w[d]().count()
+        w[name]().count()  # warm pass: codegen shapes
         t0 = time.time()
         w[name]().count()
-        out[name] = round(time.time() - t0, 3)
-    for p in ann_paths.values():
-        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
-    return out
+        base_s = round(time.time() - t0, 3)
+    finally:
+        cleanup()
+
+    w, cleanup = build_workloads(spark, scaled, base)
+    try:
+        for d in deps:
+            w[d]().count()
+        t0 = time.time()
+        w[name]().count()
+        scaled_s = round(time.time() - t0, 3)
+    finally:
+        cleanup()
+    print(
+        "PROBE_RESULT "
+        + json.dumps({"row": name, "base_s": base_s, "scaled_s": scaled_s})
+    )
+
+
+def _run_probes(rows, base, scaled, reps=3):
+    """Fresh-session probes: `reps` subprocesses per row, median lands.
+    Each subprocess re-runs this script with --probe-row (inheriting
+    SPARK_GRAFT_* env), so every sample is a cold JVM with the same
+    warm-pass discipline as the inline harness."""
+    results = {}
+    for name in rows:
+        runs_b, runs_s = [], []
+        for i in range(reps):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--probe-row", name, base, scaled],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = next(
+                (ln for ln in reversed(p.stdout.splitlines())
+                 if ln.startswith("PROBE_RESULT ")),
+                None,
+            )
+            if line is None:
+                print(
+                    f"probe {name} run {i} failed rc={p.returncode}: "
+                    f"{p.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+                continue
+            r = json.loads(line[len("PROBE_RESULT "):])
+            runs_b.append(r["base_s"])
+            runs_s.append(r["scaled_s"])
+        if runs_s:
+            results[name] = {
+                "runs_base_s": runs_b,
+                "runs_scaled_s": runs_s,
+                "median_base_s": round(statistics.median(runs_b), 3),
+                "median_scaled_s": round(statistics.median(runs_s), 3),
+                "spread_scaled": round(max(runs_s) / max(min(runs_s), 1e-3), 2),
+            }
+    return results
 
 
 def main() -> None:
     from uma_etl_iis_loader_spark.session import build_session
 
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
-    scaled = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf10"
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--probe-row":
+        probe_row(argv[1], argv[2], argv[3])
+        return
+
+    threshold, force, do_probe = 1.5, [], True
+    pos = []
+    for a in argv:
+        if a.startswith("--probe-threshold"):
+            threshold = float(a.split("=", 1)[1])
+        elif a.startswith("--force-probe"):
+            force = [s for s in a.split("=", 1)[1].split(",") if s]
+        elif a == "--no-probe":
+            do_probe = False
+        else:
+            pos.append(a)
+    base = pos[0] if pos else "/root/repo/testdata_sf1"
+    scaled = pos[1] if len(pos) > 1 else "/root/repo/testdata_sf10"
     for d, tiles, src in ((base, 10, "/root/testdata/sf0.1"),
                           (scaled, 100, "/root/testdata/sf0.1")):
         if not os.path.isdir(d):
@@ -253,13 +461,57 @@ def main() -> None:
         )
     spark = build_session("bench_scale_100x")
     spark.sparkContext.setLogLevel("ERROR")
-    r = spark.read.parquet(os.path.join(base, "region.parquet"))
-    r.alias("a").join(r.alias("b"), "r_regionkey").count()
+    _warmup(spark, base)
 
     run(spark, base, base)  # warm pass: codegen shapes
-    t_base = run(spark, base, base)
-    t_scaled = run(spark, scaled, base)
+    t_base, n_base = run(spark, base, base)
+    t_scaled, n_scaled = run(spark, scaled, base)
+
+    # mechanized isolated probes: compare this run's scaled pass to the
+    # committed artifact; disagreement beyond the threshold (either
+    # direction) = window-suspect cell -> fresh-session median-of-3
+    prior_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_STEP_100X.json",
+    )
+    flagged = list(force)
+    prior_scaled = {}
+    if os.path.isfile(prior_path):
+        try:
+            prior_scaled = json.load(open(prior_path)).get("scaled_s", {})
+        except (json.JSONDecodeError, OSError):
+            pass
+    for k, cur in t_scaled.items():
+        pri = prior_scaled.get(k)
+        if pri and k not in flagged:
+            hi, lo = max(cur, pri), max(min(cur, pri), 1e-3)
+            if hi / lo > threshold:
+                flagged.append(k)
+    probes = {}
+    if do_probe and flagged:
+        print(f"probing (fresh-session median-of-3): {flagged}",
+              file=sys.stderr)
+        probes = _run_probes(flagged, base, scaled)
+        for k, pr in probes.items():
+            pr["inline_base_s"] = t_base[k]
+            pr["inline_scaled_s"] = t_scaled[k]
+            pr["prior_scaled_s"] = prior_scaled.get(k)
+            t_base[k] = pr["median_base_s"]
+            t_scaled[k] = pr["median_scaled_s"]
+
     ratios = {k: round(t_scaled[k] / max(t_base[k], 1e-3), 2) for k in t_base}
+    eng_b = sum(v for k, v in t_base.items() if k not in SIMULATION_ROWS)
+    eng_s = sum(v for k, v in t_scaled.items() if k not in SIMULATION_ROWS)
+    margin_recall = {
+        d: (
+            round(
+                n["dedup_minhash_lsh_margin"] / n["dedup_minhash_lsh"], 4
+            )
+            if n.get("dedup_minhash_lsh")
+            else None
+        )
+        for d, n in (("base", n_base), ("scaled", n_scaled))
+    }
     print(
         json.dumps(
             {
@@ -269,11 +521,27 @@ def main() -> None:
                 "base_s": t_base,
                 "scaled_s": t_scaled,
                 "ratio": ratios,
-                "base_total_s": round(sum(t_base.values()), 2),
-                "scaled_total_s": round(sum(t_scaled.values()), 2),
-                "total_ratio": round(
+                # ENGINE totals: driver-side REST-payload simulation
+                # (etl_payload_build, and etl_job_sync which embeds it)
+                # excluded; etl_spark_sync carries the engine cost
+                "base_total_s": round(eng_b, 2),
+                "scaled_total_s": round(eng_s, 2),
+                "total_ratio": round(eng_s / eng_b, 2),
+                "excluded_from_total": sorted(SIMULATION_ROWS),
+                "all_rows_total_ratio": round(
                     sum(t_scaled.values()) / sum(t_base.values()), 2
                 ),
+                # sig_margin cascade: emitted pairs are a subset of the
+                # grouped row's, so recall = rows(margin)/rows(grouped)
+                "lsh_margin_pair_recall": margin_recall,
+                "lsh_pair_rows": {
+                    k: n_scaled.get(k)
+                    for k in (
+                        "dedup_minhash_lsh", "dedup_minhash_lsh_margin",
+                        "dedup_minhash_lsh_bounded",
+                    )
+                },
+                "probes": probes,
             }
         )
     )
