@@ -233,6 +233,22 @@ def main() -> None:
         "r9 runs (query totals 34.0/34.1/34.9/35.6/35.3 s, tight; the "
         "final run carries the streamed-kernel LSH default); per-query "
         "deltas vs BENCH_r08 read ~x0.88 from the window alone",
+        "_window_r10": "committed sidecar = cleanest of three same-hour "
+        "r10 runs (query totals 33.8/34.2/32.6 s; untouched-median "
+        "window vs BENCH_r09 x0.83-0.87)",
+        "curation_pipeline": "r9 bench_compare flag (1.40 net, "
+        "untouched code) CLEARED by three same-hour r10 runs: "
+        "0.64/0.71/0.73 s, net x0.73-0.87 vs r9 — the r9 1.01 s cell "
+        "was window noise, no code cause",
+        "stream_sessionize": "r9 bench_compare flag (1.30 net, "
+        "untouched code) CLEARED: 0.70/0.72/0.80 s across three r10 "
+        "runs, net x0.92-1.03 vs r9, inside the jitter band",
+        "dedup_exact": "r10 watch: 1.59/1.83/1.91 s across three "
+        "same-hour runs vs a 1.48-1.62 s r6-r9 history on byte-"
+        "identical code (one shuffle on the 8-byte fingerprint; "
+        "sf0.1->sf1 step ratio 2.2, clean) — run 1 sits in-band, so "
+        "this is the grouping_analytics scheduler-noise class "
+        "(absolute spread ±0.35 s); re-measure next round",
         "grouping_analytics": "r8 flag RESOLVED by three same-hour r9 "
         "runs on identical operator code: 0.82 / 1.06 / 1.23 s — the "
         "query's OWN run-to-run spread is ±0.4 s (it unions cube + "
@@ -244,7 +260,12 @@ def main() -> None:
         "default): 2.56 -> 2.23-2.42 s here where the in-plan exact-"
         "Jaccard oracle baseline dominates; the production-path win is "
         "at scale — sf10 recall-tuned banding 269 s (r8 join verify) "
-        "-> ~43-89 s (grouped), see SCALE_STEP_100X.json",
+        "-> ~24-47 s (grouped), see SCALE_STEP_100X.json. r10: the "
+        "verify shuffle degree is now PINNED from the collision stats "
+        "(one persisted agg serves the budget guard + repartition "
+        "count); 2.31-2.52 s across three r10 runs, net x1.09-1.15 = "
+        "jitter-band, i.e. the extra driver summary costs nothing "
+        "measurable at sf0.1",
         "sampling_ops": "1.83-2.13 s across r9 runs = flat net of "
         "window vs r8's 2.27 s (the r8 additions' pricing note stands: "
         "three hash-adjudicated families rode in at r8; portable md5 "
