@@ -671,29 +671,56 @@ def _bucket_verify_stream_kernel(
                 continue
             order = np.argsort(ids_all[s:e], kind="stable") + s
             ids = ids_all[order]
-            grams = [frozenset(grams_all[i]) for i in order]
-            sizes = [len(g) for g in grams]
-            sigm = (
-                np.array([np.asarray(sig_all[i]) for i in order])
-                if sig_all is not None
-                else None
-            )
+            if sig_all is None:
+                # exact-only path: grams materialize for every member
+                grams = [frozenset(grams_all[i]) for i in order]
+            else:
+                # cascade path: frozensets build LAZILY — only members
+                # reaching an exact verify pay the set construction
+                # (on a boilerplate-light corpus the estimate kills
+                # most candidates, so most members never build one)
+                grams = [None] * m
+                sigm = np.array([np.asarray(sig_all[i]) for i in order])
+
+            def gset(i: int) -> frozenset:
+                g = grams[i]
+                if g is None:
+                    g = grams[i] = frozenset(grams_all[order[i]])
+                return g
 
             def check(i: int, j: int) -> None:
-                if sigm is not None:
-                    if float((sigm[i] == sigm[j]).mean()) < est_floor:
-                        return
-                inter = len(grams[i] & grams[j])
-                if inter / (sizes[i] + sizes[j] - inter) >= threshold:
+                ga, gb = gset(i), gset(j)
+                inter = len(ga & gb)
+                if inter / (len(ga) + len(gb) - inter) >= threshold:
                     out_a.append(ids[i])
                     out_b.append(ids[j])
 
-            if max_bucket is not None and m > max_bucket:
-                for j in range(1, m):  # representative chain on min id
+            chained = max_bucket is not None and m > max_bucket
+            # row-sweep the signature estimate: ONE vectorized numpy
+            # comparison of member i against all later members (the
+            # per-PAIR numpy call this replaces cost more than the
+            # frozenset intersection it skipped — measured x1.75 SLOWER
+            # than no cascade at the sf10 recall point; the sweep makes
+            # the estimate ~free, m array ops per bucket, not m²/2)
+            if chained:
+                if sig_all is not None:
+                    ok = (sigm[1:] == sigm[0]).mean(axis=1) >= est_floor
+                    js = (np.flatnonzero(ok) + 1).tolist()
+                else:
+                    js = range(1, m)
+                for j in js:  # representative chain on min id
                     check(0, j)
             else:
-                for i in range(m):
-                    for j in range(i + 1, m):
+                for i in range(m - 1):
+                    if sig_all is not None:
+                        ok = (
+                            (sigm[i + 1:] == sigm[i]).mean(axis=1)
+                            >= est_floor
+                        )
+                        js = (np.flatnonzero(ok) + i + 1).tolist()
+                    else:
+                        js = range(i + 1, m)
+                    for j in js:
                         check(i, j)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
