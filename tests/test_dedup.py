@@ -138,6 +138,26 @@ def test_minhash_lsh_sig_margin_preserves_pairs(spark):
     assert casc == base
 
 
+def test_minhash_lsh_pin_releases_both_caches(spark):
+    """pin=True must unpersist BOTH internal caches (signature frame +
+    grouped-mode collision-stats frame): the only persisted RDD left
+    after the call is the localCheckpoint of the pair output itself.
+    pin=False leaves both persisted (the lazy plan references them) —
+    documented cache-lifetime contract in the docstring."""
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    before = jsc.getPersistentRDDs().size()
+    out = minhash_lsh_pairs(_docs(spark), num_hashes=64, bands=16, n=5,
+                            threshold=0.5, pin=True)
+    assert jsc.getPersistentRDDs().size() == before + 1  # checkpoint only
+    out.count()
+    lazy = minhash_lsh_pairs(_docs(spark), num_hashes=64, bands=16, n=5,
+                             threshold=0.5, pin=False)
+    assert jsc.getPersistentRDDs().size() == before + 3  # + sigs + bstats
+    lazy.count()
+    spark.catalog.clearCache()  # the documented release path
+
+
 def test_minhash_lsh_chained_subset_and_closure(spark):
     """Representative chaining above max_bucket: (a) chained pairs ⊆
     unbounded pairs (never a false positive), (b) on a duplicate FAMILY

@@ -445,6 +445,18 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified
     (``pin`` as in ngram_jaccard_pairs: eager output + released caches).
 
+    Cache lifetime: ``pin=True`` (default) eagerly materializes the
+    small pair output (``localCheckpoint``) and unpersists BOTH internal
+    caches — the signature/gram frame and, in grouped mode, the
+    collision-stats frame (``bstats``, the per-(band, bucket) size agg
+    that serves the budget guard and pins the verify shuffle degree).
+    ``pin=False`` returns a LAZY plan that still references both frames,
+    so both stay persisted for the plan's lifetime; no handle to them is
+    returned, so the caller releases them via
+    ``spark.catalog.clearCache()`` (or session teardown) once the
+    returned plan is consumed. The budget-guard failure path unpersists
+    both before raising regardless of ``pin``.
+
     bands×rows = num_hashes; a pair collides if any band's row-slice
     matches exactly. Candidates are verified with exact gram Jaccard, so
     the output has no false positives — LSH only bounds recall.
