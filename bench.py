@@ -155,6 +155,24 @@ def main() -> None:
         .count()
     )
 
+    # hash/regex expression shapes (md5-of-regexp-canonicalized text,
+    # xxhash64) — the dedup/text family's hot expressions. Without this
+    # the FIRST query to touch them (dedup_exact in HEADLINE order) pays
+    # ~1.8 s of one-time C2 codegen/JIT in its cell: measured fresh-
+    # session 2.47 s first run vs 0.59-0.69 s runs 2-4 on the identical
+    # plan (r11; the r10 "dedup_exact watch" was exactly this JIT noise)
+    s3 = spark.range(0, 100_000).select(
+        _F.concat(
+            _F.lit("Doc Text "), "id", _F.lit(" filler!? WORDS here")
+        ).alias("t")
+    )
+    s3.select(
+        _F.md5(
+            _F.trim(_F.regexp_replace(_F.lower("t"), r"[^a-z0-9]+", " "))
+        ).alias("fp"),
+        _F.xxhash64("t").alias("h"),
+    ).groupBy("fp").agg(_F.min("h")).count()
+
     # Synthesized-fixture materialization, timed ONCE as setup: a real
     # deployment reads schedule_events as a table — per-query numbers
     # should measure the query plan, not re-deriving its input.
@@ -165,6 +183,20 @@ def main() -> None:
     t0 = time.time()
     materialize_schedule_fixture(spark, sf_dir)
     fixture_setup_s = round(time.time() - t0, 3)
+
+    # host-interference gate (tools/hostgate.py): fixed-work calibration
+    # spins + the steal counter bracket the measured section, so a
+    # degraded shared-host window is DETECTED per run instead of argued
+    # from history. Compare gate_before/gate_after across same-round
+    # runs: query deltas under matching calibrations are code; deltas
+    # tracking calibration drift are host.
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import hostgate
+
+    hostgate.warm()
+    gate_before = hostgate.measure()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # per query: setup_s = plan construction + driver-side payload
@@ -213,6 +245,24 @@ def main() -> None:
     # round artifact shows they run at sf0.1, not just on toy test data.
     extras = _run_extras(spark, sf_dir)
 
+    gate_after = hostgate.measure()
+    host_gate = {
+        "before": gate_before,
+        "after": gate_after,
+        "steal_delta_jiffies": gate_after["steal_jiffies"]
+        - gate_before["steal_jiffies"],
+        "cal1_drift": round(
+            max(gate_before["cal1_s"], gate_after["cal1_s"])
+            / max(min(gate_before["cal1_s"], gate_after["cal1_s"]), 1e-3),
+            3,
+        ),
+        "cal32_drift": round(
+            max(gate_before["cal32_s"], gate_after["cal32_s"])
+            / max(min(gate_before["cal32_s"], gate_after["cal32_s"]), 1e-3),
+            3,
+        ),
+    }
+
     # Full detail goes to a sidecar file (committed to the repo): per-query
     # setup split, extras timings, and the embedded 10x scale-step. The
     # driver's artifact capture keeps only the last ~2,000 chars of stdout,
@@ -236,6 +286,18 @@ def main() -> None:
         "_window_r10": "committed sidecar = cleanest of three same-hour "
         "r10 runs (query totals 33.8/34.2/32.6 s; untouched-median "
         "window vs BENCH_r09 x0.83-0.87)",
+        "_window_r11": "every run now carries a host_gate block "
+        "(tools/hostgate.py: fixed-work cal spins + steal bracketing "
+        "the measured section) — the r10 'window narrative' problem is "
+        "mechanized. Eight same-session r11 runs: totals 36.3/36.6/"
+        "40.0 (pre-warmup-fix) then 34.2/48.0/37.3/34.0/33.3; the 48.0 "
+        "run's own gate shows cal1 +52% / cal32 +56% after (host "
+        "degraded mid-run, REJECTED), the 37.3 run cal1 +31% "
+        "(drifted), the three clean-gated cells 33.3-34.2 = spread "
+        "x1.028. bench_compare vs r9: window x0.900, total x0.89, no "
+        "net flag outside the <0.2 s jitter band — r11 vs r9 reads "
+        "~x1.0 as predicted, so BENCH_r10 (window x0.809 vs r11) is "
+        "retired as the degraded-window outlier artifact",
         "curation_pipeline": "r9 bench_compare flag (1.40 net, "
         "untouched code) CLEARED by three same-hour r10 runs: "
         "0.64/0.71/0.73 s, net x0.73-0.87 vs r9 — the r9 1.01 s cell "
@@ -243,12 +305,17 @@ def main() -> None:
         "stream_sessionize": "r9 bench_compare flag (1.30 net, "
         "untouched code) CLEARED: 0.70/0.72/0.80 s across three r10 "
         "runs, net x0.92-1.03 vs r9, inside the jitter band",
-        "dedup_exact": "r10 watch: 1.59/1.83/1.91 s across three "
-        "same-hour runs vs a 1.48-1.62 s r6-r9 history on byte-"
-        "identical code (one shuffle on the 8-byte fingerprint; "
-        "sf0.1->sf1 step ratio 2.2, clean) — run 1 sits in-band, so "
-        "this is the grouping_analytics scheduler-noise class "
-        "(absolute spread ±0.35 s); re-measure next round",
+        "dedup_exact": "r10 watch RESOLVED with a named, measured "
+        "cause: the cell was ~70% one-time JVM JIT of the md5/regexp "
+        "fingerprint shapes — fresh-session first run 2.47 s vs "
+        "0.59-0.69 s runs 2-4 on the IDENTICAL plan (r11 isolation); "
+        "in-bench the cell measured whichever JIT fraction the 10 "
+        "preceding queries hadn't absorbed (r6-r9 1.48-1.62, r10-r11 "
+        "1.59-1.91 — C2 scheduling noise, not a data path). r11 adds "
+        "the fingerprint shapes to the warm-up block (the harness's "
+        "stated contract: cold plans over warm infrastructure), so the "
+        "cell now measures the operator: expect ~0.6 s, a one-time "
+        "DISCONTINUITY vs r10 explained here, not a speedup claim",
         "grouping_analytics": "r8 flag RESOLVED by three same-hour r9 "
         "runs on identical operator code: 0.82 / 1.06 / 1.23 s — the "
         "query's OWN run-to-run spread is ±0.4 s (it unions cube + "
@@ -294,6 +361,7 @@ def main() -> None:
         "sf": float(sf),
         "scale_step_sf1": scale_step,
         "extras": extras,
+        "host_gate": host_gate,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

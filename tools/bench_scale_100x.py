@@ -45,6 +45,7 @@ auditable. --force-probe=row1,row2 probes rows unconditionally;
 
 Usage: python tools/bench_scale_100x.py [sf1_dir] [sf10_dir]
            [--probe-threshold X] [--force-probe a,b] [--no-probe]
+           [--probe-only=a,b --reps=N [--replace]]
 Prints one JSON line; paste into SCALE.md's 100x section.
 """
 
@@ -350,8 +351,12 @@ def _warmup(spark, base: str):
 
 def probe_row(name: str, base: str, scaled: str) -> None:
     """One fresh-session isolated probe: warm at base (deps + row,
-    untimed), timed base run, then deps + timed scaled run. Prints one
-    PROBE_RESULT line."""
+    untimed), timed base run, then deps + timed scaled run. Host-gate
+    calibrations (tools/hostgate.py) bracket the timed work — the
+    parent gates the sample against the session's best calibration.
+    Prints one PROBE_RESULT line."""
+    import hostgate
+
     from uma_etl_iis_loader_spark.session import build_session
 
     spark = build_session("bench_scale_100x_probe")
@@ -364,6 +369,8 @@ def probe_row(name: str, base: str, scaled: str) -> None:
         for d in deps:
             w[d]().count()
         w[name]().count()  # warm pass: codegen shapes
+        hostgate.warm()
+        gate_before = hostgate.measure()
         t0 = time.time()
         w[name]().count()
         base_s = round(time.time() - t0, 3)
@@ -379,23 +386,63 @@ def probe_row(name: str, base: str, scaled: str) -> None:
         scaled_s = round(time.time() - t0, 3)
     finally:
         cleanup()
+    gate_after = hostgate.measure()
     print(
         "PROBE_RESULT "
-        + json.dumps({"row": name, "base_s": base_s, "scaled_s": scaled_s})
+        + json.dumps(
+            {
+                "row": name,
+                "base_s": base_s,
+                "scaled_s": scaled_s,
+                "gate_before": gate_before,
+                "gate_after": gate_after,
+            }
+        )
     )
 
 
-def _run_probes(rows, base, scaled, reps=3):
-    """Fresh-session probes: `reps` subprocesses per row, median lands.
-    Each subprocess re-runs this script with --probe-row (inheriting
-    SPARK_GRAFT_* env), so every sample is a cold JVM with the same
-    warm-pass discipline as the inline harness. Rounds are INTERLEAVED
-    (every row once, then every row again) rather than per-row batches,
-    so a slow host window spreads across all rows instead of poisoning
-    one row's entire sample."""
-    runs: dict[str, tuple[list, list]] = {n: ([], []) for n in rows}
-    for i in range(reps):
-        for name in rows:
+def _sample_gates(s):
+    return [s["gate_before"], s["gate_after"]] if "gate_before" in s else []
+
+
+def _accepted(samples, best):
+    """Split samples into (accepted, rejected) against the session-best
+    calibration. Legacy samples with no gate info count as accepted
+    (pre-gate artifacts merge unchanged)."""
+    import hostgate
+
+    acc, rej = [], []
+    for s in samples:
+        gs = _sample_gates(s)
+        (acc if not gs or hostgate.accept(gs, best) else rej).append(s)
+    return acc, rej
+
+
+def _run_probes(rows, base, scaled, reps=3, max_rounds=None):
+    """Fresh-session HOST-GATED probes: interleaved rounds (every row
+    once, then again — a slow host window spreads across rows instead
+    of poisoning one row's sample) until every row holds `reps`
+    samples whose bracketing calibrations (tools/hostgate.py: fixed-
+    work single-core + whole-host spins before AND after the timed
+    work) sit within tolerance of the SESSION-BEST calibration, or
+    `max_rounds` (default 3*reps) is exhausted. Medians land over the
+    accepted samples only; every raw sample — accepted or gated out —
+    is preserved with its calibrations, so the gate decision is
+    auditable, never prose."""
+    import hostgate
+
+    max_rounds = max_rounds or 3 * reps
+    samples: dict[str, list[dict]] = {n: [] for n in rows}
+    all_gates: list[dict] = []
+    for i in range(max_rounds):
+        best = hostgate.best_cals(all_gates) if all_gates else None
+        pending = [
+            n for n in rows
+            if not best or len(_accepted(samples[n], best)[0]) < reps
+        ]
+        if not pending:
+            break
+        for name in pending:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--probe-row", name, base, scaled],
@@ -414,49 +461,97 @@ def _run_probes(rows, base, scaled, reps=3):
                 )
                 continue
             r = json.loads(line[len("PROBE_RESULT "):])
-            runs[name][0].append(r["base_s"])
-            runs[name][1].append(r["scaled_s"])
+            samples[name].append(r)
+            all_gates.extend(_sample_gates(r))
+    best = hostgate.best_cals(all_gates) if all_gates else None
     return {
-        name: _probe_summary(rb, rs)
-        for name, (rb, rs) in runs.items()
-        if rs
+        name: _probe_summary(ss, best)
+        for name, ss in samples.items()
+        if ss
     }
 
 
-def _probe_summary(runs_b, runs_s):
-    return {
+def _probe_summary(samples, best):
+    """Summarize one row's probe samples: medians over gate-ACCEPTED
+    samples (falls back to all samples, flagged `gate_exhausted`, if
+    the gate rejected every one); all raw samples preserved."""
+    import hostgate
+
+    acc, rej = _accepted(samples, best) if best else (samples, [])
+    gate_exhausted = not acc
+    use = acc or samples
+    runs_b = [s["base_s"] for s in use]
+    runs_s = [s["scaled_s"] for s in use]
+    out = {
         "runs_base_s": runs_b,
         "runs_scaled_s": runs_s,
         "median_base_s": round(statistics.median(runs_b), 3),
         "median_scaled_s": round(statistics.median(runs_s), 3),
         "spread_scaled": round(max(runs_s) / max(min(runs_s), 1e-3), 2),
     }
+    if best:
+        out["gate"] = {
+            "best_cals": best,
+            "tol1": hostgate.TOL1,
+            "tol32": hostgate.TOL32,
+            "accepted": len(acc),
+            "rejected": len(rej),
+            "samples": samples,  # raw, incl. per-sample calibrations
+        }
+        if gate_exhausted:
+            out["gate"]["gate_exhausted"] = True
+    return out
 
 
-def probe_only(rows, reps, base, scaled, artifact_path) -> None:
-    """Top-up mode: run `reps` more interleaved fresh-session probe
-    rounds for `rows` and MERGE them into the committed artifact —
-    run lists append, medians/ratios/totals recompute — without
-    repeating the 17-minute inline passes. This is how a noisy-window
-    artifact converges: keep adding rounds until the medians are
-    sample-backed, every raw run preserved."""
+def probe_only(rows, reps, base, scaled, artifact_path,
+               replace=False) -> None:
+    """Top-up mode: run `reps` more interleaved fresh-session GATED
+    probe rounds for `rows` and fold them into the committed artifact
+    without repeating the 17-minute inline passes. Default: run lists
+    APPEND (legacy continuity; medians/ratios/totals recompute over the
+    union). ``--replace``: the new gated summary REPLACES the row's
+    runs — the old (pre-gate, window-suspect) runs are preserved under
+    ``superseded`` for audit, and the landing medians come from gated
+    samples only. This is how a noisy-window artifact converges."""
     art = json.load(open(artifact_path))
     new = _run_probes(rows, base, scaled, reps=reps)
     probes = art.setdefault("probes", {})
     for name, pr in new.items():
-        if name in probes:
-            old = probes[name]
-            merged = _probe_summary(
-                old["runs_base_s"] + pr["runs_base_s"],
-                old["runs_scaled_s"] + pr["runs_scaled_s"],
-            )
+        old = probes.get(name)
+        if old is not None and not replace:
+            runs_b = old["runs_base_s"] + pr["runs_base_s"]
+            runs_s = old["runs_scaled_s"] + pr["runs_scaled_s"]
+            merged = {
+                "runs_base_s": runs_b,
+                "runs_scaled_s": runs_s,
+                "median_base_s": round(statistics.median(runs_b), 3),
+                "median_scaled_s": round(statistics.median(runs_s), 3),
+                "spread_scaled": round(
+                    max(runs_s) / max(min(runs_s), 1e-3), 2
+                ),
+            }
+            if "gate" in pr:
+                merged["gate"] = pr["gate"]
             merged["inline_base_s"] = old.get("inline_base_s")
             merged["inline_scaled_s"] = old.get("inline_scaled_s")
             merged["prior_scaled_s"] = old.get("prior_scaled_s")
             probes[name] = merged
         else:
-            pr["inline_base_s"] = art["base_s"].get(name)
-            pr["inline_scaled_s"] = art["scaled_s"].get(name)
+            if old is not None:
+                pr["superseded"] = {
+                    k: old.get(k)
+                    for k in (
+                        "runs_base_s", "runs_scaled_s",
+                        "median_base_s", "median_scaled_s",
+                        "spread_scaled",
+                    )
+                }
+                pr["inline_base_s"] = old.get("inline_base_s")
+                pr["inline_scaled_s"] = old.get("inline_scaled_s")
+                pr["prior_scaled_s"] = old.get("prior_scaled_s")
+            else:
+                pr["inline_base_s"] = art["base_s"].get(name)
+                pr["inline_scaled_s"] = art["scaled_s"].get(name)
             probes[name] = pr
         art["base_s"][name] = probes[name]["median_base_s"]
         art["scaled_s"][name] = probes[name]["median_scaled_s"]
@@ -488,7 +583,7 @@ def main() -> None:
         return
 
     threshold, force, do_probe = 1.5, [], True
-    probe_only_rows, reps = None, 3
+    probe_only_rows, reps, replace = None, 3, False
     pos = []
     for a in argv:
         if a.startswith("--probe-threshold"):
@@ -501,6 +596,8 @@ def main() -> None:
             reps = int(a.split("=", 1)[1])
         elif a == "--no-probe":
             do_probe = False
+        elif a == "--replace":
+            replace = True
         else:
             pos.append(a)
     base = pos[0] if pos else "/root/repo/testdata_sf1"
@@ -523,7 +620,8 @@ def main() -> None:
         "SCALE_STEP_100X.json",
     )
     if probe_only_rows is not None:
-        probe_only(probe_only_rows, reps, base, scaled, prior_artifact)
+        probe_only(probe_only_rows, reps, base, scaled, prior_artifact,
+                   replace=replace)
         return
     spark = build_session("bench_scale_100x")
     spark.sparkContext.setLogLevel("ERROR")
