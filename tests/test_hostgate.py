@@ -1,0 +1,57 @@
+"""Host-interference gate logic (tools/hostgate.py): the accept rule
+that decides which bench/probe samples land in round artifacts. Logic
+only — no calibration spins (the spin kernels are exercised by every
+gated bench run; spinning 32 subprocesses inside the test suite would
+poison concurrently-collected timings)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools"),
+)
+
+import hostgate  # noqa: E402
+
+
+def _g(cal1, cal32, steal=0):
+    return {"cal1_s": cal1, "cal32_s": cal32, "steal_jiffies": steal, "t": 0.0}
+
+
+def test_best_cals_is_per_key_minimum():
+    best = hostgate.best_cals([_g(0.30, 5.0), _g(0.25, 6.0), _g(0.28, 4.5)])
+    assert best == {"cal1_s": 0.25, "cal32_s": 4.5}
+
+
+def test_accept_within_tolerances():
+    best = {"cal1_s": 0.25, "cal32_s": 4.0}
+    # cal1 +15% boundary inclusive, cal32 +40% boundary inclusive
+    ok = [_g(0.25 * 1.15, 4.0), _g(0.25, 4.0 * 1.40)]
+    assert hostgate.accept(ok, best)
+
+
+def test_reject_on_single_core_drift():
+    best = {"cal1_s": 0.25, "cal32_s": 4.0}
+    # one measurement of the sample breaches cal1 tol -> whole sample out
+    assert not hostgate.accept([_g(0.25, 4.0), _g(0.30, 4.0)], best)
+
+
+def test_reject_on_whole_host_drift():
+    best = {"cal1_s": 0.25, "cal32_s": 4.0}
+    assert not hostgate.accept([_g(0.25, 5.7)], best)
+
+
+def test_custom_tolerances():
+    best = {"cal1_s": 0.25, "cal32_s": 4.0}
+    g = [_g(0.30, 4.0)]  # +20% cal1
+    assert not hostgate.accept(g, best)
+    assert hostgate.accept(g, best, tol1=0.25)
+
+
+def test_read_steal_nonnegative_int():
+    s = hostgate.read_steal()
+    assert isinstance(s, int) and s >= 0

@@ -78,6 +78,9 @@ SUBSET = [
     "dedup_minhash_lsh_margin",
     "dedup_minhash_lsh_bounded",
     "dedup_minhash_lsh_hiprec",
+    "longdoc_corpus_build",
+    "dedup_lsh_longdoc",
+    "dedup_lsh_longdoc_margin",
     "repeated_passages_hashed",
     "bm25_rank",
     "text_analysis",
@@ -105,6 +108,8 @@ DEPS = {
     "etl_spark_sync": ["etl_payload_build"],
     "ivf_index_query": ["ivf_index_build"],
     "ivfpq_index_query_dist": ["ivfpq_index_build"],
+    "dedup_lsh_longdoc": ["longdoc_corpus_build"],
+    "dedup_lsh_longdoc_margin": ["longdoc_corpus_build"],
 }
 
 
@@ -323,8 +328,83 @@ def build_workloads(spark, sf_dir: str, base_dir: str):
     w["srp_lsh_topk"] = srp_topk_row
     w["pq_flat_topk"] = pq_flat_row
 
+    # --- sig_margin winning regime: LONG documents (grams >> hashes) ---
+    # r10 measured cascade parity at the fixture's ~50-word docs (the
+    # estimate costs about what it saves); the design claim "wins when
+    # grams >> num_hashes" is exercised here on a long-doc corpus built
+    # from the fixture itself: sliding windows of 20 consecutive
+    # doc_ids, stride 4 — ~1,080-word long docs (54-word fixture
+    # average). Distance-d window neighbors share (20-4d) of their
+    # (20+4d) source docs (d=1: J~0.67 = the TRUE pairs at threshold
+    # 0.5; d=2: 0.43; d=3: 0.25), and the tile-marker perturbation
+    # makes cross-tile same-window copies J~0.25 — a sub-threshold
+    # candidate population that grows QUADRATICALLY with tiles
+    # (C(tiles,2) collisions per window family at ~6% LSH collision
+    # rate), exactly the regime the cascade exists for: at threshold
+    # 0.5, sig_margin 0.2 (estimate cut 0.3; Hoeffding per-true-pair
+    # miss <= exp(-2*0.2^2*64) ~ 0.6%), the 64-element signature
+    # estimate skips the ~1,080-gram exact intersection for every
+    # planted sub-threshold candidate, while d=1 (est ~0.67) and d=2
+    # (est ~0.43) pairs still reach the exact verify in BOTH rows.
+    # The corpus is materialized ONCE as a dep row (longdoc_corpus_
+    # build, untimed in probes) so the margin-vs-plain contrast
+    # measures the verify path, not the shared window-concat shuffle.
+    longdoc_paths: dict[str, str] = {}
+
+    def longdoc_corpus_build():
+        docs = _rf(spark, sf_dir, "documents")
+        exploded = (
+            docs.select(
+                "doc_id",
+                "text",
+                F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+            )
+            .select(
+                (F.floor(F.col("doc_id") / 4) - F.col("j")).alias("win_id"),
+                "doc_id",
+                "text",
+            )
+            .filter(F.col("win_id") >= 0)
+        )
+        long_docs = (
+            exploded.groupBy("win_id")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                ).alias("text")
+            )
+            .select(F.col("win_id").alias("doc_id"), "text")
+        )
+        base_tmp = tempfile.mkdtemp(prefix="scale100x_longdoc_")
+        longdoc_paths[sf_dir] = base_tmp + "/docs"
+        long_docs.write.parquet(longdoc_paths[sf_dir])
+        return spark.read.parquet(longdoc_paths[sf_dir])
+
+    def _longdoc_lsh(margin):
+        from uma_etl_iis_loader_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        ld = spark.read.parquet(longdoc_paths[sf_dir])
+        return minhash_lsh_pairs(
+            ld, num_hashes=64, bands=16, n=3, threshold=0.5,
+            char_level=False, sig_margin=margin,
+        )
+
+    w["longdoc_corpus_build"] = longdoc_corpus_build
+    w["dedup_lsh_longdoc"] = lambda: _longdoc_lsh(None)
+    w["dedup_lsh_longdoc_margin"] = lambda: _longdoc_lsh(0.2)
+
     def cleanup():
         for p in ann_paths.values():
+            shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+        for p in longdoc_paths.values():
             shutil.rmtree(os.path.dirname(p), ignore_errors=True)
 
     return w, cleanup
@@ -372,7 +452,7 @@ def probe_row(name: str, base: str, scaled: str) -> None:
         hostgate.warm()
         gate_before = hostgate.measure()
         t0 = time.time()
-        w[name]().count()
+        rows_base = w[name]().count()
         base_s = round(time.time() - t0, 3)
     finally:
         cleanup()
@@ -382,7 +462,7 @@ def probe_row(name: str, base: str, scaled: str) -> None:
         for d in deps:
             w[d]().count()
         t0 = time.time()
-        w[name]().count()
+        rows_scaled = w[name]().count()
         scaled_s = round(time.time() - t0, 3)
     finally:
         cleanup()
@@ -394,6 +474,8 @@ def probe_row(name: str, base: str, scaled: str) -> None:
                 "row": name,
                 "base_s": base_s,
                 "scaled_s": scaled_s,
+                "rows_base": rows_base,
+                "rows_scaled": rows_scaled,
                 "gate_before": gate_before,
                 "gate_after": gate_after,
             }
@@ -430,6 +512,17 @@ def _run_probes(rows, base, scaled, reps=3, max_rounds=None):
     is preserved with its calibrations, so the gate decision is
     auditable, never prose."""
     import hostgate
+
+    # pre-touch both fixtures into the OS page cache (bench.py's
+    # discipline): the first probe of a session otherwise pays the sf10
+    # first-touch disk I/O inside its timed scaled pass — a ~10x
+    # one-sample outlier the CPU-calibration gate cannot see
+    for d in (base, scaled):
+        for root, _dirs, files in os.walk(d):
+            for fname in sorted(files):
+                with open(os.path.join(root, fname), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
 
     max_rounds = max_rounds or 3 * reps
     samples: dict[str, list[dict]] = {n: [] for n in rows}
@@ -489,6 +582,9 @@ def _probe_summary(samples, best):
         "median_scaled_s": round(statistics.median(runs_s), 3),
         "spread_scaled": round(max(runs_s) / max(min(runs_s), 1e-3), 2),
     }
+    if "rows_base" in use[0]:
+        out["rows_base"] = use[0]["rows_base"]
+        out["rows_scaled"] = use[0]["rows_scaled"]
     if best:
         out["gate"] = {
             "best_cals": best,
@@ -673,6 +769,14 @@ def main() -> None:
         )
         for d, n in (("base", n_base), ("scaled", n_scaled))
     }
+    longdoc_recall = {
+        d: (
+            round(n["dedup_lsh_longdoc_margin"] / n["dedup_lsh_longdoc"], 4)
+            if n.get("dedup_lsh_longdoc")
+            else None
+        )
+        for d, n in (("base", n_base), ("scaled", n_scaled))
+    }
     print(
         json.dumps(
             {
@@ -695,11 +799,13 @@ def main() -> None:
                 # sig_margin cascade: emitted pairs are a subset of the
                 # grouped row's, so recall = rows(margin)/rows(grouped)
                 "lsh_margin_pair_recall": margin_recall,
+                "lsh_longdoc_pair_recall": longdoc_recall,
                 "lsh_pair_rows": {
                     k: n_scaled.get(k)
                     for k in (
                         "dedup_minhash_lsh", "dedup_minhash_lsh_margin",
                         "dedup_minhash_lsh_bounded",
+                        "dedup_lsh_longdoc", "dedup_lsh_longdoc_margin",
                     )
                 },
                 "probes": probes,
