@@ -138,22 +138,34 @@ def test_minhash_lsh_sig_margin_preserves_pairs(spark):
     assert casc == base
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
 def test_minhash_lsh_pin_releases_both_caches(spark):
     """pin=True must unpersist BOTH internal caches (signature frame +
-    grouped-mode collision-stats frame): the only persisted RDD left
+    grouped-mode collision-stats frame): the only NEW persisted RDD
     after the call is the localCheckpoint of the pair output itself.
     pin=False leaves both persisted (the lazy plan references them) —
-    documented cache-lifetime contract in the docstring."""
-    jsc = spark.sparkContext._jsc
+    documented cache-lifetime contract in the docstring.
+
+    Accounting diffs persistent-RDD ID SETS rather than totals: in a
+    shared long-suite session the ContextCleaner unpersists earlier
+    tests' orphaned RDDs asynchronously, so a global count can shift
+    mid-test (observed full-suite flake); ids created by THIS test are
+    strongly referenced and immune to that cleanup."""
     spark.catalog.clearCache()
-    before = jsc.getPersistentRDDs().size()
+    before = _persistent_rdd_ids(spark)
     out = minhash_lsh_pairs(_docs(spark), num_hashes=64, bands=16, n=5,
                             threshold=0.5, pin=True)
-    assert jsc.getPersistentRDDs().size() == before + 1  # checkpoint only
+    new_pinned = _persistent_rdd_ids(spark) - before
+    assert len(new_pinned) == 1  # checkpoint only
     out.count()
     lazy = minhash_lsh_pairs(_docs(spark), num_hashes=64, bands=16, n=5,
                              threshold=0.5, pin=False)
-    assert jsc.getPersistentRDDs().size() == before + 3  # + sigs + bstats
+    new_lazy = _persistent_rdd_ids(spark) - before - new_pinned
+    assert len(new_lazy) == 2  # sigs + bstats stay persisted
     lazy.count()
     spark.catalog.clearCache()  # the documented release path
 
