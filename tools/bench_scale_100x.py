@@ -45,7 +45,7 @@ auditable. --force-probe=row1,row2 probes rows unconditionally;
 
 Usage: python tools/bench_scale_100x.py [sf1_dir] [sf10_dir]
            [--probe-threshold X] [--force-probe a,b] [--no-probe]
-           [--probe-only=a,b --reps=N [--replace]]
+           [--probe-only=a,b --reps=N [--replace] [--max-rounds=N]]
 Prints one JSON line; paste into SCALE.md's 100x section.
 """
 
@@ -600,7 +600,7 @@ def _probe_summary(samples, best):
 
 
 def probe_only(rows, reps, base, scaled, artifact_path,
-               replace=False) -> None:
+               replace=False, max_rounds=None) -> None:
     """Top-up mode: run `reps` more interleaved fresh-session GATED
     probe rounds for `rows` and fold them into the committed artifact
     without repeating the 17-minute inline passes. Default: run lists
@@ -608,9 +608,11 @@ def probe_only(rows, reps, base, scaled, artifact_path,
     union). ``--replace``: the new gated summary REPLACES the row's
     runs — the old (pre-gate, window-suspect) runs are preserved under
     ``superseded`` for audit, and the landing medians come from gated
-    samples only. This is how a noisy-window artifact converges."""
+    samples only. This is how a noisy-window artifact converges.
+    ``--max-rounds=N`` caps the interleaved rounds (default 3*reps) so
+    a batch fits a wall-clock budget on a host that keeps rejecting."""
     art = json.load(open(artifact_path))
-    new = _run_probes(rows, base, scaled, reps=reps)
+    new = _run_probes(rows, base, scaled, reps=reps, max_rounds=max_rounds)
     probes = art.setdefault("probes", {})
     for name, pr in new.items():
         old = probes.get(name)
@@ -679,7 +681,7 @@ def main() -> None:
         return
 
     threshold, force, do_probe = 1.5, [], True
-    probe_only_rows, reps, replace = None, 3, False
+    probe_only_rows, reps, replace, max_rounds = None, 3, False, None
     pos = []
     for a in argv:
         if a.startswith("--probe-threshold"):
@@ -690,6 +692,8 @@ def main() -> None:
             probe_only_rows = [s for s in a.split("=", 1)[1].split(",") if s]
         elif a.startswith("--reps"):
             reps = int(a.split("=", 1)[1])
+        elif a.startswith("--max-rounds"):
+            max_rounds = int(a.split("=", 1)[1])
         elif a == "--no-probe":
             do_probe = False
         elif a == "--replace":
@@ -717,7 +721,7 @@ def main() -> None:
     )
     if probe_only_rows is not None:
         probe_only(probe_only_rows, reps, base, scaled, prior_artifact,
-                   replace=replace)
+                   replace=replace, max_rounds=max_rounds)
         return
     spark = build_session("bench_scale_100x")
     spark.sparkContext.setLogLevel("ERROR")
