@@ -55,3 +55,85 @@ def test_custom_tolerances():
 def test_read_steal_nonnegative_int():
     s = hostgate.read_steal()
     assert isinstance(s, int) and s >= 0
+
+
+def test_probe_only_exhausted_batch_does_not_overwrite(tmp_path, monkeypatch,
+                                                       capsys):
+    """A --replace batch whose every sample was gate-rejected must land
+    as rejected_batches audit data, leaving the row's medians/ratios/
+    totals untouched (in either direction): fallback medians computed
+    from certified-rejected samples are not landing evidence."""
+    import json
+
+    import bench_scale_100x as b
+
+    art = {
+        "base_s": {"r": 1.0},
+        "scaled_s": {"r": 10.0},
+        "ratio": {"r": 10.0},
+        "probes": {
+            "r": {
+                "runs_base_s": [1.0],
+                "runs_scaled_s": [10.0],
+                "median_base_s": 1.0,
+                "median_scaled_s": 10.0,
+                "spread_scaled": 1.0,
+            }
+        },
+    }
+    p = tmp_path / "art.json"
+    p.write_text(json.dumps(art))
+    exhausted = {
+        "runs_base_s": [2.0],
+        "runs_scaled_s": [99.0],
+        "median_base_s": 2.0,
+        "median_scaled_s": 99.0,
+        "spread_scaled": 1.0,
+        "gate": {"gate_exhausted": True, "accepted": 0, "rejected": 1,
+                 "samples": []},
+    }
+    monkeypatch.setattr(b, "_run_probes", lambda *a, **k: {"r": exhausted})
+    b.probe_only(["r"], 1, "x", "y", str(p), replace=True)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scaled_s"]["r"] == 10.0  # landing median untouched
+    assert out["ratio"]["r"] == 10.0
+    assert len(out["probes"]["r"]["rejected_batches"]) == 1
+    assert out["probes"]["r"]["rejected_batches"][0]["median_scaled_s"] == 99.0
+
+
+def test_probe_only_accepted_batch_replaces(tmp_path, monkeypatch, capsys):
+    """Control: a batch with accepted samples DOES replace under
+    --replace, superseding the old runs."""
+    import json
+
+    import bench_scale_100x as b
+
+    art = {
+        "base_s": {"r": 1.0},
+        "scaled_s": {"r": 10.0},
+        "ratio": {"r": 10.0},
+        "probes": {
+            "r": {
+                "runs_base_s": [1.0],
+                "runs_scaled_s": [10.0],
+                "median_base_s": 1.0,
+                "median_scaled_s": 10.0,
+                "spread_scaled": 1.0,
+            }
+        },
+    }
+    p = tmp_path / "art.json"
+    p.write_text(json.dumps(art))
+    accepted = {
+        "runs_base_s": [1.1],
+        "runs_scaled_s": [8.0],
+        "median_base_s": 1.1,
+        "median_scaled_s": 8.0,
+        "spread_scaled": 1.0,
+        "gate": {"accepted": 1, "rejected": 0, "samples": []},
+    }
+    monkeypatch.setattr(b, "_run_probes", lambda *a, **k: {"r": accepted})
+    b.probe_only(["r"], 1, "x", "y", str(p), replace=True)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scaled_s"]["r"] == 8.0
+    assert out["probes"]["r"]["superseded"]["median_scaled_s"] == 10.0

@@ -610,12 +610,27 @@ def probe_only(rows, reps, base, scaled, artifact_path,
     ``superseded`` for audit, and the landing medians come from gated
     samples only. This is how a noisy-window artifact converges.
     ``--max-rounds=N`` caps the interleaved rounds (default 3*reps) so
-    a batch fits a wall-clock budget on a host that keeps rejecting."""
+    a batch fits a wall-clock budget on a host that keeps rejecting.
+
+    A fully gate-EXHAUSTED batch (zero accepted samples for a row that
+    already has landing medians) never overwrites those medians in
+    either direction: its fallback medians are by construction computed
+    from certified-rejected samples, so the batch lands as raw audit
+    data under ``rejected_batches`` instead — the gate's verdict
+    ("no clean window existed") is recorded, the landing evidence is
+    not diluted."""
     art = json.load(open(artifact_path))
     new = _run_probes(rows, base, scaled, reps=reps, max_rounds=max_rounds)
     probes = art.setdefault("probes", {})
     for name, pr in new.items():
         old = probes.get(name)
+        if (
+            old is not None
+            and pr.get("gate", {}).get("gate_exhausted")
+            and "median_scaled_s" in old
+        ):
+            old.setdefault("rejected_batches", []).append(pr)
+            continue
         if old is not None and not replace:
             runs_b = old["runs_base_s"] + pr["runs_base_s"]
             runs_s = old["runs_scaled_s"] + pr["runs_scaled_s"]
@@ -630,6 +645,9 @@ def probe_only(rows, reps, base, scaled, artifact_path,
             }
             if "gate" in pr:
                 merged["gate"] = pr["gate"]
+            for carry in ("rejected_batches", "superseded"):
+                if carry in old:
+                    merged[carry] = old[carry]
             merged["inline_base_s"] = old.get("inline_base_s")
             merged["inline_scaled_s"] = old.get("inline_scaled_s")
             merged["prior_scaled_s"] = old.get("prior_scaled_s")
