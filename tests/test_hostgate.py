@@ -99,6 +99,9 @@ def test_probe_only_exhausted_batch_does_not_overwrite(tmp_path, monkeypatch,
     assert out["ratio"]["r"] == 10.0
     assert len(out["probes"]["r"]["rejected_batches"]) == 1
     assert out["probes"]["r"]["rejected_batches"][0]["median_scaled_s"] == 99.0
+    # the fold is also WRITTEN back to the artifact (atomic replace),
+    # not just printed — the write is the committed evidence path
+    assert json.loads(p.read_text()) == out
 
 
 def test_probe_only_accepted_batch_replaces(tmp_path, monkeypatch, capsys):

@@ -687,6 +687,10 @@ def probe_only(rows, reps, base, scaled, artifact_path,
     art["all_rows_total_ratio"] = round(
         sum(art["scaled_s"].values()) / sum(art["base_s"].values()), 2
     )
+    tmp = artifact_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(art, fh, indent=1)
+    os.replace(tmp, artifact_path)  # atomic: a crash never truncates
     print(json.dumps(art))
 
 
