@@ -140,3 +140,235 @@ def test_probe_only_accepted_batch_replaces(tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["scaled_s"]["r"] == 8.0
     assert out["probes"]["r"]["superseded"]["median_scaled_s"] == 10.0
+
+
+def _write_art(tmp_path, art):
+    import json
+
+    p = tmp_path / "art.json"
+    p.write_text(json.dumps(art))
+    return p
+
+
+def test_exhausted_batch_never_lands_for_inline_median_row(tmp_path,
+                                                           monkeypatch,
+                                                           capsys):
+    """ADVICE r11 (medium): a row whose landing median lives INLINE in
+    base_s/scaled_s with no probes entry must also be protected — a
+    fully gate-exhausted batch lands as rejected audit data, never as
+    medians."""
+    import json
+
+    import bench_scale_100x as b
+
+    art = {"base_s": {"r": 1.0}, "scaled_s": {"r": 10.0},
+           "ratio": {"r": 10.0}}
+    p = _write_art(tmp_path, art)
+    exhausted = {
+        "runs_base_s": [2.0], "runs_scaled_s": [99.0],
+        "median_base_s": 2.0, "median_scaled_s": 99.0,
+        "spread_scaled": 1.0,
+        "gate": {"gate_exhausted": True, "accepted": 0, "rejected": 1,
+                 "samples": []},
+    }
+    monkeypatch.setattr(b, "_run_probes", lambda *a, **k: {"r": exhausted})
+    b.probe_only(["r"], 1, "x", "y", str(p), replace=True)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scaled_s"]["r"] == 10.0
+    assert out["base_s"]["r"] == 1.0
+    assert out["ratio"]["r"] == 10.0
+    assert len(out["probes"]["r"]["rejected_batches"]) == 1
+    assert "median_scaled_s" not in out["probes"]["r"]  # audit-only stub
+
+
+def test_exhausted_batch_on_brand_new_row_lands_audit_only(tmp_path,
+                                                           monkeypatch,
+                                                           capsys):
+    """A row with NO landing evidence anywhere (e.g. the longdoc rows
+    before their first clean cell) gets an audit-only probes stub from
+    an exhausted batch — base_s/scaled_s gain no key, totals move 0."""
+    import json
+
+    import bench_scale_100x as b
+
+    art = {"base_s": {"other": 1.0}, "scaled_s": {"other": 5.0},
+           "ratio": {"other": 5.0}}
+    p = _write_art(tmp_path, art)
+    exhausted = {
+        "runs_base_s": [2.0], "runs_scaled_s": [99.0],
+        "median_base_s": 2.0, "median_scaled_s": 99.0,
+        "spread_scaled": 1.0,
+        "gate": {"gate_exhausted": True, "accepted": 0, "rejected": 1,
+                 "samples": []},
+    }
+    monkeypatch.setattr(b, "_run_probes",
+                        lambda *a, **k: {"newrow": exhausted})
+    b.probe_only(["newrow"], 1, "x", "y", str(p))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "newrow" not in out["base_s"]
+    assert "newrow" not in out["scaled_s"]
+    assert out["total_ratio"] == 5.0
+    assert len(out["probes"]["newrow"]["rejected_batches"]) == 1
+
+
+def test_accepted_batch_after_rejected_stub_carries_audit(tmp_path,
+                                                          monkeypatch,
+                                                          capsys):
+    """When a clean window finally lands medians for a row whose probes
+    entry is a rejected-audit-only stub, the medians land AND the audit
+    history rides along."""
+    import json
+
+    import bench_scale_100x as b
+
+    art = {
+        "base_s": {"other": 1.0}, "scaled_s": {"other": 5.0},
+        "ratio": {"other": 5.0},
+        "probes": {"r": {"rejected_batches": [{"sidecar": True,
+                                               "n_samples": 3}]}},
+    }
+    p = _write_art(tmp_path, art)
+    accepted = {
+        "runs_base_s": [1.1], "runs_scaled_s": [8.0],
+        "median_base_s": 1.1, "median_scaled_s": 8.0,
+        "spread_scaled": 1.0,
+        "gate": {"accepted": 1, "rejected": 0, "samples": []},
+    }
+    monkeypatch.setattr(b, "_run_probes", lambda *a, **k: {"r": accepted})
+    b.probe_only(["r"], 1, "x", "y", str(p))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scaled_s"]["r"] == 8.0
+    assert out["probes"]["r"]["rejected_batches"][0]["n_samples"] == 3
+
+
+def test_sidecar_moves_raw_samples_and_is_idempotent(tmp_path):
+    """Rejected batches' raw samples move to the _rejected.json sidecar
+    on write; an inline per-batch summary (counts, medians, cal ranges)
+    stays; a second pass moves nothing more."""
+    import json
+
+    import bench_scale_100x as b
+
+    raw_sample = {
+        "base_s": 2.0, "scaled_s": 60.0,
+        "gate_before": _g(0.5, 9.0), "gate_after": _g(0.6, 11.0),
+    }
+    batch = {
+        "runs_base_s": [2.0], "runs_scaled_s": [60.0],
+        "median_base_s": 2.0, "median_scaled_s": 60.0,
+        "spread_scaled": 1.0,
+        "gate": {"gate_exhausted": True, "accepted": 0, "rejected": 1,
+                 "samples": [raw_sample]},
+    }
+    art = {"base_s": {}, "scaled_s": {},
+           "probes": {"r": {"rejected_batches": [batch]}}}
+    apath = str(tmp_path / "art.json")
+    moved = b._sidecar_rejected(art, apath)
+    assert moved == 1
+    inline = art["probes"]["r"]["rejected_batches"][0]
+    assert inline["sidecar"] is True
+    assert inline["n_samples"] == 1
+    assert inline["median_scaled_s"] == 60.0
+    assert inline["cal32_range"] == [9.0, 11.0]
+    assert inline["gate_exhausted"] is True
+    side = json.loads((tmp_path / "art_rejected.json").read_text())
+    assert side["r"][0]["gate"]["samples"][0]["scaled_s"] == 60.0
+    assert b._sidecar_rejected(art, apath) == 0  # idempotent
+
+
+def test_norm_per_cal32():
+    """Host-normalized metric: sample seconds per same-window cal32
+    second (mean of the two brackets)."""
+    import bench_scale_100x as b
+
+    s = {"base_s": 2.0, "scaled_s": 30.0,
+         "gate_before": _g(0.25, 4.0), "gate_after": _g(0.25, 6.0)}
+    assert b._norm_per_cal32(s, "scaled_s") == 6.0  # 30 / mean(4,6)
+    assert b._norm_per_cal32({"scaled_s": 1.0}, "scaled_s") is None
+
+
+def test_probe_summary_norm_uses_all_samples():
+    """The normalized medians pool ALL samples (they are meaningful
+    precisely for rejected ones), while the landing medians use only
+    accepted samples."""
+    import bench_scale_100x as b
+
+    clean = {"base_s": 1.0, "scaled_s": 8.0,
+             "gate_before": _g(0.25, 4.0), "gate_after": _g(0.25, 4.0)}
+    dirty = {"base_s": 2.0, "scaled_s": 16.0,
+             "gate_before": _g(0.25, 8.0), "gate_after": _g(0.25, 8.0)}
+    best = {"cal1_s": 0.25, "cal32_s": 4.0}
+    out = b._probe_summary([clean, dirty], best)
+    assert out["median_scaled_s"] == 8.0  # accepted only
+    assert out["gate"]["accepted"] == 1 and out["gate"]["rejected"] == 1
+    # normalized: clean 8/4=2.0, dirty 16/8=2.0 -> median 2.0 over BOTH
+    assert out["median_scaled_per_cal32"] == 2.0
+
+
+def test_pair_only_folds_ratio_from_all_sessions(tmp_path, monkeypatch,
+                                                 capsys):
+    """pair_only: per-pass A/B ratios pool all sessions (drift-robust);
+    absolute medians come from gate-accepted sessions only; totals and
+    base_s/scaled_s untouched (contrast rows stay out of headlines)."""
+    import json
+
+    import bench_scale_100x as b
+
+    def fake_session(a_base, b_base, a_scaled, b_scaled, cal32):
+        g = _g(0.25, cal32)
+        return {
+            "pair": ["A", "B"], "passes": 2,
+            "base": {
+                "runs_a_s": [a_base, a_base], "runs_b_s": [b_base, b_base],
+                "rows_a": 90, "rows_b": 100,
+                "ratio_per_pass": [round(a_base / b_base, 3)] * 2,
+                "gate_before": g, "gate_after": g,
+            },
+            "scaled": {
+                "runs_a_s": [a_scaled, a_scaled],
+                "runs_b_s": [b_scaled, b_scaled],
+                "rows_a": 900, "rows_b": 1000,
+                "ratio_per_pass": [round(a_scaled / b_scaled, 3)] * 2,
+                "gate_before": g, "gate_after": g,
+            },
+        }
+
+    sessions = [
+        fake_session(4.0, 5.0, 40.0, 50.0, 4.0),   # clean window
+        fake_session(8.0, 10.0, 80.0, 100.0, 9.0),  # dirty: 2x host
+    ]
+    results = iter(sessions)
+
+    class FakeProc:
+        returncode = 0
+        stderr = ""
+
+        @property
+        def stdout(self):
+            return "PAIR_RESULT " + json.dumps(next(results))
+
+    monkeypatch.setattr(b, "_pretouch", lambda dirs: None)
+    monkeypatch.setattr(b.subprocess, "run", lambda *a, **k: FakeProc())
+    monkeypatch.setattr(b, "_Preflight", lambda *a, **k: type(
+        "P", (), {"wait_clean": lambda self: True, "skips": 0,
+                  "starved": False})())
+    monkeypatch.setattr(
+        hostgate, "warm", lambda: None
+    )
+    art = {"base_s": {"other": 1.0}, "scaled_s": {"other": 5.0},
+           "ratio": {"other": 5.0}}
+    p = _write_art(tmp_path, art)
+    b.pair_only("A", "B", 2, 2, "x", "y", str(p))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    e = out["paired"]["A_vs_B"]
+    assert e["gate"]["accepted"] == 1 and e["gate"]["rejected"] == 1
+    # ratio pools all 4 pass-pairs (all 0.8)
+    assert e["scaled"]["median_ratio_a_over_b"] == 0.8
+    assert e["scaled"]["ratio_n_pairs"] == 4
+    # absolute medians: accepted session only
+    assert e["scaled"]["median_a_s"] == 40.0
+    assert e["scaled"]["median_b_s"] == 50.0
+    assert e["scaled"]["pair_recall_a_over_b"] == 0.9
+    # headline surface untouched
+    assert out["base_s"] == {"other": 1.0}
+    assert out["scaled_s"] == {"other": 5.0}

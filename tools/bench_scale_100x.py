@@ -43,10 +43,35 @@ and all probe runs are preserved under "probes" so the spread is
 auditable. --force-probe=row1,row2 probes rows unconditionally;
 --no-probe disables the phase (e.g. for quick smoke runs).
 
+PRE-FLIGHT GATE (r12): before every fresh-session sample the PARENT
+runs one ~6 s calibration (tools/hostgate.py). If it breaches tolerance
+vs the session best, the 30-180 s sample is NOT spent: the harness
+sleeps --poll-s (default 90 s) and re-checks, up to --wait-budget-s
+(default 1800 s) of total waiting per batch, firing samples only into
+clean windows. r11 burned ~104 full samples that the after-the-fact
+gate then rejected; the pre-flight makes that skip cost ~6 s instead.
+Per-row accepted/attempted/preflight-skip counts ride in the artifact.
+
+PAIRED PROBES (r12): --probe-pair=rowA,rowB runs BOTH rows
+back-to-back interleaved (A,B,A,B ... --pair-passes times) inside one
+fresh session at each SF, so the A/B RATIO is robust to host drift
+even when absolute cells fail the gate. Results land under the
+artifact's "paired" key: per-pass ratios from ALL sessions (the
+drift-robust statistic), absolute medians from gate-ACCEPTED sessions
+only. Built for the dedup_lsh_longdoc_margin vs dedup_lsh_longdoc
+contrast (the sig_margin winning-regime claim).
+
 Usage: python tools/bench_scale_100x.py [sf1_dir] [sf10_dir]
            [--probe-threshold X] [--force-probe a,b] [--no-probe]
            [--probe-only=a,b --reps=N [--replace] [--max-rounds=N]]
-Prints one JSON line; paste into SCALE.md's 100x section.
+           [--probe-pair=a,b --reps=N --pair-passes=N]
+           [--poll-s N] [--wait-budget-s N] [--sidecar-migrate]
+Prints one JSON line. NOTE: --probe-only, --probe-pair and
+--sidecar-migrate REWRITE SCALE_STEP_100X.json in place (atomic
+replace); rejected batches' raw samples move to the
+SCALE_STEP_100X_rejected.json sidecar with per-batch summaries kept
+inline, so the committed artifact stays roughly constant-size while
+no audit data is lost.
 """
 
 from __future__ import annotations
@@ -100,6 +125,16 @@ SUBSET = [
 # payload simulation, and the combined row that embeds it) — reported
 # for attribution, excluded from the headline totals
 SIMULATION_ROWS = {"etl_payload_build", "etl_job_sync"}
+
+# rows that measure a DESIGNED CONTRAST on a derived corpus (the
+# long-doc margin-vs-plain cascade experiment), not fixture scaling:
+# excluded from both totals so total_ratio stays comparable with the
+# r8-r11 artifacts, which predate these rows. Their cells land under
+# "paired" / per-row entries only.
+CONTRAST_ROWS = {
+    "longdoc_corpus_build", "dedup_lsh_longdoc", "dedup_lsh_longdoc_margin",
+}
+TOTALS_EXCLUDED = SIMULATION_ROWS | CONTRAST_ROWS
 
 # probe-mode dependency graph: rows whose thunk consumes state another
 # row's thunk produces (payload dicts, persisted index paths). Probing
@@ -483,6 +518,155 @@ def probe_row(name: str, base: str, scaled: str) -> None:
     )
 
 
+def probe_pair(name_a, name_b, base, scaled, passes=2) -> None:
+    """One fresh-session PAIRED probe: both rows timed back-to-back
+    interleaved (A,B,A,B ... `passes` times) at base then scaled, deps
+    and warm passes shared, calibrations bracketing each SF's timed
+    block. Because each A run sits ~seconds from its paired B run, the
+    per-pass A/B ratio is robust to host drift that would invalidate
+    the absolute cells — the statistic VERDICT r11 item 2 asks for
+    (margin-vs-plain on the long-doc corpus). Prints one PAIR_RESULT
+    line."""
+    import hostgate
+
+    from uma_etl_iis_loader_spark.session import build_session
+
+    spark = build_session("bench_scale_100x_pair")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, base)
+    deps = list(dict.fromkeys(DEPS.get(name_a, []) + DEPS.get(name_b, [])))
+    hostgate.warm()
+    out = {"pair": [name_a, name_b], "passes": passes}
+    for tag, d in (("base", base), ("scaled", scaled)):
+        w, cleanup = build_workloads(spark, d, base)
+        try:
+            for dep in deps:
+                w[dep]().count()
+            w[name_a]().count()  # warm: codegen shapes
+            w[name_b]().count()
+            g0 = hostgate.measure()
+            runs_a, runs_b = [], []
+            rows_a = rows_b = 0
+            for _ in range(passes):
+                t0 = time.time()
+                rows_a = w[name_a]().count()
+                runs_a.append(round(time.time() - t0, 3))
+                t0 = time.time()
+                rows_b = w[name_b]().count()
+                runs_b.append(round(time.time() - t0, 3))
+            g1 = hostgate.measure()
+        finally:
+            cleanup()
+        out[tag] = {
+            "runs_a_s": runs_a,
+            "runs_b_s": runs_b,
+            "rows_a": rows_a,
+            "rows_b": rows_b,
+            "ratio_per_pass": [
+                round(a / max(b, 1e-3), 3) for a, b in zip(runs_a, runs_b)
+            ],
+            "gate_before": g0,
+            "gate_after": g1,
+        }
+    print("PAIR_RESULT " + json.dumps(out))
+
+
+def _pair_gates(session):
+    return [
+        g
+        for tag in ("base", "scaled")
+        for g in (
+            session[tag]["gate_before"], session[tag]["gate_after"]
+        )
+    ]
+
+
+def pair_only(name_a, name_b, reps, passes, base, scaled, artifact_path,
+              poll_s=90.0, wait_budget_s=1800.0) -> None:
+    """Run `reps` pre-flight-gated fresh-session PAIRED probes of
+    (name_a, name_b) and fold into the artifact's ``paired`` key.
+    Ratio statistics (median per-pass A/B) pool ALL sessions — the
+    pairing makes them drift-robust by construction; absolute medians
+    land from gate-ACCEPTED sessions only (flagged gate_exhausted
+    otherwise). base_s/scaled_s/totals are untouched: CONTRAST_ROWS
+    stay out of the headline totals by design."""
+    import hostgate
+
+    art = json.load(open(artifact_path))
+    _pretouch((base, scaled))
+    all_gates: list[dict] = []
+    hostgate.warm()
+    pre = _Preflight(all_gates, poll_s=poll_s, wait_budget_s=wait_budget_s)
+    sessions, attempted = [], 0
+    for i in range(reps):
+        if not pre.wait_clean():
+            break
+        attempted += 1
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--pair-row", name_a, name_b, base, scaled, str(passes)],
+            capture_output=True, text=True, timeout=7200,
+        )
+        line = next(
+            (ln for ln in reversed(p.stdout.splitlines())
+             if ln.startswith("PAIR_RESULT ")),
+            None,
+        )
+        if line is None:
+            print(
+                f"pair probe rep {i} failed rc={p.returncode}: "
+                f"{p.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            continue
+        s = json.loads(line[len("PAIR_RESULT "):])
+        sessions.append(s)
+        all_gates.extend(_pair_gates(s))
+    if not sessions:
+        sys.exit("no pair sessions completed")
+    best = hostgate.best_cals(all_gates)
+    acc = [
+        s for s in sessions if hostgate.accept(_pair_gates(s), best)
+    ]
+    use = acc or sessions
+    entry = {
+        "pair": [name_a, name_b],
+        "passes": passes,
+        "sessions": sessions,
+        "gate": {
+            "best_cals": best,
+            "tol1": hostgate.TOL1,
+            "tol32": hostgate.TOL32,
+            "accepted": len(acc),
+            "rejected": len(sessions) - len(acc),
+            "attempted": attempted,
+            "preflight_skips": pre.skips,
+        },
+    }
+    if not acc:
+        entry["gate"]["gate_exhausted"] = True
+    for tag in ("base", "scaled"):
+        ratios = [r for s in sessions for r in s[tag]["ratio_per_pass"]]
+        entry[tag] = {
+            # drift-robust: pooled over ALL sessions' within-pass pairs
+            "median_ratio_a_over_b": round(statistics.median(ratios), 3),
+            "ratio_n_pairs": len(ratios),
+            # emitted pairs of A are a subset of B's when A is the
+            # sig_margin row: recall = rows(A)/rows(B)
+            "pair_recall_a_over_b": round(
+                sessions[0][tag]["rows_a"]
+                / max(sessions[0][tag]["rows_b"], 1), 4
+            ),
+            # absolute cells: gate-accepted sessions only
+            "median_a_s": round(statistics.median(
+                [r for s in use for r in s[tag]["runs_a_s"]]), 3),
+            "median_b_s": round(statistics.median(
+                [r for s in use for r in s[tag]["runs_b_s"]]), 3),
+        }
+    art.setdefault("paired", {})[f"{name_a}_vs_{name_b}"] = entry
+    _write_artifact(art, artifact_path)
+
+
 def _sample_gates(s):
     return [s["gate_before"], s["gate_after"]] if "gate_before" in s else []
 
@@ -500,33 +684,86 @@ def _accepted(samples, best):
     return acc, rej
 
 
-def _run_probes(rows, base, scaled, reps=3, max_rounds=None):
-    """Fresh-session HOST-GATED probes: interleaved rounds (every row
-    once, then again — a slow host window spreads across rows instead
-    of poisoning one row's sample) until every row holds `reps`
-    samples whose bracketing calibrations (tools/hostgate.py: fixed-
-    work single-core + whole-host spins before AND after the timed
-    work) sit within tolerance of the SESSION-BEST calibration, or
-    `max_rounds` (default 3*reps) is exhausted. Medians land over the
-    accepted samples only; every raw sample — accepted or gated out —
-    is preserved with its calibrations, so the gate decision is
-    auditable, never prose."""
-    import hostgate
-
-    # pre-touch both fixtures into the OS page cache (bench.py's
-    # discipline): the first probe of a session otherwise pays the sf10
-    # first-touch disk I/O inside its timed scaled pass — a ~10x
-    # one-sample outlier the CPU-calibration gate cannot see
-    for d in (base, scaled):
+def _pretouch(dirs):
+    """Pre-touch fixtures into the OS page cache (bench.py's
+    discipline): the first probe of a session otherwise pays the sf10
+    first-touch disk I/O inside its timed scaled pass — a ~10x
+    one-sample outlier the CPU-calibration gate cannot see."""
+    for d in dirs:
         for root, _dirs, files in os.walk(d):
             for fname in sorted(files):
                 with open(os.path.join(root, fname), "rb") as fh:
                     while fh.read(1 << 22):
                         pass
 
-    max_rounds = max_rounds or 3 * reps
+
+class _Preflight:
+    """Opportunistic window scheduler: a ~6 s parent-side calibration
+    before every sample decides whether to SPEND it. A dirty reading
+    sleeps ``poll_s`` and re-checks, up to ``wait_budget_s`` of total
+    sleeping per batch; once the budget is gone, dirty readings skip
+    the sample outright (the batch finishes starved rather than
+    burning 30-180 s samples a gate would reject — the r11 failure
+    mode, ~104 samples burned across two sessions). All preflight
+    readings join the session gate pool, so the sample-accept rule
+    sees the cleanest calibration anyone observed."""
+
+    def __init__(self, all_gates, poll_s=90.0, wait_budget_s=1800.0):
+        import hostgate
+
+        self._hg = hostgate
+        self.all_gates = all_gates
+        self.poll_s = poll_s
+        self.wait_left = wait_budget_s
+        self.skips = 0
+        self.starved = False
+
+    def wait_clean(self) -> bool:
+        """True when a clean window is open (fires the sample now);
+        False when the wait budget ran out on a dirty host."""
+        while True:
+            g = self._hg.measure()
+            self.all_gates.append(g)
+            best = self._hg.best_cals(self.all_gates)
+            if self._hg.accept([g], best):
+                return True
+            self.skips += 1
+            if self.wait_left < self.poll_s:
+                self.starved = True
+                return False
+            print(
+                f"preflight dirty (cal1={g['cal1_s']} cal32={g['cal32_s']}"
+                f" vs best {best}) — sleeping {self.poll_s}s"
+                f" ({self.wait_left:.0f}s budget left)",
+                file=sys.stderr,
+            )
+            time.sleep(self.poll_s)
+            self.wait_left -= self.poll_s
+
+
+def _run_probes(rows, base, scaled, reps=3, max_rounds=None,
+                poll_s=90.0, wait_budget_s=1800.0):
+    """Fresh-session HOST-GATED probes: interleaved rounds (every row
+    once, then again — a slow host window spreads across rows instead
+    of poisoning one row's sample) until every row holds `reps`
+    samples whose bracketing calibrations (tools/hostgate.py: fixed-
+    work single-core + whole-host spins before AND after the timed
+    work) sit within tolerance of the SESSION-BEST calibration, or
+    `max_rounds` (default 3*reps) is exhausted. Each sample is
+    pre-flight gated (see _Preflight) so dirty windows cost ~6 s, not
+    a burned sample. Medians land over the accepted samples only;
+    every raw sample — accepted or gated out — is preserved with its
+    calibrations, so the gate decision is auditable, never prose."""
+    import hostgate
+
+    _pretouch((base, scaled))
+    if max_rounds is None:
+        max_rounds = 3 * reps
     samples: dict[str, list[dict]] = {n: [] for n in rows}
+    stats = {n: {"attempted": 0} for n in rows}
     all_gates: list[dict] = []
+    hostgate.warm()
+    pre = _Preflight(all_gates, poll_s=poll_s, wait_budget_s=wait_budget_s)
     for i in range(max_rounds):
         best = hostgate.best_cals(all_gates) if all_gates else None
         pending = [
@@ -536,6 +773,9 @@ def _run_probes(rows, base, scaled, reps=3, max_rounds=None):
         if not pending:
             break
         for name in pending:
+            if not pre.wait_clean():
+                continue
+            stats[name]["attempted"] += 1
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--probe-row", name, base, scaled],
@@ -556,18 +796,45 @@ def _run_probes(rows, base, scaled, reps=3, max_rounds=None):
             r = json.loads(line[len("PROBE_RESULT "):])
             samples[name].append(r)
             all_gates.extend(_sample_gates(r))
+        if pre.starved:
+            print("preflight wait budget exhausted — ending batch",
+                  file=sys.stderr)
+            break
     best = hostgate.best_cals(all_gates) if all_gates else None
-    return {
-        name: _probe_summary(ss, best)
-        for name, ss in samples.items()
-        if ss
-    }
+    out = {}
+    for name, ss in samples.items():
+        if not ss:
+            continue
+        out[name] = _probe_summary(ss, best)
+        if "gate" in out[name]:
+            out[name]["gate"]["attempted"] = stats[name]["attempted"]
+            out[name]["gate"]["preflight_skips_at_batch_end"] = pre.skips
+            if pre.starved:
+                out[name]["gate"]["preflight_starved"] = True
+    return out
+
+
+def _norm_per_cal32(sample, key):
+    """Host-normalized sample time: seconds of row work per second of
+    the same-window whole-host calibration (mean of the sample's two
+    brackets). Dimensionless-ish and host-independent: a slow window
+    inflates numerator and denominator together, so this is the
+    comparable statistic when no clean window ever opens (VERDICT r11
+    item 3's fallback metric)."""
+    gs = _sample_gates(sample)
+    if not gs:
+        return None
+    c = sum(g["cal32_s"] for g in gs) / len(gs)
+    return round(sample[key] / c, 3) if c > 0 else None
 
 
 def _probe_summary(samples, best):
     """Summarize one row's probe samples: medians over gate-ACCEPTED
     samples (falls back to all samples, flagged `gate_exhausted`, if
-    the gate rejected every one); all raw samples preserved."""
+    the gate rejected every one); all raw samples preserved. Also
+    lands `median_{base,scaled}_per_cal32` — the host-normalized
+    metric, computed over ALL samples (it is meaningful precisely for
+    the rejected ones)."""
     import hostgate
 
     acc, rej = _accepted(samples, best) if best else (samples, [])
@@ -582,6 +849,15 @@ def _probe_summary(samples, best):
         "median_scaled_s": round(statistics.median(runs_s), 3),
         "spread_scaled": round(max(runs_s) / max(min(runs_s), 1e-3), 2),
     }
+    for key, label in (("base_s", "base"), ("scaled_s", "scaled")):
+        norm = [
+            v for v in (_norm_per_cal32(s, key) for s in samples)
+            if v is not None
+        ]
+        if norm:
+            out[f"median_{label}_per_cal32"] = round(
+                statistics.median(norm), 3
+            )
     if "rows_base" in use[0]:
         out["rows_base"] = use[0]["rows_base"]
         out["rows_scaled"] = use[0]["rows_scaled"]
@@ -599,8 +875,108 @@ def _probe_summary(samples, best):
     return out
 
 
+def _cal_range(raw_samples, key):
+    vals = [g[key] for s in raw_samples for g in _sample_gates(s)]
+    return [min(vals), max(vals)] if vals else None
+
+
+def _reject_summary(pr):
+    """Per-batch inline summary of a gate-rejected batch whose raw
+    samples moved to the sidecar: enough to audit the batch's shape
+    (count, spread, calibration range) without the raw bulk."""
+    raw = pr.get("gate", {}).get("samples", [])
+    out = {
+        "sidecar": True,
+        "n_samples": len(raw),
+        "median_base_s": pr.get("median_base_s"),
+        "median_scaled_s": pr.get("median_scaled_s"),
+        "min_scaled_s": min(pr["runs_scaled_s"], default=None)
+        if pr.get("runs_scaled_s") else None,
+        "max_scaled_s": max(pr["runs_scaled_s"], default=None)
+        if pr.get("runs_scaled_s") else None,
+        "cal1_range": _cal_range(raw, "cal1_s"),
+        "cal32_range": _cal_range(raw, "cal32_s"),
+        "gate_exhausted": pr.get("gate", {}).get("gate_exhausted", False),
+    }
+    for k in ("median_base_per_cal32", "median_scaled_per_cal32"):
+        if k in pr:
+            out[k] = pr[k]
+    return out
+
+
+def _sidecar_rejected(art, artifact_path):
+    """Move every rejected batch's RAW samples out of the committed
+    artifact into <artifact>_rejected.json, leaving a per-batch summary
+    inline (VERDICT r11 item 5: the artifact gained ~3,000 lines of
+    rejected raw data in one round and would keep growing). Idempotent:
+    already-summarized batches (sidecar: true) pass through."""
+    side_path = artifact_path.replace(".json", "_rejected.json")
+    side = {}
+    if os.path.isfile(side_path):
+        try:
+            side = json.load(open(side_path))
+        except (json.JSONDecodeError, OSError):
+            side = {}
+    moved = 0
+    for name, p in art.get("probes", {}).items():
+        batches = p.get("rejected_batches")
+        if not batches:
+            continue
+        kept = []
+        for rb in batches:
+            if rb.get("sidecar"):
+                kept.append(rb)
+                continue
+            side.setdefault(name, []).append(rb)
+            kept.append(_reject_summary(rb))
+            moved += 1
+        p["rejected_batches"] = kept
+    if moved:
+        tmp = side_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(side, fh, indent=1)
+        os.replace(tmp, side_path)
+    return moved
+
+
+def _recompute_totals(art):
+    """Per-row ratios + engine totals. SIMULATION_ROWS (driver-side
+    payload build) and CONTRAST_ROWS (long-doc cascade experiment,
+    added r12) are excluded from BOTH totals so total_ratio /
+    all_rows_total_ratio stay comparable with the r8-r11 artifacts."""
+    art["ratio"] = {
+        k: round(art["scaled_s"][k] / max(art["base_s"][k], 1e-3), 2)
+        for k in art["base_s"]
+    }
+    eng_b = sum(
+        v for k, v in art["base_s"].items() if k not in TOTALS_EXCLUDED
+    )
+    eng_s = sum(
+        v for k, v in art["scaled_s"].items() if k not in TOTALS_EXCLUDED
+    )
+    art["base_total_s"] = round(eng_b, 2)
+    art["scaled_total_s"] = round(eng_s, 2)
+    art["total_ratio"] = round(eng_s / eng_b, 2)
+    art["all_rows_total_ratio"] = round(
+        sum(v for k, v in art["scaled_s"].items() if k not in CONTRAST_ROWS)
+        / sum(v for k, v in art["base_s"].items() if k not in CONTRAST_ROWS),
+        2,
+    )
+    art["excluded_from_total"] = sorted(TOTALS_EXCLUDED)
+
+
+def _write_artifact(art, artifact_path):
+    _sidecar_rejected(art, artifact_path)
+    tmp = artifact_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(art, fh, indent=1)
+    os.replace(tmp, artifact_path)  # atomic: a crash never truncates
+    print(json.dumps(art))
+
+
 def probe_only(rows, reps, base, scaled, artifact_path,
-               replace=False, max_rounds=None) -> None:
+               replace=False, max_rounds=None,
+               poll_s=90.0, wait_budget_s=1800.0) -> None:
     """Top-up mode: run `reps` more interleaved fresh-session GATED
     probe rounds for `rows` and fold them into the committed artifact
     without repeating the 17-minute inline passes. Default: run lists
@@ -612,26 +988,27 @@ def probe_only(rows, reps, base, scaled, artifact_path,
     ``--max-rounds=N`` caps the interleaved rounds (default 3*reps) so
     a batch fits a wall-clock budget on a host that keeps rejecting.
 
-    A fully gate-EXHAUSTED batch (zero accepted samples for a row that
-    already has landing medians) never overwrites those medians in
-    either direction: its fallback medians are by construction computed
-    from certified-rejected samples, so the batch lands as raw audit
-    data under ``rejected_batches`` instead — the gate's verdict
-    ("no clean window existed") is recorded, the landing evidence is
-    not diluted."""
+    A fully gate-EXHAUSTED batch (zero accepted samples) NEVER lands
+    medians — for any row, whether its landing evidence lives in a
+    probes entry, inline in base_s/scaled_s, or nowhere yet (r11's
+    guard only covered the first case; ADVICE r11 flagged the
+    inline-median hole). Its fallback medians are by construction
+    computed from certified-rejected samples, so the batch lands as
+    audit data under ``rejected_batches`` (raw samples in the
+    _rejected.json sidecar) — the gate's verdict ("no clean window
+    existed") is recorded, the landing evidence is not diluted."""
     art = json.load(open(artifact_path))
-    new = _run_probes(rows, base, scaled, reps=reps, max_rounds=max_rounds)
+    new = _run_probes(rows, base, scaled, reps=reps, max_rounds=max_rounds,
+                      poll_s=poll_s, wait_budget_s=wait_budget_s)
     probes = art.setdefault("probes", {})
     for name, pr in new.items():
         old = probes.get(name)
-        if (
-            old is not None
-            and pr.get("gate", {}).get("gate_exhausted")
-            and "median_scaled_s" in old
-        ):
-            old.setdefault("rejected_batches", []).append(pr)
+        if pr.get("gate", {}).get("gate_exhausted"):
+            entry = probes.setdefault(name, {})
+            entry.setdefault("rejected_batches", []).append(pr)
             continue
-        if old is not None and not replace:
+        has_old_runs = old is not None and "runs_base_s" in old
+        if has_old_runs and not replace:
             runs_b = old["runs_base_s"] + pr["runs_base_s"]
             runs_s = old["runs_scaled_s"] + pr["runs_scaled_s"]
             merged = {
@@ -643,6 +1020,9 @@ def probe_only(rows, reps, base, scaled, artifact_path,
                     max(runs_s) / max(min(runs_s), 1e-3), 2
                 ),
             }
+            for k in ("median_base_per_cal32", "median_scaled_per_cal32"):
+                if k in pr:
+                    merged[k] = pr[k]
             if "gate" in pr:
                 merged["gate"] = pr["gate"]
             for carry in ("rejected_batches", "superseded"):
@@ -653,7 +1033,7 @@ def probe_only(rows, reps, base, scaled, artifact_path,
             merged["prior_scaled_s"] = old.get("prior_scaled_s")
             probes[name] = merged
         else:
-            if old is not None:
+            if has_old_runs:
                 pr["superseded"] = {
                     k: old.get(k)
                     for k in (
@@ -668,30 +1048,16 @@ def probe_only(rows, reps, base, scaled, artifact_path,
             else:
                 pr["inline_base_s"] = art["base_s"].get(name)
                 pr["inline_scaled_s"] = art["scaled_s"].get(name)
+                if old is not None and "rejected_batches" in old:
+                    # rejected-audit-only stub from an earlier exhausted
+                    # batch: the new accepted runs land, the audit
+                    # history rides along
+                    pr["rejected_batches"] = old["rejected_batches"]
             probes[name] = pr
         art["base_s"][name] = probes[name]["median_base_s"]
         art["scaled_s"][name] = probes[name]["median_scaled_s"]
-    art["ratio"] = {
-        k: round(art["scaled_s"][k] / max(art["base_s"][k], 1e-3), 2)
-        for k in art["base_s"]
-    }
-    eng_b = sum(
-        v for k, v in art["base_s"].items() if k not in SIMULATION_ROWS
-    )
-    eng_s = sum(
-        v for k, v in art["scaled_s"].items() if k not in SIMULATION_ROWS
-    )
-    art["base_total_s"] = round(eng_b, 2)
-    art["scaled_total_s"] = round(eng_s, 2)
-    art["total_ratio"] = round(eng_s / eng_b, 2)
-    art["all_rows_total_ratio"] = round(
-        sum(art["scaled_s"].values()) / sum(art["base_s"].values()), 2
-    )
-    tmp = artifact_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(art, fh, indent=1)
-    os.replace(tmp, artifact_path)  # atomic: a crash never truncates
-    print(json.dumps(art))
+    _recompute_totals(art)
+    _write_artifact(art, artifact_path)
 
 
 def main() -> None:
@@ -701,9 +1067,15 @@ def main() -> None:
     if argv and argv[0] == "--probe-row":
         probe_row(argv[1], argv[2], argv[3])
         return
+    if argv and argv[0] == "--pair-row":
+        probe_pair(argv[1], argv[2], argv[3], argv[4],
+                   passes=int(argv[5]) if len(argv) > 5 else 2)
+        return
 
     threshold, force, do_probe = 1.5, [], True
     probe_only_rows, reps, replace, max_rounds = None, 3, False, None
+    pair_rows, pair_passes, migrate = None, 2, False
+    poll_s, wait_budget_s = 90.0, 1800.0
     pos = []
     for a in argv:
         if a.startswith("--probe-threshold"):
@@ -712,10 +1084,24 @@ def main() -> None:
             force = [s for s in a.split("=", 1)[1].split(",") if s]
         elif a.startswith("--probe-only"):
             probe_only_rows = [s for s in a.split("=", 1)[1].split(",") if s]
+        elif a.startswith("--probe-pair"):
+            pair_rows = [s for s in a.split("=", 1)[1].split(",") if s]
+            if len(pair_rows) != 2:
+                sys.exit("--probe-pair needs exactly two rows: a,b")
+        elif a.startswith("--pair-passes"):
+            pair_passes = int(a.split("=", 1)[1])
         elif a.startswith("--reps"):
             reps = int(a.split("=", 1)[1])
         elif a.startswith("--max-rounds"):
             max_rounds = int(a.split("=", 1)[1])
+            if max_rounds < 1:
+                sys.exit("--max-rounds must be >= 1")
+        elif a.startswith("--poll-s"):
+            poll_s = float(a.split("=", 1)[1])
+        elif a.startswith("--wait-budget-s"):
+            wait_budget_s = float(a.split("=", 1)[1])
+        elif a == "--sidecar-migrate":
+            migrate = True
         elif a == "--no-probe":
             do_probe = False
         elif a == "--replace":
@@ -741,9 +1127,24 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_STEP_100X.json",
     )
+    if migrate:
+        art = json.load(open(prior_artifact))
+        n = _sidecar_rejected(art, prior_artifact)
+        tmp = prior_artifact + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(art, fh, indent=1)
+        os.replace(tmp, prior_artifact)
+        print(json.dumps({"migrated_batches": n}))
+        return
     if probe_only_rows is not None:
         probe_only(probe_only_rows, reps, base, scaled, prior_artifact,
-                   replace=replace, max_rounds=max_rounds)
+                   replace=replace, max_rounds=max_rounds,
+                   poll_s=poll_s, wait_budget_s=wait_budget_s)
+        return
+    if pair_rows is not None:
+        pair_only(pair_rows[0], pair_rows[1], reps, pair_passes,
+                  base, scaled, prior_artifact,
+                  poll_s=poll_s, wait_budget_s=wait_budget_s)
         return
     spark = build_session("bench_scale_100x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -783,8 +1184,8 @@ def main() -> None:
             t_scaled[k] = pr["median_scaled_s"]
 
     ratios = {k: round(t_scaled[k] / max(t_base[k], 1e-3), 2) for k in t_base}
-    eng_b = sum(v for k, v in t_base.items() if k not in SIMULATION_ROWS)
-    eng_s = sum(v for k, v in t_scaled.items() if k not in SIMULATION_ROWS)
+    eng_b = sum(v for k, v in t_base.items() if k not in TOTALS_EXCLUDED)
+    eng_s = sum(v for k, v in t_scaled.items() if k not in TOTALS_EXCLUDED)
     margin_recall = {
         d: (
             round(
@@ -814,13 +1215,18 @@ def main() -> None:
                 "ratio": ratios,
                 # ENGINE totals: driver-side REST-payload simulation
                 # (etl_payload_build, and etl_job_sync which embeds it)
-                # excluded; etl_spark_sync carries the engine cost
+                # and the long-doc contrast rows excluded;
+                # etl_spark_sync carries the engine cost
                 "base_total_s": round(eng_b, 2),
                 "scaled_total_s": round(eng_s, 2),
                 "total_ratio": round(eng_s / eng_b, 2),
-                "excluded_from_total": sorted(SIMULATION_ROWS),
+                "excluded_from_total": sorted(TOTALS_EXCLUDED),
                 "all_rows_total_ratio": round(
-                    sum(t_scaled.values()) / sum(t_base.values()), 2
+                    sum(v for k, v in t_scaled.items()
+                        if k not in CONTRAST_ROWS)
+                    / sum(v for k, v in t_base.items()
+                          if k not in CONTRAST_ROWS),
+                    2,
                 ),
                 # sig_margin cascade: emitted pairs are a subset of the
                 # grouped row's, so recall = rows(margin)/rows(grouped)
