@@ -372,3 +372,37 @@ def test_pair_only_folds_ratio_from_all_sessions(tmp_path, monkeypatch,
     # headline surface untouched
     assert out["base_s"] == {"other": 1.0}
     assert out["scaled_s"] == {"other": 5.0}
+
+
+def test_replace_landing_carries_rejected_audit_history(tmp_path,
+                                                        monkeypatch,
+                                                        capsys):
+    """--replace supersedes the old runs but must NOT drop the row's
+    rejected_batches audit history."""
+    import json
+
+    import bench_scale_100x as b
+
+    art = {
+        "base_s": {"r": 1.0}, "scaled_s": {"r": 10.0},
+        "ratio": {"r": 10.0},
+        "probes": {"r": {
+            "runs_base_s": [1.0], "runs_scaled_s": [10.0],
+            "median_base_s": 1.0, "median_scaled_s": 10.0,
+            "spread_scaled": 1.0,
+            "rejected_batches": [{"sidecar": True, "n_samples": 4}],
+        }},
+    }
+    p = _write_art(tmp_path, art)
+    accepted = {
+        "runs_base_s": [1.1], "runs_scaled_s": [8.0],
+        "median_base_s": 1.1, "median_scaled_s": 8.0,
+        "spread_scaled": 1.0,
+        "gate": {"accepted": 1, "rejected": 0, "samples": []},
+    }
+    monkeypatch.setattr(b, "_run_probes", lambda *a, **k: {"r": accepted})
+    b.probe_only(["r"], 1, "x", "y", str(p), replace=True)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scaled_s"]["r"] == 8.0
+    assert out["probes"]["r"]["superseded"]["median_scaled_s"] == 10.0
+    assert out["probes"]["r"]["rejected_batches"][0]["n_samples"] == 4

@@ -1042,6 +1042,9 @@ def probe_only(rows, reps, base, scaled, artifact_path,
                         "spread_scaled",
                     )
                 }
+                if "rejected_batches" in old:
+                    # audit history survives a --replace landing
+                    pr["rejected_batches"] = old["rejected_batches"]
                 pr["inline_base_s"] = old.get("inline_base_s")
                 pr["inline_scaled_s"] = old.get("inline_scaled_s")
                 pr["prior_scaled_s"] = old.get("prior_scaled_s")
