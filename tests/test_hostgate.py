@@ -406,3 +406,27 @@ def test_replace_landing_carries_rejected_audit_history(tmp_path,
     assert out["scaled_s"]["r"] == 8.0
     assert out["probes"]["r"]["superseded"]["median_scaled_s"] == 10.0
     assert out["probes"]["r"]["rejected_batches"][0]["n_samples"] == 4
+
+
+def test_best_cals_sheds_transient_turbo_readings():
+    """One anomalously-fast reading (host capacity spike ABOVE the
+    sustained clean level) must not anchor the session baseline — with
+    >=10 readings the P10 quantile sheds it; the minimum would have
+    rejected every genuinely clean sample (the r11/r12 batch-burn
+    signature)."""
+    clean = [_g(0.25, 3.6) for _ in range(11)]
+    spike = _g(0.20, 2.42)
+    best = hostgate.best_cals(clean + [spike])
+    assert best == {"cal1_s": 0.25, "cal32_s": 3.6}
+    # a clean sample accepts against the quantile baseline
+    assert hostgate.accept([_g(0.26, 3.8)], best)
+    # ... and would have been rejected against the raw-min baseline
+    raw_min = {"cal1_s": 0.20, "cal32_s": 2.42}
+    assert not hostgate.accept([_g(0.26, 3.8)], raw_min)
+
+
+def test_best_cals_small_n_keeps_min_behavior():
+    """bench.py brackets a run with 2 gates: below 10 readings the
+    quantile index floors to 0 == raw minimum (legacy behavior)."""
+    best = hostgate.best_cals([_g(0.30, 5.0), _g(0.25, 4.0)])
+    assert best == {"cal1_s": 0.25, "cal32_s": 4.0}

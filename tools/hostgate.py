@@ -146,11 +146,31 @@ def measure() -> dict:
     }
 
 
-def best_cals(measurements: list[dict]) -> dict:
-    """Session-best (minimum) cal1/cal32 over all measurements."""
+def _low_quantile(vals: list[float], q: float) -> float:
+    """Value at the q-quantile from the FAST end: sorted()[floor(q*n)].
+    Degenerates to min() for small n (floor(0.1*n) == 0 while n < 10),
+    so few-measurement users (bench.py brackets one run with 2 gates)
+    keep raw-min behavior."""
+    vs = sorted(vals)
+    return vs[min(int(q * len(vs)), len(vs) - 1)]
+
+
+def best_cals(measurements: list[dict], q: float = 0.1) -> dict:
+    """Session-baseline calibration: per-key lower QUANTILE (default
+    P10) over all measurements, not the raw minimum. This host's
+    capacity occasionally spikes ABOVE its sustained clean level for a
+    reading or two (r12 observed a parent preflight cal32 = 2.42 s vs
+    the 3.4-3.8 s clean band; r11's two 100%-rejected batches carried
+    bests of 3.44 s against 4.1-4.9 s typical-clean brackets — the same
+    signature). With a raw-min baseline one transient turbo reading
+    makes every genuinely clean sample fail the tolerance cutoff and
+    the batch burns to exhaustion. The P10 anchor still tracks the
+    fast (clean) end of the session but sheds transient spikes; the
+    raw per-reading data always rides with the artifact, so the
+    baseline choice stays auditable."""
     return {
-        "cal1_s": min(m["cal1_s"] for m in measurements),
-        "cal32_s": min(m["cal32_s"] for m in measurements),
+        "cal1_s": _low_quantile([m["cal1_s"] for m in measurements], q),
+        "cal32_s": _low_quantile([m["cal32_s"] for m in measurements], q),
     }
 
 
