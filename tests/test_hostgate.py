@@ -430,3 +430,14 @@ def test_best_cals_small_n_keeps_min_behavior():
     quantile index floors to 0 == raw minimum (legacy behavior)."""
     best = hostgate.best_cals([_g(0.30, 5.0), _g(0.25, 4.0)])
     assert best == {"cal1_s": 0.25, "cal32_s": 4.0}
+
+
+def test_best_cals_sheds_recurrent_turbo_fraction():
+    """Turbo bursts are RECURRENT (~10-15% of readings), not one-offs:
+    the P25 anchor must land in the sustained-clean cluster even when
+    several turbo readings exist."""
+    pool = [_g(0.21, 3.1)] * 3 + [_g(0.25, 3.6)] * 14 + [_g(0.31, 5.0)] * 3
+    best = hostgate.best_cals(pool)
+    assert best == {"cal1_s": 0.25, "cal32_s": 3.6}
+    assert hostgate.accept([_g(0.26, 3.9)], best)   # sustained-clean: in
+    assert not hostgate.accept([_g(0.31, 5.0)], best)  # contended: out

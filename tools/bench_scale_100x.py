@@ -796,6 +796,14 @@ def _run_probes(rows, base, scaled, reps=3, max_rounds=None,
             r = json.loads(line[len("PROBE_RESULT "):])
             samples[name].append(r)
             all_gates.extend(_sample_gates(r))
+            cur_best = hostgate.best_cals(all_gates)
+            ok = hostgate.accept(_sample_gates(r), cur_best)
+            print(
+                f"sample {name} r{i}: base={r['base_s']}s "
+                f"scaled={r['scaled_s']}s "
+                f"{'ACCEPT' if ok else 'reject'} vs {cur_best}",
+                file=sys.stderr,
+            )
         if pre.starved:
             print("preflight wait budget exhausted — ending batch",
                   file=sys.stderr)

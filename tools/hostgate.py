@@ -148,26 +148,28 @@ def measure() -> dict:
 
 def _low_quantile(vals: list[float], q: float) -> float:
     """Value at the q-quantile from the FAST end: sorted()[floor(q*n)].
-    Degenerates to min() for small n (floor(0.1*n) == 0 while n < 10),
+    Degenerates to min() for small n (floor(q*n) == 0 while n < 1/q),
     so few-measurement users (bench.py brackets one run with 2 gates)
     keep raw-min behavior."""
     vs = sorted(vals)
     return vs[min(int(q * len(vs)), len(vs) - 1)]
 
 
-def best_cals(measurements: list[dict], q: float = 0.1) -> dict:
+def best_cals(measurements: list[dict], q: float = 0.25) -> dict:
     """Session-baseline calibration: per-key lower QUANTILE (default
-    P10) over all measurements, not the raw minimum. This host's
-    capacity occasionally spikes ABOVE its sustained clean level for a
-    reading or two (r12 observed a parent preflight cal32 = 2.42 s vs
-    the 3.4-3.8 s clean band; r11's two 100%-rejected batches carried
-    bests of 3.44 s against 4.1-4.9 s typical-clean brackets — the same
-    signature). With a raw-min baseline one transient turbo reading
-    makes every genuinely clean sample fail the tolerance cutoff and
-    the batch burns to exhaustion. The P10 anchor still tracks the
-    fast (clean) end of the session but sheds transient spikes; the
-    raw per-reading data always rides with the artifact, so the
-    baseline choice stays auditable."""
+    P25) over all measurements, not the raw minimum. This host's
+    capacity spikes ABOVE its sustained clean level in RECURRENT short
+    turbo bursts (r12 live observation: preflight cal1 readings of
+    0.214-0.23 s against a 0.24-0.26 s sustained-clean band, ~10-15%
+    of the pool; cal32 once at 2.42 s against a 3.4-3.8 s band; r11's
+    two 100%-rejected batches carried bests with the same signature).
+    A raw-min baseline rejects every sustained-clean sample after one
+    turbo reading; P10 still anchored on turbo once bursts exceeded a
+    tenth of the pool. The P25 anchor lands in the sustained-clean
+    cluster while remaining far from contended readings (+40-100%);
+    the raw per-reading data always rides with the artifact, so the
+    baseline choice stays auditable, and the independent spread_scaled
+    <= 1.3 bar certifies the landed cells regardless of anchor."""
     return {
         "cal1_s": _low_quantile([m["cal1_s"] for m in measurements], q),
         "cal32_s": _low_quantile([m["cal32_s"] for m in measurements], q),
