@@ -441,3 +441,59 @@ def test_best_cals_sheds_recurrent_turbo_fraction():
     assert best == {"cal1_s": 0.25, "cal32_s": 3.6}
     assert hostgate.accept([_g(0.26, 3.9)], best)   # sustained-clean: in
     assert not hostgate.accept([_g(0.31, 5.0)], best)  # contended: out
+
+
+def test_preflight_seeds_pool_before_first_verdict(monkeypatch):
+    """The first wait_clean() of a batch must not self-accept: with an
+    empty pool the session "best" IS the first reading, so a dirty
+    first window would always fire a sample. The scheduler seeds the
+    pool to 3 readings and judges the freshest one — a dirty opening
+    window now sleeps instead of burning the batch's first sample."""
+    import bench_scale_100x as b
+
+    # host: fluctuating opener — dirty, clean, dirty. The freshest
+    # seed reading (dirty 9.2) is the verdict subject; the clean seed
+    # (3.6) anchors the baseline, so the opener sleeps instead of
+    # firing (pre-seeding, reading #1 would have self-accepted)
+    readings = iter([_g(0.32, 9.0), _g(0.25, 3.6), _g(0.31, 9.2),
+                     _g(0.26, 3.8)])
+    slept = []
+
+    class FakeHG:
+        TOL1, TOL32 = hostgate.TOL1, hostgate.TOL32
+        measure = staticmethod(lambda: next(readings))
+        best_cals = staticmethod(hostgate.best_cals)
+        accept = staticmethod(hostgate.accept)
+
+    pool: list = []
+    pre = b._Preflight(pool, poll_s=1.0, wait_budget_s=10.0)
+    pre._hg = FakeHG
+    monkeypatch.setattr(b.time, "sleep", lambda s: slept.append(s))
+    assert pre.wait_clean() is True
+    # seeded to 3 before the first verdict; the dirty opener was judged
+    # against the seeded best (3.6) -> one skip+sleep, then the 4th
+    # (clean) reading fires
+    assert len(pool) == 4
+    assert pre.skips == 1 and slept == [1.0]
+
+
+def test_preflight_clean_opener_fires_after_seeding(monkeypatch):
+    """A genuinely clean opening window costs only the 2 extra seed
+    readings, then fires immediately (no sleep)."""
+    import bench_scale_100x as b
+
+    readings = iter([_g(0.25, 3.6), _g(0.26, 3.7), _g(0.25, 3.65)])
+
+    class FakeHG:
+        TOL1, TOL32 = hostgate.TOL1, hostgate.TOL32
+        measure = staticmethod(lambda: next(readings))
+        best_cals = staticmethod(hostgate.best_cals)
+        accept = staticmethod(hostgate.accept)
+
+    pool: list = []
+    pre = b._Preflight(pool, poll_s=1.0, wait_budget_s=10.0)
+    pre._hg = FakeHG
+    monkeypatch.setattr(b.time, "sleep",
+                        lambda s: (_ for _ in ()).throw(AssertionError))
+    assert pre.wait_clean() is True
+    assert len(pool) == 3 and pre.skips == 0

@@ -724,6 +724,14 @@ class _Preflight:
         while True:
             g = self._hg.measure()
             self.all_gates.append(g)
+            # Seed the baseline: with <3 readings the session "best" is
+            # (nearly) the reading itself, so the verdict degenerates to
+            # self-acceptance and the batch's FIRST sample always fires —
+            # even into a window the next reading would reject. ~12 s of
+            # extra calibration buys the first verdict real context.
+            while len(self.all_gates) < 3:
+                g = self._hg.measure()  # judge the freshest reading
+                self.all_gates.append(g)
             best = self._hg.best_cals(self.all_gates)
             if self._hg.accept([g], best):
                 return True
