@@ -18,6 +18,7 @@ occupancy shuffles — the same profile as the flagship query.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,12 +54,63 @@ def _empty(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _local_df(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Driver-payload list → DataFrame via pandas + Arrow.
+
+    ``createDataFrame(list_of_tuples, schema)`` walks the pickled-row
+    path: per-row type verification on the driver and per-action row
+    pickling into the JVM. Transposing into object-dtype pandas columns
+    routes through Arrow instead (guide §6: Arrow for driver transfers)
+    — measured at the 15k-row student_groups payload: create 0.19 s →
+    0.14 s and, because the local relation then ships as Arrow batches,
+    each downstream action 0.7-1.0 s → 0.4 s. Column mapping is
+    positional (same contract as the tuple path); object dtype keeps
+    ints exact and None → NULL, bit-identical output (parity-tested
+    incl. array<string> columns)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame(
+        {i: pd.Series(c, dtype=object) for i, c in enumerate(zip(*rows))}
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+class _LazyOutputs(dict):
+    """``run_etl``'s output map; a value may be a zero-arg thunk that
+    CONSTRUCTS the (lazy) DataFrame on first access. Phase-2/3 plans
+    (shred explode chain, occupancy rebuild, blob versioning) are
+    expensive to *build* (~1 s of driver/py4j time each per sync) — a
+    consumer that only reads dimension outputs (e.g. the E1 adjudication
+    query, which consumes ``student_groups`` and re-seeds the next sync
+    from the dims) should not pay plan construction for branches it
+    never touches. Resolution is cached; all read paths resolve."""
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        if callable(v):
+            v = v()
+            super().__setitem__(k, v)
+        return v
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+    def values(self):  # noqa: D102 - dict API, resolved
+        return [self[k] for k in self]
+
+    def items(self):  # noqa: D102 - dict API, resolved
+        return [(k, self[k]) for k in self]
+
+
 def sync_system_state(
     spark: SparkSession, state: DataFrame, key: str, value: str, now_ts
 ) -> DataFrame:
     """M1 (`iis_etl/logic.py:63-68`): single-key upsert into the KV table."""
-    incoming = spark.createDataFrame(
-        [(key, str(value)[:255])], "key string, value string"
+    incoming = _local_df(
+        spark, [(key, str(value)[:255])], "key string, value string"
     ).withColumn("updated_at", F.lit(now_ts).cast("timestamp"))
     return merge_upsert(state, incoming, ["key"], update_cols=["value", "updated_at"])
 
@@ -68,7 +120,7 @@ def sync_faculties(spark: SparkSession, dim: DataFrame, payload: list[dict]) -> 
     rows = [
         (int(p["id"]), p.get("name"), p.get("abbrev")) for p in payload
     ]
-    incoming = spark.createDataFrame(rows, FACULTIES)
+    incoming = _local_df(spark, rows, FACULTIES)
     return merge_upsert(dim, incoming, ["id"], update_cols=["name", "abbr"])
 
 
@@ -81,7 +133,7 @@ def sync_departments(spark: SparkSession, dim: DataFrame, payload: list[dict]) -
         name = p.get("name") or p.get("nameAbbrev")
         abbr = p.get("abbrev") or (name[:50] if name else None)
         rows.append((int(p["id"]), name, abbr, str(p.get("id"))))
-    incoming = spark.createDataFrame(rows, DEPARTMENTS)
+    incoming = _local_df(spark, rows, DEPARTMENTS)
     return merge_upsert(dim, incoming, ["id"], update_cols=["name", "abbr"])
 
 
@@ -109,7 +161,7 @@ def sync_specialities(
                 p.get("facultyId"),
             )
         )
-    incoming = spark.createDataFrame(rows, SPECIALITIES).withColumn(
+    incoming = _local_df(spark, rows, SPECIALITIES).withColumn(
         "education_form", py_or_str(F.col("education_form"), F.lit("Unknown"))
     )
     repaired = fk_repair_placeholders(
@@ -159,7 +211,8 @@ def sync_student_groups(
         )
         for p in payload
     ]
-    incoming = spark.createDataFrame(
+    incoming = _local_df(
+        spark,
         rows,
         "id long, name string, course int, speciality_id long, "
         "calendar_id string, education_degree int, number_of_students int",
@@ -212,7 +265,8 @@ def sync_employees(
         )
         for p in payload
     ]
-    incoming_all = spark.createDataFrame(
+    incoming_all = _local_df(
+        spark,
         rows,
         "id long, first_name string, last_name string, middle_name string, "
         "degree string, rank string, photo_link string, calendar_id string, "
@@ -306,7 +360,8 @@ def sync_auditories(
                 p.get("departmentId"),
             )
         )
-    raw = spark.createDataFrame(
+    raw = _local_df(
+        spark,
         aud_rows,
         "idx long, id long, name string, building_number string, "
         "note string, capacity int, auditory_type string, "
@@ -433,22 +488,42 @@ def run_etl(
             spark, auditories, departments, api["auditories"]
         )
 
-    # Phase 2 — facts (main.py:51-52)
-    raw = spark.createDataFrame(
-        api.get("schedules", []),
-        "entity_name string, entity_type string, payload string",
+    # Phase 2 — facts (main.py:51-52). Plan CONSTRUCTION is deferred
+    # behind _LazyOutputs thunks: a consumer that never reads the fact/
+    # derived outputs (the E1 adjudication query reads student_groups +
+    # the dim seeds, twice per run) skips the shred/occupancy/versioning
+    # plan building entirely — the returned plans are identical when
+    # accessed. The `schedules`-present path still builds docs eagerly
+    # for the J7 backfill below.
+    raw_schema = "entity_name string, entity_type string, payload string"
+
+    def _once(fn):
+        memo = []
+
+        def wrapped():
+            if not memo:
+                memo.append(fn())
+            return memo[0]
+
+        return wrapped
+
+    _raw = _once(
+        lambda: _local_df(spark, api.get("schedules", []), raw_schema)
     )
-    docs, quarantine = parse_schedule_json(raw)
+    _docs_quarantine = _once(lambda: parse_schedule_json(_raw()))
+
     if api.get("schedules"):
+        docs, quarantine = _docs_quarantine()
         # raw-blob versioning happens on the UNFILTERED raw rows: the
         # group path stores docs the shredder quarantines (no
         # schedules/exams) — guard asymmetry lives in
         # schedule_blob_incoming (`iis_etl/logic.py:282-297,413,432`)
-        storage = version_blobs(
-            storage, schedule_blob_incoming(raw, employees), now_ts
+        storage_prev, employees_f = storage, employees
+        storage = lambda: version_blobs(  # noqa: E731
+            storage_prev, schedule_blob_incoming(_raw(), employees_f), now_ts
         )
-    events = shred_schedule_docs(docs)
-    if api.get("schedules"):
+        events = _once(lambda: shred_schedule_docs(docs))
+        quarantine_out = quarantine
         # J7: backfill number_of_students into current group rows
         counts = backfill_student_counts(docs)
         groups = (
@@ -471,21 +546,31 @@ def run_etl(
             )
             .drop("__bf")
         )
+    else:
+        events = _once(lambda: shred_schedule_docs(_docs_quarantine()[0]))
+        quarantine_out = lambda: _docs_quarantine()[1]  # noqa: E731
 
     # Phase 3 — derived occupancy index (main.py:55)
-    occupancy = rebuild_occupancy(events, auditories)
+    auditories_f = auditories
+    events_f = events
 
-    return {
-        "system_state": state,
-        "faculties": faculties,
-        "departments": departments,
-        "specialities": specialities,
-        "student_groups": groups,
-        "employees": employees,
-        "departments_employees": bridge,
-        "auditories": auditories,
-        "schedule_json_storage": storage,
-        "schedule_events": events,
-        "schedule_quarantine": quarantine,
-        "occupancy_index": occupancy,
-    }
+    def _occupancy() -> DataFrame:
+        e = events_f() if callable(events_f) else events_f
+        return rebuild_occupancy(e, auditories_f)
+
+    return _LazyOutputs(
+        {
+            "system_state": state,
+            "faculties": faculties,
+            "departments": departments,
+            "specialities": specialities,
+            "student_groups": groups,
+            "employees": employees,
+            "departments_employees": bridge,
+            "auditories": auditories,
+            "schedule_json_storage": storage,
+            "schedule_events": events,
+            "schedule_quarantine": quarantine_out,
+            "occupancy_index": _occupancy,
+        }
+    )
