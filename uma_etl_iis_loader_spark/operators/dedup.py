@@ -574,15 +574,24 @@ def minhash_lsh_pairs(
         # (run-to-run plan variance): balance by candidate mass (the
         # kernel's work unit, ~100k exact-Jaccard comparisons per task)
         # with a member-row floor (gram-array shuffle volume, ~25k
-        # member rows per task), never below the cluster parallelism.
-        # An explicit numPartitions also stops AQE from re-coalescing
-        # the exchange differently across runs.
+        # member rows per task). The spread-work floor is ~1k member
+        # rows per task up to the cluster parallelism — data-derived,
+        # so a small collision set no longer fans out to 32 near-empty
+        # Arrow tasks just because 32 cores exist (r12: 6.8k members
+        # at sf0.1 → 7 tasks, verify 1.0-1.4 s → 0.8 s, identical
+        # pairs), while any corpus with ≥1k members/core still uses
+        # every core. An explicit numPartitions also stops AQE from
+        # re-coalescing the exchange differently across runs.
         nparts = min(
             4096,
             max(
-                docs.sparkSession.sparkContext.defaultParallelism,
+                min(
+                    docs.sparkSession.sparkContext.defaultParallelism,
+                    -(-members_n // 1_000),
+                ),
                 -(-mass // 100_000),
                 -(-members_n // 25_000),
+                1,
             ),
         )
         members = banded.join(
@@ -1118,11 +1127,15 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
             "prev",
         )
-        # lineage stays shallow off the pinned edges (3 joins/round), so a
-        # per-round checkpoint costs more than the re-execution it saves on
-        # the convergence probe; pin every 3rd round as the growth guard
-        if it % 3 == 2:
-            jumped = jumped.localCheckpoint(eager=True)
+        # checkpoint each round BEFORE the convergence probe: the probe
+        # then counts over the materialized rows (~50 ms) and the next
+        # round builds on them, instead of the probe job re-executing
+        # the accumulated round lineage and the final consumer paying it
+        # again (r12 A/B at sf0.1, identical labels: 1.0-1.9 s →
+        # 0.8-1.0 s; at scale the probe materializes the same
+        # (node, comp) rows either way, so this is also the
+        # no-re-execution shape)
+        jumped = jumped.localCheckpoint(eager=True)
         changed = jumped.filter(F.col("comp") != F.col("prev")).limit(1).count()
         labels = jumped.drop("prev")
         if changed == 0:
