@@ -973,11 +973,18 @@ def _train_books_on(vm, m: int, ksub: int, iters: int):
             # of an (n, ksub, dsub) broadcast tensor
             d2 = x_sq - 2.0 * (x @ cb.T) + (cb * cb).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            # vectorized centroid update (bincount per dim); empty
-            # clusters keep their previous codeword (deterministic)
+            # vectorized centroid update (np.bincount per dim — C-speed
+            # scatter-add; np.add.at is an order of magnitude slower on
+            # this shape); empty clusters keep their previous codeword
+            # (deterministic)
             counts = np.bincount(assign, minlength=ksub)
-            sums = np.zeros_like(cb)
-            np.add.at(sums, assign, x)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=x[:, j], minlength=ksub)
+                    for j in range(dsub)
+                ],
+                axis=1,
+            )
             nz = counts > 0
             cb[nz] = sums[nz] / counts[nz, None]
         books[mi] = cb
