@@ -78,11 +78,19 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # out-degree attached to the edge list ONCE — the loop's join then
+    # needs only (src, dst, deg) ⋈ (node, rank), one consumer per frame.
+    # Only e2 and nodes materialize (e's distinct exchange is reused
+    # between the join side and the outdeg side inside the one
+    # checkpoint job; nodes then derives from materialized e2 — the
+    # inner join on src preserves every edge row, so the node set is
+    # identical): two prep jobs instead of three.
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e2.select(F.col("src").alias("node"))
+        .unionByName(e2.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -90,42 +98,66 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    # out-degree attached to the edge list ONCE — the loop's join then
-    # needs only (src, dst, deg) ⋈ (node, rank), one consumer per frame
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
-
     if tol <= 0:
-        # fixed-round mode: the whole recurrence as ONE WITH-CTE plan.
+        # fixed-round mode: the recurrence as WITH-CTE plans, SEGMENTED
+        # four rounds per spark.sql call. Catalyst inlines the multi-ref
+        # CTEs during analysis, so the analyzed tree DOUBLES per round
+        # (measured warm: 8 rounds 0.47 s, 12 rounds 5.7 s to analyze) —
+        # and every downstream DataFrame op re-analyzes it. Four rounds
+        # (2^4 leaf copies) keeps each analysis at ~50 ms while
+        # execution still dedups the copies via ReuseExchange. Segment
+        # boundaries materialize with an eager localCheckpoint — also
+        # the reason segments must stay SMALL: the checkpoint runs the
+        # plan through the RDD path, which skips adaptive execution and
+        # exchange reuse (measured: checkpointing an unsegmented 8-round
+        # tree costs ~20 s where count() takes ~2 s).
         # Literals embedded via repr() round-trip doubles exactly, and
         # the `D` suffix keeps them DoubleType (a bare `1.0` parses as
         # DECIMAL in Spark SQL, which would change the arithmetic) — the
-        # result is bit-identical to the API construction (A/B'd at
+        # result matches the API construction bit-for-bit (A/B'd at
         # sf0.001: 0 differing bits across all 1,597 ranks).
         base = f"{(1.0 - damping) / n!r}D"
         d = f"{damping!r}D"
         nf = f"{float(n)!r}D"
-        parts = [f"r0 AS (SELECT node, {1.0 / n!r}D AS rank FROM {{nodes}})"]
-        for i in range(1, max_iter + 1):
-            parts.append(
-                f"c{i} AS (SELECT e.dst AS node, "
-                f"sum(r.rank / e.deg) AS contrib "
-                f"FROM {{e2}} e JOIN r{i - 1} r ON e.src = r.node "
-                f"GROUP BY e.dst)"
-            )
-            parts.append(
-                f"d{i} AS (SELECT 1.0D - coalesce(sum(contrib), 0.0D) "
-                f"AS dangling FROM c{i})"
-            )
-            parts.append(
-                f"r{i} AS (SELECT /*+ BROADCAST(d) */ n.node, "
-                f"{base} + {d} * (coalesce(c.contrib, 0.0D) "
-                f"+ d.dangling / {nf}) AS rank "
-                f"FROM {{nodes}} n LEFT JOIN c{i} c ON n.node = c.node "
-                f"CROSS JOIN d{i} d)"
-            )
-        sql = "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{max_iter}"
-        return e2.sparkSession.sql(sql, nodes=nodes, e2=e2)
+        seg = 4
+        ranks = None
+        done = 0
+        while done < max_iter:
+            k = min(seg, max_iter - done)
+            if ranks is None:
+                parts = [
+                    f"r0 AS (SELECT node, {1.0 / n!r}D AS rank FROM {{nodes}})"
+                ]
+            else:
+                parts = ["r0 AS (SELECT node, rank FROM {ranks})"]
+            for i in range(1, k + 1):
+                parts.append(
+                    f"c{i} AS (SELECT e.dst AS node, "
+                    f"sum(r.rank / e.deg) AS contrib "
+                    f"FROM {{e2}} e JOIN r{i - 1} r ON e.src = r.node "
+                    f"GROUP BY e.dst)"
+                )
+                parts.append(
+                    f"d{i} AS (SELECT 1.0D - coalesce(sum(contrib), 0.0D) "
+                    f"AS dangling FROM c{i})"
+                )
+                parts.append(
+                    f"r{i} AS (SELECT /*+ BROADCAST(d) */ n.node, "
+                    f"{base} + {d} * (coalesce(c.contrib, 0.0D) "
+                    f"+ d.dangling / {nf}) AS rank "
+                    f"FROM {{nodes}} n LEFT JOIN c{i} c ON n.node = c.node "
+                    f"CROSS JOIN d{i} d)"
+                )
+            sql = "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{k}"
+            kwargs = {"nodes": nodes, "e2": e2}
+            if ranks is not None:
+                kwargs["ranks"] = ranks
+            out = e2.sparkSession.sql(sql, **kwargs)
+            done += k
+            if done < max_iter:
+                out = out.localCheckpoint(eager=True)
+            ranks = out
+        return ranks
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(max_iter):
