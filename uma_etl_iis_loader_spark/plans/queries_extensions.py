@@ -3546,22 +3546,56 @@ def q_corpus_stats_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_ok").alias("ok"),
     )
 
-    from ..operators.sketches import build_cms_sketches, cms_point_estimates
+    from ..operators.sketches import _cms_merge_blobs, build_cms_sketches
 
     events = read_fixture(spark, sf_dir, "events")
     days = events.withColumn("day", F.to_date("ts"))
     per_day = build_cms_sketches(days, ["day"], "event_type", eps=0.001)
     global_sk = build_cms_sketches(events, [], "event_type", eps=0.001)
-    true = {
-        r.event_type: r.n
-        for r in events.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE driver job for all three driver-sized aggregates (true counts +
+    # both sketch sets ride one union; the three aggregations execute
+    # concurrently) instead of three sequential collect jobs; the blob
+    # merge uses the numpy counter-sum pinned byte-equal to the JVM
+    # mergeInPlace chain (tests/test_approx.py), then one readFrom for
+    # the point queries — identical estimates (integer counter sums are
+    # order-independent).
+    null_b = F.lit(None).cast("binary")
+    null_cnt = F.lit(None).cast("long")
+    stat_rows = (
+        per_day.select(
+            F.lit("day").alias("__t"), null_s.alias("__k"),
+            F.col("cms").alias("__b"), null_cnt.alias("__n"),
+        )
+        .unionByName(
+            global_sk.select(
+                F.lit("g").alias("__t"), null_s.alias("__k"),
+                F.col("cms").alias("__b"), null_cnt.alias("__n"),
+            )
+        )
+        .unionByName(
+            events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit("t").alias("__t"), F.col("event_type").alias("__k"),
+                null_b.alias("__b"), F.col("n").alias("__n"),
+            )
+        )
         .collect()
-    }
+    )
+    true = {r["__k"]: r["__n"] for r in stat_rows if r["__t"] == "t"}
     n_total = sum(true.values())
     keys = sorted(true)
-    est_m = cms_point_estimates(spark, per_day, keys)
-    est_g = cms_point_estimates(spark, global_sk, keys)
+
+    def _estimates(blobs):
+        if not blobs:
+            return {k: 0 for k in keys}
+        sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytearray(_cms_merge_blobs(blobs))
+        )
+        return {k: int(sk.estimateCount(k)) for k in keys}
+
+    est_m = _estimates([r["__b"] for r in stat_rows if r["__t"] == "day"])
+    est_g = _estimates([r["__b"] for r in stat_rows if r["__t"] == "g"])
     cms = spark.createDataFrame(
         [
             (
