@@ -126,7 +126,12 @@ def repeated_passages(
         "id", "pos", F.coalesce(F.col("__r"), F.lit(False)).alias("rep")
     )
     if pin:
-        marked = marked.localCheckpoint(eager=True)
+        # eager persist+count rather than localCheckpoint: the checkpoint
+        # materializes via the RDD path, which skips AQE — the mark join
+        # then can't broadcast the (small, post-filter) repeated-key side
+        # at runtime (r12; same finding as the knn_ann recall frame)
+        marked = marked.persist()
+        marked.count()
         sh.unpersist()
     return _marked_to_outputs(marked, k)
 
