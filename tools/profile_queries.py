@@ -29,6 +29,9 @@ import pstats
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution under
+                     # `from __future__ import annotations` needs pd in globals
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -106,7 +109,6 @@ def _warmup(spark, sf_dir: str) -> None:
     """The exact warm-up block from bench.py main() (kept in lockstep —
     measurement parity matters more than DRY here; bench.py is the
     driver-contract artifact and stays self-contained)."""
-    import pandas as pd
     from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
@@ -187,6 +189,38 @@ def _warmup(spark, sf_dir: str) -> None:
         ).alias("fp"),
         _F.xxhash64("t").alias("h"),
     ).groupBy("fp").agg(_F.min("h")).count()
+
+    # r12 additions (kept in lockstep with bench.py): json round-trip,
+    # full-outer keyed merge, binary Arrow kernel, WITH-CTE shape
+    s4 = spark.range(0, 20_000)
+    (
+        s4.select(_F.to_json(_F.struct("id")).alias("js"))
+        .select(_F.from_json("js", "struct<id:bigint>").alias("p"))
+        .select("p.id")
+        .count()
+    )
+    a4 = s4.select(_F.col("id").alias("k"), (_F.col("id") * 2).alias("v"))
+    b4 = s4.select((_F.col("id") + 10_000).alias("k"), _F.col("id").alias("v2"))
+    (
+        a4.join(b4, "k", "full_outer")
+        .select(_F.coalesce("v", "v2").alias("m"))
+        .count()
+    )
+
+    def _bin_kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": pdf["b"].map(len)})
+
+    (
+        s4.select(_F.col("id").cast("string").cast("binary").alias("b"))
+        .mapInPandas(_bin_kernel, "n long")
+        .count()
+    )
+    spark.sql(
+        "WITH t AS (SELECT id, id % 7 AS k FROM range(10000)), "
+        "u AS (SELECT k, sum(id) AS s FROM t GROUP BY k) "
+        "SELECT max(s) FROM u"
+    ).count()
 
 
 if __name__ == "__main__":
