@@ -126,12 +126,14 @@ def repeated_passages(
         "id", "pos", F.coalesce(F.col("__r"), F.lit(False)).alias("rep")
     )
     if pin:
-        # eager persist+count rather than localCheckpoint: the checkpoint
-        # materializes via the RDD path, which skips AQE — the mark join
-        # then can't broadcast the (small, post-filter) repeated-key side
-        # at runtime (r12; same finding as the knn_ann recall frame)
-        marked = marked.persist()
-        marked.count()
+        # localCheckpoint, NOT persist+count: marked is corpus-sized (one
+        # row per token window), so a collect-to-local is off the table
+        # and a session-lifetime cache would tax every later query's
+        # analysis (CacheManager matches each new plan against every
+        # cached plan — measured r12). The RDD-path checkpoint loses
+        # AQE's runtime broadcast of the mark join, but truncates the
+        # lineage to a leaf for both downstream consumers.
+        marked = marked.localCheckpoint(eager=True)
         sh.unpersist()
     return _marked_to_outputs(marked, k)
 

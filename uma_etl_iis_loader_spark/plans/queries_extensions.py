@@ -2146,13 +2146,21 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__recall"),
         )
     )
-    # tiny; both output layers reuse it. Eager persist+count rather than
-    # localCheckpoint: the checkpoint materializes through the RDD path,
-    # which skips AQE and exchange reuse — on this plan (brute + 3 ANN
-    # passes under one full-outer join) that re-executes shared
-    # subtrees, measured 13.1 s vs 8.8 s for the whole query (r12)
+    # tiny (3 methods x |queries| rows); both output layers reuse it.
+    # Eager persist+count executes through the normal path (AQE +
+    # exchange reuse — localCheckpoint materializes via the RDD path and
+    # re-executed the shared brute/ANN subtrees: 13.1 s vs 8.8 s whole-
+    # query, r12 A/B). The rows then move to a LOCAL relation and the
+    # cache is released immediately: a session-lifetime cached plan this
+    # large taxes every LATER query in the session (CacheManager matches
+    # each new plan against every cached one — measured as multi-second
+    # setup inflation on every post-knn_ann bench query before the
+    # unpersist landed).
     per_query = per_query.persist()
-    per_query.count()
+    rows = per_query.collect()
+    schema = per_query.schema
+    per_query.unpersist()
+    per_query = spark.createDataFrame(rows, schema)
     query_rows = per_query.select(
         "method",
         "query_id",
