@@ -322,6 +322,23 @@ def main() -> None:
         "_window_r10": "committed sidecar = cleanest of three same-hour "
         "r10 runs (query totals 33.8/34.2/32.6 s; untouched-median "
         "window vs BENCH_r09 x0.83-0.87)",
+        "_window_r12": "optimization round: the builder's session saw "
+        "cal32 4.5-5.3 (vs 2.9 in the r11 committed window, i.e. ~1.33x "
+        "slower on byte-identical code) with recurring load storms "
+        "(steal 9-22%, load spikes to 40+); all r12 before/after "
+        "evidence is same-session interleaved A/B or gate-accepted "
+        "median-of-3 (OPTIMIZATION_r12.md). Gate-accepted medians at "
+        "the end of the round: setup_total 50.9 -> 42.3, per-query "
+        "wins etl_job_sync 11.4->6.9, dedup_lsh_pairs 10.3->7.7, "
+        "grouping_analytics 7.0->5.3, corpus_stats 4.9->3.8, "
+        "dedup_ngram 3.5->2.9, shred 5.8->5.1, bm25 1.7->1.3 on "
+        "otherwise-identical plans",
+        "multimodal_ops_r12": "cells 3-9 s in the r12 baseline window "
+        "ballooned to 17-21 s later the same day AT THE BASELINE COMMIT "
+        "TOO (bisected): sustained 32-worker Python codec CPU is the "
+        "workload most exposed to host throttling that the 6 s cal "
+        "probes cannot see. Code unchanged this round; compare this "
+        "cell only across same-window runs",
         "_window_r11": "every run now carries a host_gate block "
         "(tools/hostgate.py: fixed-work cal spins + steal bracketing "
         "the measured section) — the r10 'window narrative' problem is "
