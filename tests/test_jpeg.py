@@ -190,3 +190,77 @@ def test_jpeg_fill_bytes_between_segments():
         b"\xff\xda", b"\xff\xff\xda"[0:1] + b"\xff\xff\xda"
     )
     assert np.array_equal(decode_jpeg(padded), base)
+
+
+def test_huff_lut_matches_reference_bitwalk():
+    """r13: the 16-bit-peek Huffman LUT must decode exactly like an
+    independent per-bit canonical-code walker on the standard tables —
+    same symbol, same consumed length, for every 16-bit window."""
+    from uma_etl_iis_loader_spark.operators.jpeg import (
+        _AC_LUM,
+        _DC_LUM,
+        _huff_lut,
+    )
+
+    for bits, vals in (_DC_LUM, _AC_LUM):
+        raw = bytes([0]) + bytes(bits) + bytes(vals)
+        lut = _huff_lut(raw)
+        # reference: walk the canonical assignment bit by bit
+        table = {}
+        code = 0
+        i = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[i]
+                code += 1
+                i += 1
+            code <<= 1
+        for window in range(0, 65536, 7):  # dense-enough sweep
+            sym = None
+            c = 0
+            for ln in range(1, 17):
+                c = (c << 1) | ((window >> (16 - ln)) & 1)
+                if (ln, c) in table:
+                    sym = (table[(ln, c)], ln)
+                    break
+            ent = lut[window]
+            got = None if ent == 0 else (ent >> 5, ent & 31)
+            assert got == sym, (window, got, sym)
+
+
+def test_planes_blocks3_matches_per_plane():
+    """r13: the fused 3-plane DCT/quant path must be bit-identical to
+    the per-plane path for every synthetic-image geometry."""
+    from uma_etl_iis_loader_spark.operators.jpeg import (
+        _plane_blocks,
+        _planes_blocks3,
+        _quant_for_quality,
+    )
+    from uma_etl_iis_loader_spark.operators.multimodal import (
+        _synthetic_pixels,
+    )
+
+    qlum, qchrom, _, _ = _quant_for_quality(92)
+    for i in range(40):
+        img = _synthetic_pixels(i).astype(np.float64)
+        planes = [img[:, :, c] for c in range(3)]
+        h, w = planes[0].shape
+        bh, bw = -(-h // 8), -(-w // 8)
+        fused = _planes_blocks3(planes, bh, bw, qlum, qchrom)
+        for ci, pl in enumerate(planes):
+            ref = _plane_blocks(pl, bh, bw, qlum if ci == 0 else qchrom)
+            assert np.array_equal(fused[ci], ref), (i, ci)
+
+
+def test_quant_cache_is_immutable_and_hits():
+    """r13: the per-quality quant tables are cached; they must be
+    read-only (a mutation would silently corrupt every later encode)
+    and return the same objects on a second call."""
+    from uma_etl_iis_loader_spark.operators.jpeg import _quant_for_quality
+
+    a = _quant_for_quality(85)
+    b = _quant_for_quality(85)
+    assert a[0] is b[0] and a[1] is b[1]
+    assert not a[0].flags.writeable and not a[1].flags.writeable
+    with pytest.raises(ValueError):
+        a[0][0, 0] = 99

@@ -343,10 +343,11 @@ def bpe_encode(
             if len(cache) > 500_000:
                 cache.clear()
             out = []
-            for _, r in pdf.iterrows():
-                text = r[text_col]
+            for rid, text in zip(
+                pdf[id_col].tolist(), pdf[text_col].tolist()
+            ):
                 if text is None:
-                    out.append((r[id_col], None, None, None, None, None))
+                    out.append((rid, None, None, None, None, None))
                     continue
                 text = str(text)
                 ids: list[int] = []
@@ -355,7 +356,7 @@ def bpe_encode(
                 decoded = b"".join(inv[i] for i in ids).decode("utf-8")
                 out.append(
                     (
-                        r[id_col],
+                        rid,
                         len(text.encode("utf-8")),
                         len(ids),
                         ids,

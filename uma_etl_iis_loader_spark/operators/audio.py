@@ -142,9 +142,9 @@ def _synthesize_wav(ids: DataFrame, id_col: str, gen) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, rr in pdf.iterrows():
-                x, rate = gen(int(rr[id_col]))[:2]
-                out.append((int(rr[id_col]), encode_wav(x, rate)))
+            for i in pdf[id_col].tolist():
+                x, rate = gen(i)[:2]
+                out.append((i, encode_wav(x, rate)))
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
@@ -180,8 +180,9 @@ def wav_sample_stats(assets: DataFrame) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                buf = r["payload"]
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 n_bytes = 0 if buf is None else int(len(buf))
                 try:
                     if buf is None:
@@ -190,14 +191,14 @@ def wav_sample_stats(assets: DataFrame) -> DataFrame:
                     n = int(x.shape[0])
                     out.append(
                         (
-                            r["asset_id"], n, int(x.shape[1]), rate, n_bytes,
+                            aid, n, int(x.shape[1]), rate, n_bytes,
                             int(x.astype(np.int64).sum()),
                             int(1000 * n // rate) if rate else None, None,
                         )
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, n_bytes, None,
+                        (aid, None, None, None, n_bytes, None,
                          None, str(exc)[:200])
                     )
             yield pd.DataFrame(
@@ -229,11 +230,13 @@ def audio_spectral_features(assets: DataFrame, n_bands: int = 8) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    x, rate = decode_wav(bytes(r["payload"]))
+                    x, rate = decode_wav(bytes(buf))
                     mono = x.astype(np.float64).mean(axis=1)
                     n = len(mono)
                     spec = np.fft.rfft(mono)
@@ -259,12 +262,12 @@ def audio_spectral_features(assets: DataFrame, n_bands: int = 8) -> DataFrame:
                         [np.log1p(b.sum()) for b in bands], dtype=np.float32
                     )
                     out.append(
-                        (r["asset_id"], n, rate, dom, round(centroid, 6),
+                        (aid, n, rate, dom, round(centroid, 6),
                          ok, band_e, None)
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, None, None, None,
+                        (aid, None, None, None, None, None, None,
                          str(exc)[:200])
                     )
             yield pd.DataFrame(
@@ -387,11 +390,13 @@ def mfcc_features(
         dct = _dct2_orthonormal(n_mfcc, n_mels)
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    x, rate = decode_wav(bytes(r["payload"]))
+                    x, rate = decode_wav(bytes(buf))
                     mono = x.astype(np.float64).mean(axis=1)
                     power = np.abs(np.fft.rfft(mono)) ** 2
                     key = (len(mono), rate)
@@ -409,9 +414,9 @@ def mfcc_features(
                         mel_e[m] = w @ power[start:start + len(w)]
                     mel_e = np.log(mel_e + 1e-10)
                     mfcc = (dct @ mel_e).astype(np.float32)
-                    out.append((r["asset_id"], rate, mfcc, None))
+                    out.append((aid, rate, mfcc, None))
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+                    out.append((aid, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "sample_rate", "mfcc", "decode_error"],
@@ -462,11 +467,13 @@ def mfcc_frames(
         dct = _dct2_orthonormal(n_mfcc, n_mels)
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    x, rate = decode_wav(bytes(r["payload"]))
+                    x, rate = decode_wav(bytes(buf))
                     mono = x.astype(np.float64).mean(axis=1)
                     if len(mono) < frame_len:
                         mono = np.pad(mono, (0, frame_len - len(mono)))
@@ -484,9 +491,9 @@ def mfcc_frames(
                     mel_e = np.log(power @ fb.T + 1e-10)
                     mfcc = (mel_e @ dct.T).astype(np.float32)
                     for fi in range(mfcc.shape[0]):
-                        out.append((r["asset_id"], fi, rate, mfcc[fi], None))
+                        out.append((aid, fi, rate, mfcc[fi], None))
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, None,
+                    out.append((aid, None, None, None,
                                 str(exc)[:200]))
             yield pd.DataFrame(
                 out,
@@ -521,11 +528,13 @@ def detect_active_segments(
     def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    x, _rate = decode_wav(bytes(r["payload"]))
+                    x, _rate = decode_wav(bytes(buf))
                     mono = x.astype(np.float64).mean(axis=1)
                     orig_n = len(mono)
                     if len(mono) < frame_len:
@@ -550,7 +559,7 @@ def detect_active_segments(
                         if j - i >= min_frames:
                             out.append(
                                 (
-                                    r["asset_id"], seg_idx,
+                                    aid, seg_idx,
                                     int(i * hop),
                                     # last frame may be zero-padded:
                                     # clamp to the real clip length
@@ -567,7 +576,7 @@ def detect_active_segments(
                         i = j
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, None, None,
+                        (aid, None, None, None, None, None,
                          str(exc)[:200])
                     )
             yield pd.DataFrame(
@@ -608,11 +617,13 @@ def audio_fingerprint(
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    x, _rate = decode_wav(bytes(r["payload"]))
+                    x, _rate = decode_wav(bytes(buf))
                     mono = x.astype(np.float64).mean(axis=1)
                     segs = np.array_split(mono, n_frames)
                     energies = np.zeros((n_bands, n_frames))
@@ -631,10 +642,10 @@ def audio_fingerprint(
                         (bits << np.arange(len(bits), dtype=np.uint64)).sum()
                     )
                     out.append(
-                        (r["asset_id"], val >> 32, val & 0xFFFFFFFF, None)
+                        (aid, val >> 32, val & 0xFFFFFFFF, None)
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+                    out.append((aid, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "hash_hi", "hash_lo", "decode_error"],
@@ -672,11 +683,13 @@ def resample_audio(assets: DataFrame, target_rate: int = 16000) -> DataFrame:
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    x, rate = decode_wav(bytes(r["payload"]))
+                    x, rate = decode_wav(bytes(buf))
                     n, ch = x.shape
                     n_out = max(2, n * target_rate // rate)
                     pos = np.linspace(0.0, n - 1, n_out)
@@ -691,7 +704,7 @@ def resample_audio(assets: DataFrame, target_rate: int = 16000) -> DataFrame:
                     yi = np.clip(np.round(y), -32768, 32767).astype(np.int16)
                     out.append(
                         (
-                            r["asset_id"], n, n_out, target_rate,
+                            aid, n, n_out, target_rate,
                             int(x[0, 0]), int(x[-1, 0]),
                             int(yi[0, 0]), int(yi[-1, 0]),
                             encode_wav(yi, target_rate), None,
@@ -699,7 +712,7 @@ def resample_audio(assets: DataFrame, target_rate: int = 16000) -> DataFrame:
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, target_rate, None, None,
+                        (aid, None, None, target_rate, None, None,
                          None, None, None, str(exc)[:200])
                     )
             yield pd.DataFrame(

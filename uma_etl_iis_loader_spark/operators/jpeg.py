@@ -32,6 +32,7 @@ reference has no media ops (extension surface).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -147,6 +148,26 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
+@lru_cache(maxsize=32)
+def _quant_for_quality(quality: int):
+    """(qlum, qchrom, dqt_lum_seg, dqt_chrom_seg) for one quality —
+    the tables and their zigzagged DQT segment bytes are pure functions
+    of ``quality``, so batch encoders (5k tiny images per task) should
+    not rebuild them per image."""
+    qlum = _scaled_quant(_QUANT_LUM, quality)
+    qchrom = _scaled_quant(_QUANT_CHROM, quality)
+    qlum.setflags(write=False)
+    qchrom.setflags(write=False)
+    segs = []
+    for ti, q in ((0, qlum), (1, qchrom)):
+        segs.append(
+            b"\xff\xdb"
+            + struct.pack(">HB", 67, ti)
+            + bytes(q.reshape(64)[_ZIGZAG].astype(np.uint8).tolist())
+        )
+    return qlum, qchrom, segs[0], segs[1]
+
+
 def _canonical_codes(bits, values):
     """(symbol -> (code, length)) canonical Huffman assignment (T.81
     C.2): codes of each length are consecutive, lengths ascending."""
@@ -160,6 +181,28 @@ def _canonical_codes(bits, values):
             i += 1
         code <<= 1
     return out
+
+
+# the Annex-K tables are module constants, so their canonical-code maps
+# are too — encode_jpeg previously rebuilt all four per call (~8% of a
+# tiny-image encode)
+_DC_CODES_STD = (_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHROM))
+_AC_CODES_STD = (_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHROM))
+
+
+@lru_cache(maxsize=4)
+def _dht_segments(ncomp: int) -> bytes:
+    """DHT marker segments for the standard tables (constant per ncomp)."""
+    out = bytearray()
+    for cls, ti, (bits, vals) in (
+        [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+        + ([(0, 1, _DC_CHROM), (1, 1, _AC_CHROM)] if ncomp == 3 else [])
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(vals), (cls << 4) | ti
+        )
+        out += bytes(bits) + bytes(vals)
+    return bytes(out)
 
 
 class _BitWriter:
@@ -196,40 +239,68 @@ def _magnitude(v: int):
 
 
 def _encode_block(wtr, zz, ti, pred, ci, dc_codes, ac_codes) -> None:
-    """Entropy-code one zigzagged quantized block (DC diff + AC RLE)."""
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
-    cat, bits = _magnitude(diff)
-    code, ln = dc_codes[ti][cat]
-    wtr.write(code, ln)
-    if cat:
-        wtr.write(bits, cat)
+    """Entropy-code one zigzagged quantized block (DC diff + AC RLE).
+
+    Hot path for the synth kernels (thousands of 1-MCU images per task):
+    the block crosses to a plain list once, the Huffman code and its
+    amplitude bits are emitted as ONE combined write, and the symbol
+    lookups run on local aliases. Bitstream identical to the r12 form.
+    """
+    z = zz.tolist()
+    dc = dc_codes[ti]
+    ac = ac_codes[ti]
+    write = wtr.write
+    dcv = z[0]
+    diff = dcv - pred[ci]
+    pred[ci] = dcv
+    if diff == 0:
+        code, ln = dc[0]
+        write(code, ln)
+    else:
+        a = diff if diff > 0 else -diff
+        cat = a.bit_length()
+        bits = diff if diff > 0 else diff + (1 << cat) - 1
+        code, ln = dc[cat]
+        write((code << cat) | bits, ln + cat)
+    last = 63
+    while last and z[last] == 0:
+        last -= 1
     run = 0
-    last_nz = np.nonzero(zz[1:])[0]
-    last = last_nz[-1] + 1 if len(last_nz) else 0
+    zrl = ac[0xF0]
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = z[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_codes[ti][0xF0]  # ZRL
-            wtr.write(code, ln)
+            write(zrl[0], zrl[1])  # ZRL
             run -= 16
-        cat, bits = _magnitude(v)
-        code, ln = ac_codes[ti][(run << 4) | cat]
-        wtr.write(code, ln)
-        wtr.write(bits, cat)
+        a = v if v > 0 else -v
+        cat = a.bit_length()
+        bits = v if v > 0 else v + (1 << cat) - 1
+        code, ln = ac[(run << 4) | cat]
+        write((code << cat) | bits, ln + cat)
         run = 0
     if last < 63:
-        code, ln = ac_codes[ti][0x00]  # EOB
-        wtr.write(code, ln)
+        code, ln = ac[0x00]  # EOB
+        write(code, ln)
 
 
 def _plane_blocks(plane, bh, bw, q):
     """Pad → 8×8 block DCT → quantize → zigzag: (bh·bw, 64) int32."""
     h, w = plane.shape
-    p = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    H, W = bh * 8, bw * 8
+    if h == H and w == W:
+        p = plane
+    else:
+        # edge pad by hand: np.pad(mode="edge") costs ~65 µs per call,
+        # which dominates 1-MCU images; three slice assigns are exact
+        p = np.empty((H, W), dtype=plane.dtype)
+        p[:h, :w] = plane
+        if w < W:
+            p[:h, w:] = plane[:, w - 1 : w]
+        if h < H:
+            p[h:, :] = p[h - 1 : h, :]
     blocks = (
         p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         - 128.0
@@ -241,6 +312,36 @@ def _plane_blocks(plane, bh, bw, q):
     # next to quantization itself
     quant = np.clip(np.round(coeff / q), -1023, 1023).astype(np.int32)
     return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def _planes_blocks3(planes, bh, bw, qlum, qchrom):
+    """4:4:4 fast path: one padded stack + one DCT/quant/zigzag pass for
+    all three same-geometry planes instead of three `_plane_blocks`
+    calls. Elementwise ops on the stacked array are the identical float
+    operations, so output is bit-identical to the per-plane path."""
+    h, w = planes[0].shape
+    H, W = bh * 8, bw * 8
+    p = np.empty((3, H, W), dtype=np.float64)
+    for i, pl in enumerate(planes):
+        p[i, :h, :w] = pl
+    if w < W:
+        p[:, :h, w:] = p[:, :h, w - 1 : w]
+    if h < H:
+        p[:, h:, :] = p[:, h - 1 : h, :]
+    blocks = (
+        p.reshape(3, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coeff = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    nb = bh * bw
+    q = np.empty((3, nb, 8, 8), dtype=np.int32)
+    q[0] = qlum
+    q[1:] = qchrom
+    quant = np.clip(
+        np.round(coeff.reshape(3, nb, 8, 8) / q), -1023, 1023
+    ).astype(np.int32)
+    zz = quant.reshape(3, nb, 64)[:, :, _ZIGZAG]
+    return [zz[0], zz[1], zz[2]]
 
 
 def encode_jpeg(
@@ -274,25 +375,21 @@ def encode_jpeg(
     else:
         planes = [img[:, :, 0].astype(np.float64)]
 
-    qlum = _scaled_quant(_QUANT_LUM, quality)
-    qchrom = _scaled_quant(_QUANT_CHROM, quality)
+    qlum, qchrom, dqt_lum_seg, dqt_chrom_seg = _quant_for_quality(quality)
     qtabs = [qlum] + ([qchrom] if ncomp == 3 else [])
+    dqt_segs = [dqt_lum_seg] + ([dqt_chrom_seg] if ncomp == 3 else [])
 
-    dc_codes = [_canonical_codes(*_DC_LUM)] + (
-        [_canonical_codes(*_DC_CHROM)] if ncomp == 3 else []
-    )
-    ac_codes = [_canonical_codes(*_AC_LUM)] + (
-        [_canonical_codes(*_AC_CHROM)] if ncomp == 3 else []
-    )
+    dc_codes = _DC_CODES_STD if ncomp == 3 else _DC_CODES_STD[:1]
+    ac_codes = _AC_CODES_STD if ncomp == 3 else _AC_CODES_STD[:1]
 
     wtr = _BitWriter()
     pred = [0] * ncomp
     if not sub420:
         bh, bw = -(-h // 8), -(-w // 8)
-        comp_blocks = [
-            _plane_blocks(pl, bh, bw, qtabs[min(ci, 1)])
-            for ci, pl in enumerate(planes)
-        ]
+        if ncomp == 3:
+            comp_blocks = _planes_blocks3(planes, bh, bw, qlum, qchrom)
+        else:
+            comp_blocks = [_plane_blocks(planes[0], bh, bw, qlum)]
         for bi in range(bh * bw):
             for ci in range(ncomp):
                 _encode_block(
@@ -343,22 +440,14 @@ def encode_jpeg(
         + b"JFIF\x00\x01\x01\x00"
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
-    for ti, q in enumerate(qtabs):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
-        out += bytes(int(x) for x in q.reshape(64)[_ZIGZAG])
+    for seg in dqt_segs:
+        out += seg
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         out += struct.pack("BBB", ci + 1, samp[ci], min(ci, 1))
-    # DHT
-    for cls, ti, (bits, vals) in (
-        [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
-        + ([(0, 1, _DC_CHROM), (1, 1, _AC_CHROM)] if ncomp == 3 else [])
-    ):
-        out += b"\xff\xc4" + struct.pack(
-            ">HB", 3 + 16 + len(vals), (cls << 4) | ti
-        )
-        out += bytes(bits) + bytes(vals)
+    # DHT (constant segments for the standard tables)
+    out += _dht_segments(ncomp)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
@@ -370,45 +459,42 @@ def encode_jpeg(
     return bytes(out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+_LUT_CACHE: dict[bytes, list] = {}
 
 
-def _decode_symbol(rd: _BitReader, table: dict) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | rd.read_bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
-
-
-def _extend(bits: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+def _huff_lut(raw: bytes) -> list:
+    """16-bit-peek Huffman LUT for one DHT table (``raw`` = the table's
+    DHT bytes: class/id byte + 16 length counts + values). Entry =
+    ``(sym << 5) | code_len``; 0 = no code matches any prefix of that
+    16-bit window. One list lookup replaces the old per-bit tree walk
+    (~4 µs/symbol → ~0.5 µs). Cached on the raw table bytes — a corpus
+    of same-encoder images builds each table once per worker. Shorter
+    codes are written LAST so a malformed (non-prefix-free) table
+    resolves shortest-match-first, matching the old walker."""
+    lut = _LUT_CACHE.get(raw)
+    if lut is not None:
+        return lut
+    bits = raw[1:17]
+    vals = raw[17:]
+    codes: list[tuple[int, int, int]] = []  # (ln, code, sym)
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes.append((ln, code, vals[i]))
+            code += 1
+            i += 1
+        code <<= 1
+    arr = np.zeros(65536, dtype=np.int64)
+    for ln, code, sym in sorted(codes, key=lambda t: -t[0]):
+        start = code << (16 - ln)
+        if 0 <= start < 65536:  # codes past 16 bits are unreachable
+            arr[start : start + (1 << (16 - ln))] = (sym << 5) | ln
+    lut = arr.tolist()
+    if len(_LUT_CACHE) > 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[raw] = lut
+    return lut
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -475,21 +561,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if off + 17 > len(seg):
                     raise ValueError("truncated DHT segment")
                 tc, th = seg[off] >> 4, seg[off] & 0xF
-                bits = list(seg[off + 1 : off + 17])
-                nvals = sum(bits)
+                nvals = sum(seg[off + 1 : off + 17])
                 if off + 17 + nvals > len(seg):
                     raise ValueError("truncated DHT segment")
-                vals = list(seg[off + 17 : off + 17 + nvals])
-                dec = {}
-                code = 0
-                i = 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        dec[(ln, code)] = vals[i]
-                        code += 1
-                        i += 1
-                    code <<= 1
-                htabs[(tc, th)] = dec
+                htabs[(tc, th)] = _huff_lut(
+                    bytes(seg[off : off + 17 + nvals])
+                )
                 off += 17 + nvals
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -572,30 +649,115 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         )
         if comp_meta[-1]["dc"] is None or comp_meta[-1]["ac"] is None:
             raise ValueError("missing Huffman table")
+    _zero_block = [0] * 64  # shared; decoded blocks are fresh lists
     for cm in comp_meta:
-        cm["blocks"] = np.zeros((cm["bh"] * cm["bw"], 8, 8), dtype=np.float64)
+        cm["zz"] = [_zero_block] * (cm["bh"] * cm["bw"])
 
+    # Entropy decode: accumulator bit reader + 16-bit LUT peek, all plain
+    # ints in locals — the old per-bit walker cost ~2/3 of a tiny-image
+    # decode. `fed` counts every bit shifted into `acc` INCLUDING the
+    # zero bytes synthesized past the stream end for peeking, so
+    # `dbits - (fed - nacc)` is exactly the real bits still unconsumed;
+    # any symbol/amplitude that would consume past that is the old
+    # reader's "exhausted" error, and an all-gap 16-bit window with real
+    # bits left is its "invalid code" error.
     mcu = 0
     for interval in intervals:
         if mcu >= n_mcus:
             break
-        rd = _BitReader(interval)
+        data = interval
+        dlen = len(data)
+        dbits = dlen * 8
+        acc = 0
+        nacc = 0  # bits currently held in acc (may include tail pad)
+        pos = 0  # next real byte to feed
+        fed = 0  # total bits fed into acc (real + synthesized pad)
         pred = [0] * len(comps)
         for _ in range(min(per_interval, n_mcus - mcu)):
             my, mx = divmod(mcu, mcus_x)
             for ci, cm in enumerate(comp_meta):
-                for by in range(cm["v"]):
-                    for bx in range(cm["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        cat = _decode_symbol(rd, cm["dc"])
+                dc_lut = cm["dc"]
+                ac_lut = cm["ac"]
+                cv = cm["v"]
+                chh = cm["h"]
+                cbw = cm["bw"]
+                czz = cm["zz"]
+                for by in range(cv):
+                    for bx in range(chh):
+                        z = [0] * 64
+                        # --- DC symbol
+                        while nacc < 16:
+                            if pos < dlen:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                            else:
+                                acc <<= 8
+                            fed += 8
+                            nacc += 8
+                        e = dc_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                        ln = e & 31
+                        rem = dbits - (fed - nacc)
+                        if e == 0:
+                            if rem < 16:
+                                raise ValueError(
+                                    "JPEG entropy data exhausted"
+                                )
+                            raise ValueError("invalid JPEG Huffman code")
+                        if ln > rem:
+                            raise ValueError("JPEG entropy data exhausted")
+                        nacc -= ln
+                        cat = e >> 5
                         if cat > 15:  # corrupt DHT values; spec max is 11
                             raise ValueError("invalid DC category")
-                        diff = _extend(rd.read_bits(cat), cat) if cat else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
+                        if cat:
+                            while nacc < cat:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc <<= 8
+                                fed += 8
+                                nacc += 8
+                            if cat > dbits - (fed - nacc):
+                                raise ValueError(
+                                    "JPEG entropy data exhausted"
+                                )
+                            nacc -= cat
+                            v = (acc >> nacc) & ((1 << cat) - 1)
+                            pred[ci] += (
+                                v
+                                if v >= (1 << (cat - 1))
+                                else v - (1 << cat) + 1
+                            )
+                        z[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            sym = _decode_symbol(rd, cm["ac"])
+                            # --- AC symbol
+                            while nacc < 16:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc <<= 8
+                                fed += 8
+                                nacc += 8
+                            e = ac_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                            ln = e & 31
+                            rem = dbits - (fed - nacc)
+                            if e == 0:
+                                if rem < 16:
+                                    raise ValueError(
+                                        "JPEG entropy data exhausted"
+                                    )
+                                raise ValueError(
+                                    "invalid JPEG Huffman code"
+                                )
+                            if ln > rem:
+                                raise ValueError(
+                                    "JPEG entropy data exhausted"
+                                )
+                            nacc -= ln
+                            sym = e >> 5
                             if sym == 0x00:  # EOB
                                 break
                             if sym == 0xF0:  # ZRL
@@ -607,20 +769,44 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             cat = sym & 0xF
                             if cat > 10:  # spec max for baseline AC
                                 raise ValueError("invalid AC category")
-                            zz[k] = _extend(rd.read_bits(cat), cat)
+                            if cat:
+                                while nacc < cat:
+                                    if pos < dlen:
+                                        acc = (acc << 8) | data[pos]
+                                        pos += 1
+                                    else:
+                                        acc <<= 8
+                                    fed += 8
+                                    nacc += 8
+                                if cat > dbits - (fed - nacc):
+                                    raise ValueError(
+                                        "JPEG entropy data exhausted"
+                                    )
+                                nacc -= cat
+                                v = (acc >> nacc) & ((1 << cat) - 1)
+                                z[k] = (
+                                    v
+                                    if v >= (1 << (cat - 1))
+                                    else v - (1 << cat) + 1
+                                )
                             k += 1
-                        row = my * cm["v"] + by
-                        col = mx * cm["h"] + bx
-                        cm["blocks"][row * cm["bw"] + col] = (
-                            zz[_UNZIGZAG].reshape(8, 8) * cm["q"]
-                        )
+                        czz[(my * cv + by) * cbw + mx * chh + bx] = z
             mcu += 1
     if mcu < n_mcus:
         raise ValueError("truncated JPEG scan")
 
     planes = []
     for cm in comp_meta:
-        blocks = np.einsum("ji,njk,kl->nil", _DCT, cm["blocks"], _DCT) + 128.0
+        # dequant + unzigzag vectorized over ALL blocks at once (the old
+        # loop paid two numpy ops per block); int products are exact in
+        # float64, so values match the per-block int32 path bit for bit
+        deq = (
+            np.array(cm["zz"], dtype=np.float64)[:, _UNZIGZAG].reshape(
+                -1, 8, 8
+            )
+            * cm["q"]
+        )
+        blocks = np.einsum("ji,njk,kl->nil", _DCT, deq, _DCT) + 128.0
         plane = (
             blocks.reshape(cm["bh"], cm["bw"], 8, 8)
             .transpose(0, 2, 1, 3)

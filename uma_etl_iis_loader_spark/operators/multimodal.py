@@ -356,8 +356,11 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                buf = r["payload"]
+            # plain-list zip, not iterrows: Series construction per row
+            # costs ~50 µs — ~50x the loop body for small payloads
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 n_bytes = 0 if buf is None else int(len(buf))
                 try:
                     if buf is None:
@@ -365,7 +368,7 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
                     px = decode_image(bytes(buf))
                     out.append(
                         (
-                            r["asset_id"],
+                            aid,
                             int(px.shape[1]),
                             int(px.shape[0]),
                             n_bytes,
@@ -378,7 +381,7 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
                     # the PIL rung raises codec-specific errors; all must
                     # land as error rows, not task failures
                     out.append(
-                        (r["asset_id"], None, None, n_bytes, None,
+                        (aid, None, None, n_bytes, None,
                          str(exc)[:200])
                     )
             yield pd.DataFrame(
@@ -419,11 +422,13 @@ def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    px = decode_image(bytes(r["payload"]))
+                    px = decode_image(bytes(buf))
                     g = px.astype(np.int64).sum(axis=2)
                     h, w = g.shape
                     rows = (np.arange(out_h) * h) // out_h
@@ -436,10 +441,10 @@ def dhash_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
                         .sum()
                     )
                     out.append(
-                        (r["asset_id"], val >> 32, val & 0xFFFFFFFF, None)
+                        (aid, val >> 32, val & 0xFFFFFFFF, None)
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+                    out.append((aid, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "hash_hi", "hash_lo", "decode_error"],
@@ -476,11 +481,13 @@ def phash_images(assets: DataFrame, grid: int = 32) -> DataFrame:
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    px = decode_image(bytes(r["payload"]))
+                    px = decode_image(bytes(buf))
                     g = px.astype(np.int64).sum(axis=2).astype(np.float64)
                     h, w = g.shape
                     rows = (np.arange(grid) * h) // grid
@@ -493,10 +500,10 @@ def phash_images(assets: DataFrame, grid: int = 32) -> DataFrame:
                         (bits << np.arange(63, dtype=np.uint64)).sum()
                     )
                     out.append(
-                        (r["asset_id"], val >> 32, val & 0xFFFFFFFF, None)
+                        (aid, val >> 32, val & 0xFFFFFFFF, None)
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+                    out.append((aid, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "hash_hi", "hash_lo", "decode_error"],
@@ -527,11 +534,13 @@ def image_metadata(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    p = bytes(r["payload"])
+                    p = bytes(buf)
                     if p[:2] == b"\xff\xd8":
                         e = parse_exif(p)
                         removed = (
@@ -543,10 +552,10 @@ def image_metadata(
                         e = {"orientation": None, "has_gps": False,
                              "gps_lat": None, "gps_lon": None}
                         removed = 0 if with_scrub_stats else None
-                    row = (r["asset_id"], e["orientation"], e["has_gps"],
+                    row = (aid, e["orientation"], e["has_gps"],
                            e["gps_lat"], e["gps_lon"], None)
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    row = (r["asset_id"], None, None, None, None,
+                    row = (aid, None, None, None, None,
                            str(exc)[:200])
                     removed = None
                 out.append(row + ((removed,) if with_scrub_stats else ()))
@@ -578,22 +587,24 @@ def strip_image_metadata(assets: DataFrame) -> DataFrame:
     def scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    p = bytes(r["payload"])
+                    p = bytes(buf)
                     cleaned = (
                         strip_jpeg_metadata(p)
                         if p[:2] == b"\xff\xd8"
                         else p
                     )
                     out.append(
-                        (r["asset_id"], cleaned, len(p) - len(cleaned),
+                        (aid, cleaned, len(p) - len(cleaned),
                          None)
                     )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, str(exc)[:200]))
+                    out.append((aid, None, None, str(exc)[:200]))
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "payload", "n_bytes_removed",
@@ -620,12 +631,14 @@ def image_sharpness(assets: DataFrame) -> DataFrame:
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
                     g = (
-                        decode_image(bytes(r["payload"]))
+                        decode_image(bytes(buf))
                         .astype(np.int64)
                         .sum(axis=2)
                         .astype(np.float64)
@@ -642,10 +655,10 @@ def image_sharpness(assets: DataFrame) -> DataFrame:
                             - g[1:-1, 2:]
                         )
                         lap_var = float(lap.var())
-                    out.append((r["asset_id"], w, h, lap_var, None))
+                    out.append((aid, w, h, lap_var, None))
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, str(exc)[:200])
+                        (aid, None, None, None, str(exc)[:200])
                     )
             yield pd.DataFrame(
                 out,
@@ -774,8 +787,8 @@ def _synthesize_assets(ids: DataFrame, id_col: str, encoder) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                (int(rr[id_col]), encoder(_synthetic_pixels(int(rr[id_col]))))
-                for _, rr in pdf.iterrows()
+                (i, encoder(_synthetic_pixels(i)))
+                for i in pdf[id_col].tolist()
             ]
             yield pd.DataFrame(out, columns=["asset_id", "payload"])
 
@@ -826,8 +839,7 @@ def synthesize_exif_jpeg_assets(
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf[id_col]:
-                i = int(i)
+            for i in pdf[id_col].tolist():
                 base = encode_jpeg(_synthetic_pixels(i), quality=92)
                 app1 = build_exif_app1(
                     orientation=1 + i % 8,
@@ -852,11 +864,14 @@ def fake_decode_features(docs: DataFrame, n_features: int = 16) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                buf = r["payload"]
+            for aid, mt, buf in zip(
+                pdf["asset_id"].tolist(),
+                pdf["media_type"].tolist(),
+                pdf["payload"].tolist(),
+            ):
                 if buf is None or len(buf) == 0:
                     rows.append(
-                        (r["asset_id"], r["media_type"], 0, 0.0,
+                        (aid, mt, 0, 0.0,
                          np.zeros(n_features, dtype=np.float32))
                     )
                     continue
@@ -868,8 +883,8 @@ def fake_decode_features(docs: DataFrame, n_features: int = 16) -> DataFrame:
                 entropy = float(-(nz * np.log2(nz)).sum())
                 rows.append(
                     (
-                        r["asset_id"],
-                        r["media_type"],
+                        aid,
+                        mt,
                         int(len(arr)),
                         round(entropy, 6),
                         (hist / hist.sum()).astype(np.float32),
@@ -897,13 +912,15 @@ def frame_sample(assets: DataFrame, frame_bytes: int = 1024, max_frames: int = 8
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                buf = r["payload"] or b""
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
+                buf = buf or b""
                 n_frames = max(len(buf) // frame_bytes, 1)
                 step = max(n_frames // max_frames, 1)
                 for i, f in enumerate(range(0, n_frames, step)[:max_frames]):
                     out.append(
-                        (r["asset_id"], i, buf[f * frame_bytes : (f + 1) * frame_bytes])
+                        (aid, i, buf[f * frame_bytes : (f + 1) * frame_bytes])
                     )
             yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame"])
 
@@ -940,8 +957,10 @@ def resize_images(
         n_out = target_w * target_h
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                buf = r["payload"] or b""
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
+                buf = buf or b""
                 resized = None
                 if len(buf) > 0 and (
                     buf[:2] == b"BM" or bytes(buf[:8]) == _PNG_SIG
@@ -984,7 +1003,7 @@ def resize_images(
                     arr = np.frombuffer(buf, dtype=np.uint8)
                     idx = (np.arange(n_out) * len(arr) // n_out) % len(arr)
                     resized = arr[idx].tobytes()
-                out.append((r["asset_id"], target_w, target_h, resized))
+                out.append((aid, target_w, target_h, resized))
             yield pd.DataFrame(
                 out, columns=["asset_id", "width", "height", "payload"]
             )

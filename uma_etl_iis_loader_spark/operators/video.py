@@ -264,8 +264,7 @@ def _synthesize_avi(ids: DataFrame, id_col: str, frame_encoder) -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, rr in pdf.iterrows():
-                i = int(rr[id_col])
+            for i in pdf[id_col].tolist():
                 frames = [
                     _synthetic_frame(i, f)
                     for f in range(synthetic_frame_count(i))
@@ -329,15 +328,17 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    frames, meta = decode_avi(bytes(r["payload"]))
+                    frames, meta = decode_avi(bytes(buf))
                     for fi, px in enumerate(frames):
                         out.append(
                             (
-                                r["asset_id"], fi,
+                                aid, fi,
                                 int(px.shape[1]), int(px.shape[0]),
                                 len(frames), meta["frame_bytes"][fi],
                                 int(px.astype(np.int64).sum()), None,
@@ -345,7 +346,7 @@ def video_frame_stats(assets: DataFrame) -> DataFrame:
                         )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, None, None, None,
+                        (aid, None, None, None, None, None, None,
                          str(exc)[:200])
                     )
             yield pd.DataFrame(
@@ -373,8 +374,7 @@ def synthesize_mixed_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFra
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, rr in pdf.iterrows():
-                i = int(rr[id_col])
+            for i in pdf[id_col].tolist():
                 if i % 3 == 0:
                     payload = encode_bmp(_synthetic_pixels(i))
                 elif i % 3 == 1:
@@ -406,11 +406,13 @@ def media_ingest_stats(assets: DataFrame) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    m = decode_media(bytes(r["payload"]))
+                    m = decode_media(bytes(buf))
                     if m["kind"] == "image":
                         px = m["pixels"]
                         n_units = int(px.shape[0] * px.shape[1])
@@ -426,10 +428,10 @@ def media_ingest_stats(assets: DataFrame) -> DataFrame:
                                 for f in m["frames"]
                             )
                         )
-                    out.append((r["asset_id"], m["kind"], n_units, metric, None))
+                    out.append((aid, m["kind"], n_units, metric, None))
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, str(exc)[:200])
+                        (aid, None, None, None, str(exc)[:200])
                     )
             yield pd.DataFrame(
                 out,
@@ -546,20 +548,22 @@ def detect_scene_cuts(
     def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    frames, _meta = decode_avi(bytes(r["payload"]))
+                    frames, _meta = decode_avi(bytes(buf))
                     for cut_idx, (fi, delta) in enumerate(
                         _scene_deltas(frames, threshold)
                     ):
                         out.append(
-                            (r["asset_id"], cut_idx, fi, delta, None)
+                            (aid, cut_idx, fi, delta, None)
                         )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, str(exc)[:200])
+                        (aid, None, None, None, str(exc)[:200])
                     )
             yield pd.DataFrame(
                 out,
@@ -589,11 +593,13 @@ def sample_keyframes_per_scene(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    frames, _meta = decode_avi(bytes(r["payload"]))
+                    frames, _meta = decode_avi(bytes(buf))
                     bounds = (
                         [0]
                         + [fi for fi, _ in _scene_deltas(frames, threshold)]
@@ -605,12 +611,12 @@ def sample_keyframes_per_scene(
                             continue
                         mid = (lo + hi - 1) // 2
                         out.append(
-                            (r["asset_id"], si, mid,
+                            (aid, si, mid,
                              encode_bmp(frames[mid]), None)
                         )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
                     out.append(
-                        (r["asset_id"], None, None, None, str(exc)[:200])
+                        (aid, None, None, None, str(exc)[:200])
                     )
             yield pd.DataFrame(
                 out,
@@ -641,21 +647,23 @@ def sample_video_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
                 try:
-                    if r["payload"] is None:
+                    if buf is None:
                         raise ValueError("NULL payload")
-                    frames, _meta = decode_avi(bytes(r["payload"]))
+                    frames, _meta = decode_avi(bytes(buf))
                     n = len(frames)
                     step = max(n // max_frames, 1)
                     picked = list(range(0, n, step))[:max_frames]
                     for si, fi in enumerate(picked):
                         out.append(
-                            (r["asset_id"], fi, si,
+                            (aid, fi, si,
                              encode_bmp(frames[fi]), None)
                         )
                 except Exception as exc:  # noqa: BLE001 — decode boundary
-                    out.append((r["asset_id"], None, None, None,
+                    out.append((aid, None, None, None,
                                 str(exc)[:200]))
             yield pd.DataFrame(
                 out,

@@ -241,8 +241,10 @@ def warc_records(assets: DataFrame, text_encoding: str = "utf-8") -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                rows_for(r["asset_id"], r["payload"], out)
+            for aid, buf in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist()
+            ):
+                rows_for(aid, buf, out)
             yield pd.DataFrame(
                 out,
                 columns=["asset_id", "record_idx", "warc_type",
