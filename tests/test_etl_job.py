@@ -265,3 +265,22 @@ def test_empty_groups_payload_leaves_dim_untouched(spark):
         for r in out2["student_groups"].collect()
     )
     assert g1 == g2  # nothing closed, nothing opened
+
+
+def test_lazy_outputs_get_propagates_thunk_keyerror():
+    """r13 (advice): _LazyOutputs.get must return the default only for a
+    MISSING top-level key; a KeyError raised inside a thunk (bad payload
+    field during deferred construction) must propagate."""
+    import pytest
+
+    from uma_etl_iis_loader_spark.plans.etl_job import _LazyOutputs
+
+    out = _LazyOutputs()
+    out["good"] = lambda: "built"
+    def boom():
+        raise KeyError("payload field missing")
+    out["bad"] = boom
+    assert out.get("good") == "built"
+    assert out.get("absent", 42) == 42
+    with pytest.raises(KeyError):
+        out.get("bad")

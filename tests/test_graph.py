@@ -86,3 +86,34 @@ def test_pagerank_fixed_round_sql_path(spark, name):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), (name, v)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_zero_rounds_returns_uniform(spark):
+    """r13 (advice): tol=0 with max_iter=0 must return the uniform
+    initial ranks, not None (the segment loop never runs)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    out = pagerank(edges, max_iter=0, tol=0.0)
+    rows = {r.node: r.rank for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(abs(v - 0.25) < 1e-12 for v in rows.values())
+
+
+def test_fixed_round_segment_plan_bounded(spark):
+    """r13: Catalyst inlines the fixed-round mode's multi-ref CTEs, so
+    the OPTIMIZED tree holds ~2^seg copies of the leaf relations. seg=4
+    measured 61 LogicalRDD leaves / ~25k plan chars per segment; seg=8
+    would be ~16x that and re-open the multi-second analysis cliff
+    (12 unsegmented rounds = 5.7 s, r12). Bound the blowup so a future
+    edit to _FIXED_ROUND_SEG can't silently reintroduce it."""
+    from uma_etl_iis_loader_spark.operators.graph import _FIXED_ROUND_SEG
+
+    assert _FIXED_ROUND_SEG <= 5
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(40)], "src long, dst long"
+    )
+    out = pagerank(edges, max_iter=_FIXED_ROUND_SEG, tol=0.0)  # one segment
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("LogicalRDD") <= 150, opt.count("LogicalRDD")
+    assert len(opt) <= 120_000, len(opt)

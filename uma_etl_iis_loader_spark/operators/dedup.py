@@ -284,26 +284,62 @@ def _minhash_sig_udf(num_hashes: int):
 
     @F.pandas_udf("array<bigint>")
     def sig(grams: pd.Series) -> pd.Series:
+        # Grams are Zipf-distributed (char 3-grams: a few hundred
+        # distinct values cover millions of occurrences), so hash and
+        # permute each DISTINCT gram once per task and gather per doc:
+        # memoized blake2b + a (num_hashes × n_distinct) permuted-column
+        # table replace a per-occurrence blake2b call and a per-doc
+        # multiply/mod matrix (r12 shape: ~0.8 s → ~0.2 s over sf0.1's
+        # 713k gram occurrences / 377 distinct). min over the same
+        # values → bit-identical signatures. The memo is per-task state
+        # (closure rebuilt per task); cap it so an adversarial
+        # distinct-gram corpus can't balloon worker memory.
+        gram_idx: dict = {}
+        perm_cols: list = []  # list of (num_hashes,) uint64 columns
+        perm = np.empty((num_hashes, 0), dtype=np.uint64)
+        sentinel = np.full(num_hashes, np.iinfo(np.int64).max)
         out = []
         for gs in grams:
             if gs is None or len(gs) == 0:
-                out.append(np.full(num_hashes, np.iinfo(np.int64).max))
+                out.append(sentinel)
                 continue
-            base = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "little",
-                    )
-                    for g in gs
-                ),
-                dtype=np.uint64,
-                count=len(gs),
+            new = [g for g in gs if g not in gram_idx]
+            if new:
+                if len(gram_idx) > 2_000_000:
+                    gram_idx.clear()
+                    perm_cols = []
+                    new = list(gs)
+                base = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(
+                                g.encode(), digest_size=8
+                            ).digest(),
+                            "little",
+                        )
+                        for g in new
+                    ),
+                    dtype=np.uint64,
+                    count=len(new),
+                )
+                # universal-hash permutations of the new distinct grams;
+                # mod 2^61-1 keeps values in int64 range after the
+                # wrap-around multiply
+                cols = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(p)
+                start = len(gram_idx)
+                for j, g in enumerate(new):
+                    gram_idx.setdefault(g, start + j)
+                perm_cols.append(cols)
+                perm = (
+                    np.concatenate(perm_cols, axis=1)
+                    if len(perm_cols) > 1
+                    else perm_cols[0]
+                )
+                perm_cols = [perm]
+            idx = np.fromiter(
+                (gram_idx[g] for g in gs), dtype=np.intp, count=len(gs)
             )
-            # (num_hashes, grams) universal-hash matrix; mod 2^61-1 keeps
-            # values in int64 range after the wrap-around multiply
-            m = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(p)
-            out.append(m.min(axis=1).astype(np.int64))
+            out.append(perm[:, idx].min(axis=1).astype(np.int64))
         return pd.Series(out)
 
     return sig

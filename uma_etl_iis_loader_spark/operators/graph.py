@@ -51,6 +51,15 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
 
+# Fixed-round mode unrolls the recurrence as WITH-CTE chains of this
+# many rounds per spark.sql call. Catalyst INLINES multi-reference CTEs
+# during analysis, so the analyzed tree has ~2^seg copies of the leaf
+# relations: seg=4 ≈ 50 ms per analysis; 12 unsegmented rounds measured
+# 5.7 s of pure analysis, and every downstream op re-analyzes the tree.
+# Raising this past ~5 re-opens that cliff — pinned by
+# tests/test_graph.py::test_fixed_round_segment_plan_bounded.
+_FIXED_ROUND_SEG = 4
+
 
 def pagerank(
     edges: DataFrame,
@@ -98,6 +107,12 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
+    if max_iter < 1:
+        # zero rounds = the uniform initial ranks (the pre-r12 loop
+        # returned exactly this; the segmented fixed-round path below
+        # would fall through with ranks=None)
+        return nodes.withColumn("rank", F.lit(1.0 / n))
+
     if tol <= 0:
         # fixed-round mode: the recurrence as WITH-CTE plans, SEGMENTED
         # four rounds per spark.sql call. Catalyst inlines the multi-ref
@@ -119,7 +134,7 @@ def pagerank(
         base = f"{(1.0 - damping) / n!r}D"
         d = f"{damping!r}D"
         nf = f"{float(n)!r}D"
-        seg = 4
+        seg = _FIXED_ROUND_SEG
         ranks = None
         done = 0
         while done < max_iter:

@@ -58,7 +58,12 @@ def schedule_blob_incoming(raw: DataFrame, employees: DataFrame) -> DataFrame:
     """
     from .shred import _DOC_BODY
 
-    parsed = raw.withColumn("__doc", F.from_json(F.col("payload"), _DOC_BODY))
+    # explode(array(...)) = the same optimizer barrier parse_schedule_json
+    # uses: without it the has_content filter's four __doc field
+    # references each became their own schema-pruned from_json re-parse
+    parsed = raw.withColumn(
+        "__doc", F.explode(F.array(F.from_json(F.col("payload"), _DOC_BODY)))
+    )
     has_content = (
         F.col("__doc.schedules").isNotNull() & (F.size("__doc.schedules") > 0)
     ) | (F.col("__doc.exams").isNotNull() & (F.size("__doc.exams") > 0))

@@ -62,7 +62,21 @@ def parse_schedule_json(raw: DataFrame, json_col: str = "payload") -> tuple[Data
     instead of poisoning the batch (replaces the reference's per-entity
     savepoint rollback, `iis_etl/logic.py:416-424,436-445`).
     """
-    parsed = raw.withColumn("__doc", F.from_json(F.col(json_col), _DOC_BODY))
+    # The explode(array(...)) wrapper is a deliberate optimizer barrier:
+    # Catalyst rewrites each GetStructField(JsonToStructs(...)) into its
+    # OWN schema-pruned from_json, so the usable filter plus the
+    # schedules/exams projections (and, after project-collapse, every
+    # downstream expression referencing them) each re-parsed the payload
+    # — four+ full JSON parses per row in the E2 plan. Materializing the
+    # struct through a Generate makes __doc an attribute the extractors
+    # can't be pushed into: exactly ONE from_json per row (plan-checked),
+    # measured 4.3 s → 1.2 s on the sf0.1 shred query. explode of a
+    # 1-element array literal keeps row count and NULL semantics
+    # identical (the array is never null; a malformed doc stays a NULL
+    # element row).
+    parsed = raw.withColumn(
+        "__doc", F.explode(F.array(F.from_json(F.col(json_col), _DOC_BODY)))
+    )
     # from_json yields an all-NULL struct for malformed input; a doc with
     # neither schedules nor exams is also skipped by the reference (F4,
     # `iis_etl/logic.py:434`) — both land in quarantine here.

@@ -93,10 +93,12 @@ class _LazyOutputs(dict):
         return v
 
     def get(self, k, default=None):
-        try:
-            return self[k]
-        except KeyError:
+        # only the MISSING-KEY KeyError maps to the default; a KeyError
+        # raised inside a thunk (e.g. a bad payload field during
+        # deferred plan construction) must propagate, not be swallowed
+        if k not in self:
             return default
+        return self[k]
 
     def values(self):  # noqa: D102 - dict API, resolved
         return [self[k] for k in self]

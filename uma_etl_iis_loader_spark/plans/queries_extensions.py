@@ -2146,21 +2146,20 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__recall"),
         )
     )
-    # tiny (3 methods x |queries| rows); both output layers reuse it.
-    # Eager persist+count executes through the normal path (AQE +
-    # exchange reuse — localCheckpoint materializes via the RDD path and
-    # re-executed the shared brute/ANN subtrees: 13.1 s vs 8.8 s whole-
-    # query, r12 A/B). The rows then move to a LOCAL relation and the
-    # cache is released immediately: a session-lifetime cached plan this
-    # large taxes every LATER query in the session (CacheManager matches
-    # each new plan against every cached one — measured as multi-second
-    # setup inflation on every post-knn_ann bench query before the
-    # unpersist landed).
-    per_query = per_query.persist()
-    rows = per_query.collect()
+    # tiny (3 methods x |queries| rows); both output layers reuse it as
+    # a LOCAL relation so the shared brute/ANN subtrees execute exactly
+    # once (r12: localCheckpoint's RDD path re-executed them, 13.1 s vs
+    # 8.8 s; a session-lifetime persist taxed every LATER query's
+    # analysis via CacheManager plan matching). r13: the single collect
+    # needs no persist at all — one action executes the plan once on the
+    # normal path (AQE + exchange reuse) — and the rows ride Arrow BOTH
+    # ways: toPandas() out, pandas → Arrow local relation back in.
+    # The r12 form rebuilt via createDataFrame(rows, schema), the
+    # pickled-row path this round's etl_job `_local_df` work replaced
+    # everywhere else (driver re-pickles every row per action).
     schema = per_query.schema
-    per_query.unpersist()
-    per_query = spark.createDataFrame(rows, schema)
+    pdf = per_query.toPandas()
+    per_query = spark.createDataFrame(pdf, schema=schema)
     query_rows = per_query.select(
         "method",
         "query_id",
