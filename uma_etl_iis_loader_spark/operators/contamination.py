@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams, word_window_array
+from ..functions.text import word_ngrams
 
 
 def ngram_contamination(
@@ -50,33 +50,28 @@ def ngram_contamination(
     Docs with fewer than ``n`` words emit (0, 0) — present in the output,
     trivially uncontaminated.
     """
-    t_grams = (
-        train.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-        .select(F.xxhash64("gram").alias("gh"))
-        .distinct()
-        .withColumn("__hit", F.lit(True))
-    )
-    e_grams = eval_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
-    ).select(
-        "doc_id",
+    from ..functions.text import _word_gram_sql
+
+    # ONE WITH-CTE statement = one parse/analysis (each DataFrame op on
+    # these gram-explode plans costs ~20-45 ms of driver time — the r12
+    # pagerank finding applied to the whole gram family)
+    grams = _word_gram_sql(f"`{text_col}`", n)
+    sql = (
+        "WITH tg AS (SELECT DISTINCT xxhash64(gram) AS gh FROM "
+        f"(SELECT explode(array_distinct({grams})) AS gram FROM {{train}})),\n"
+        "eg AS (SELECT doc_id, "
         # NULL (never-matching) key for the no-grams placeholder row, so
         # short docs survive the left join without a spurious hash hit
-        F.when(F.col("gram").isNotNull(), F.xxhash64("gram")).alias("gh"),
+        "CASE WHEN gram IS NOT NULL THEN xxhash64(gram) END AS gh FROM "
+        f"(SELECT `{id_col}` AS doc_id, "
+        f"explode_outer(array_distinct({grams})) AS gram FROM {{eval}}))\n"
+        "SELECT e.doc_id, "
+        "sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_ngrams, "
+        "sum(CASE WHEN t.__hit THEN 1 ELSE 0 END) AS n_contaminated "
+        "FROM eg e LEFT JOIN (SELECT gh, TRUE AS __hit FROM tg) t "
+        "ON e.gh = t.gh GROUP BY e.doc_id"
     )
-    return (
-        e_grams.join(t_grams, "gh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("gh").isNotNull(), 1).otherwise(0)).alias(
-                "n_ngrams"
-            ),
-            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).alias(
-                "n_contaminated"
-            ),
-        )
-    )
+    return train.sparkSession.sql(sql, train=train, eval=eval_df)
 
 
 def strike_contaminated_spans(
@@ -114,95 +109,61 @@ def strike_contaminated_spans(
     indexes (a bounded explode — no range join); the struck-index set
     anti-joins the word rows; rebuild is one partial-agg'able
     sort-struct collect per doc. No driver participation."""
-    words_arr = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
-    )
+    from ..functions.text import word_window_array_sql
 
-    def tokenized(df):
-        # projection barrier: the split+filter chain materializes once
-        # per row; downstream branches reference the __wds/__lw column
-        # attributes, never the chain (re-inlining it inside per-element
-        # lambdas is the measured 5-10x gram-explode trap — see
-        # operators/dsir._gram_rows)
-        return df.where(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("__id"), words_arr.alias("__wds")
-        ).select(
-            "__id",
-            "__wds",
-            F.transform("__wds", F.lower).alias("__lw"),
-        )
-
-    def gram_array(lw):
-        # shared window builder (zipped top-level slices), then an
-        # 8-byte hash per window — the hash lambda only touches its
-        # own element, so no loop-invariant work re-evaluates
-        return F.transform(
-            word_window_array(lw, n), lambda g: F.xxhash64(g)
-        )
-
-    t_tok = tokenized(train)
-    # train words with positions (original case preserved for rebuild)
-    t_words = t_tok.select(
-        "__id", F.posexplode_outer("__wds").alias("i", "w")
+    # ONE WITH-CTE statement = one parse/analysis (see
+    # ngram_contamination). Structure is the r12 DataFrame chain
+    # verbatim: tokenize-once projection barriers (__wds/__lw column
+    # attributes, never the re-inlined chain — the measured 5-10x
+    # gram-explode trap), posexplode ordinal = 0-based gram start,
+    # hash-keyed semi join, bounded strike explode, anti-join rebuild.
+    gram_hashes = (
+        f"transform({word_window_array_sql('__lw', n)}, g -> xxhash64(g))"
     )
-    # train gram starts: posexplode ordinal IS the 0-based start index
-    t_grams = t_tok.select(
-        "__id",
-        F.posexplode(gram_array(F.col("__lw"))).alias("s", "gh"),
+    tok = (
+        "SELECT __id, __wds, transform(__wds, w -> lower(w)) AS __lw "
+        "FROM (SELECT `{id}` AS __id, "
+        "filter(split(`{text}`, '\\\\s+'), w -> w != '') AS __wds "
+        "FROM {rel} WHERE `{text}` IS NOT NULL)"
     )
-    e_keys = (
-        tokenized(eval_df)
-        .select(F.explode(gram_array(F.col("__lw"))).alias("gh"))
-        .distinct()
+    sql = (
+        "WITH t_tok AS ("
+        + tok.format(id=id_col, text=text_col, rel="{train}")
+        + "),\ne_tok AS ("
+        + tok.format(id=id_col, text=text_col, rel="{eval}")
+        + "),\n"
+        # train words with positions (original case preserved for rebuild)
+        "t_words AS (SELECT __id, i, w FROM t_tok "
+        "LATERAL VIEW OUTER posexplode(__wds) pw AS i, w),\n"
+        f"t_grams AS (SELECT __id, s, gh FROM t_tok "
+        f"LATERAL VIEW posexplode({gram_hashes}) pg AS s, gh),\n"
+        f"e_keys AS (SELECT DISTINCT gh FROM e_tok "
+        f"LATERAL VIEW explode({gram_hashes}) ge AS gh),\n"
+        "hits AS (SELECT t.__id, t.s FROM t_grams t "
+        "LEFT SEMI JOIN e_keys e ON t.gh = e.gh),\n"
+        f"struck AS (SELECT DISTINCT __id, i FROM hits "
+        f"LATERAL VIEW explode(sequence(greatest(s - {margin}, 0), "
+        f"s + {n - 1 + margin})) si AS i),\n"
+        "kept AS (SELECT tw.__id, tw.i, tw.w FROM t_words tw "
+        "LEFT ANTI JOIN struck sk "
+        "ON tw.__id = sk.__id AND tw.i = sk.i),\n"
+        "n_hits AS (SELECT __id, count(1) AS n_hits FROM hits "
+        "GROUP BY __id),\n"
+        "rebuilt AS (SELECT __id, "
+        "concat_ws(' ', transform(array_sort(collect_list("
+        "CASE WHEN i IS NOT NULL THEN struct(i, w) END)), x -> x.w)) "
+        "AS __text, "
+        "sum(CASE WHEN i IS NOT NULL THEN 1 ELSE 0 END) AS n_kept "
+        "FROM kept GROUP BY __id)\n"
+        # anchor on the train-id universe: a fully-struck doc has NO
+        # kept rows and would otherwise vanish instead of returning ''
+        f"SELECT b.__id AS `{id_col}`, "
+        f"coalesce(r.__text, '') AS `{text_col}`, b.n_words, "
+        "b.n_words - coalesce(r.n_kept, 0) AS n_words_struck, "
+        "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits "
+        "FROM (SELECT __id, CAST(size(__wds) AS BIGINT) AS n_words "
+        "FROM t_tok) b "
+        "LEFT JOIN rebuilt r ON b.__id = r.__id "
+        "LEFT JOIN n_hits h ON b.__id = h.__id"
     )
-    hits = t_grams.join(e_keys, "gh", "left_semi")
-    struck = hits.select(
-        "__id",
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("s") - margin, F.lit(0)),
-                F.col("s") + (n - 1) + margin,
-            )
-        ).alias("i"),
-    ).distinct()
-    kept = t_words.join(struck, ["__id", "i"], "left_anti")
-    n_hits = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_hits"))
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("i").isNotNull(),
-                            F.struct("i", "w"),
-                        )
-                    )
-                ),
-                lambda x: x.w,
-            ),
-        ).alias(text_col),
-        F.sum(F.when(F.col("i").isNotNull(), 1).otherwise(0)).alias(
-            "n_kept"
-        ),
-    )
-    # anchor on the train-id universe: a fully-struck doc has NO kept
-    # rows and would otherwise vanish instead of coming back as ''
-    return (
-        t_tok.select(
-            "__id", F.size("__wds").cast("long").alias("n_words")
-        )
-        .join(rebuilt, "__id", "left")
-        .join(n_hits, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            "n_words",
-            (
-                F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))
-            ).alias("n_words_struck"),
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
-                "n_hits"
-            ),
-        )
-    )
+    return train.sparkSession.sql(sql, train=train, eval=eval_df)

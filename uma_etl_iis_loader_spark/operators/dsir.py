@@ -52,28 +52,35 @@ _INC = 1013904223
 _MOD = 4294967296
 
 
+def _gram_rows_sql(id_col: str, text_col: str, rel: str) -> str:
+    """The unigram+bigram explode as one SQL SELECT over ``{rel}`` —
+    every DataFrame transformation on these deep plans costs ~20-45 ms
+    of driver analysis (the r12 pagerank finding), so the dsir fit and
+    score paths assemble whole WITH-CTE statements and pay ONE
+    parse/analysis per spark.sql call instead of one per operation.
+
+    The inner subquery keeps the tokenize-once projection barrier: the
+    split+filter chain materializes per row; downstream references see
+    the ``__w`` attribute (re-inlining it per element is the measured
+    5-10x gram-explode trap)."""
+    from ..functions.text import word_window_array_sql, words_sql
+
+    return (
+        f"SELECT id, explode(concat(__w, "
+        f"{word_window_array_sql('__w', 2)})) AS gram "
+        f"FROM (SELECT `{id_col}` AS id, {words_sql(f'`{text_col}`')} "
+        f"AS __w FROM {rel} WHERE `{text_col}` IS NOT NULL)"
+    )
+
+
 def _gram_rows(docs: DataFrame, id_col: str, text_col: str):
     """Explode each doc into one row per unigram+bigram OCCURRENCE
     (counts matter — no distinct): lowercased whitespace tokens, empty
     tokens filtered (split('') yields [''] — the phantom-word trap).
     Docs with no tokens produce no rows, and are absent from scores —
     same contract as ``lm.score_perplexity`` for sub-trigram docs."""
-    # materialize the token array through its own projection: the
-    # split+filter chain is non-cheap and referenced several times
-    # below, so CollapseProject keeps the barrier and each row
-    # tokenizes ONCE (inlining it per reference measured 5-10x slower)
-    toks = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-        ).alias("__w"),
-    )
-    from ..functions.text import word_window_array
-
-    w = F.col("__w")
-    return toks.select(
-        "id",
-        F.explode(F.concat(w, word_window_array(w, 2))).alias("gram"),
+    return docs.sparkSession.sql(
+        _gram_rows_sql(id_col, text_col, "{docs}"), docs=docs
     )
 
 
@@ -100,6 +107,17 @@ def _featurize(grams, num_buckets: int | None, portable: bool = False):
     if num_buckets is not None:
         h = F.pmod(h, F.lit(num_buckets))
     return grams.select("id", h.alias("feat"))
+
+
+def _feat_sql(num_buckets: int | None, portable: bool) -> str:
+    """:func:`_featurize`'s hash as a SQL expression over ``gram``."""
+    if portable:
+        h = "CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        h = "xxhash64(gram)"
+    if num_buckets is not None:
+        h = f"pmod({h}, {int(num_buckets)})"
+    return h
 
 
 def fit_dsir(
@@ -136,18 +154,19 @@ def _tagged_counts(
     raw_docs, target_docs, text_col, id_col, num_buckets, portable=False
 ):
     """(feat, ct, cr) — per-feature occurrence counts in the target and
-    raw corpora, from one tagged union + one aggregation."""
-    tagged = _featurize(
-        _gram_rows(target_docs, id_col, text_col), num_buckets, portable
-    ).select("feat", F.lit(1).alias("t")).unionByName(
-        _featurize(
-            _gram_rows(raw_docs, id_col, text_col), num_buckets, portable
-        ).select("feat", F.lit(0).alias("t"))
+    raw corpora, from one tagged union + one aggregation. Assembled as
+    ONE WITH-CTE statement (single parse/analysis — see
+    :func:`_gram_rows_sql`)."""
+    feat = _feat_sql(num_buckets, portable)
+    sql = (
+        "WITH tg AS (" + _gram_rows_sql(id_col, text_col, "{target}") + "),\n"
+        "rg AS (" + _gram_rows_sql(id_col, text_col, "{raw}") + "),\n"
+        f"tagged AS (SELECT {feat} AS feat, 1 AS t FROM tg "
+        f"UNION ALL SELECT {feat} AS feat, 0 AS t FROM rg)\n"
+        "SELECT feat, sum(t) AS ct, sum(1 - t) AS cr "
+        "FROM tagged GROUP BY feat"
     )
-    return tagged.groupBy("feat").agg(
-        F.sum("t").alias("ct"),
-        F.sum(1 - F.col("t")).alias("cr"),
-    )
+    return raw_docs.sparkSession.sql(sql, target=target_docs, raw=raw_docs)
 
 
 def _derive_model(
@@ -156,24 +175,27 @@ def _derive_model(
     """Derive ratios/fallback from a mergeable (feat, ct, cr) counts
     frame — the arithmetic half of :func:`fit_dsir`, shared with
     :func:`update_dsir`."""
-    totals = counts.agg(
-        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
-        F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"),
-        F.count(F.lit(1)).alias("v"),
+    spark = counts.sparkSession
+    totals_sql = (
+        "SELECT coalesce(sum(ct), 0) AS tt, coalesce(sum(cr), 0) AS tr, "
+        "count(1) AS v FROM {counts}"
     )
-    q = lambda x: F.round(x, 8).cast("decimal(20,8)")  # noqa: E731
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
-        "feat",
-        q(
-            F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("v")))
-            - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
-        ).alias("r"),
+    q = "CAST(round({x}, 8) AS DECIMAL(20,8))"
+    ratios = spark.sql(
+        "WITH totals AS (" + totals_sql + ") "
+        "SELECT /*+ BROADCAST(t) */ c.feat, "
+        + q.format(
+            x="ln((c.ct + 1.0) / (t.tt + t.v)) "
+            "- ln((c.cr + 1.0) / (t.tr + t.v))"
+        )
+        + " AS r FROM {counts} c CROSS JOIN totals t",
+        counts=counts,
     )
-    fallback = totals.select(
-        q(
-            F.log(1.0 / (F.col("tt") + F.col("v")))
-            - F.log(1.0 / (F.col("tr") + F.col("v")))
-        ).alias("r0")
+    fallback = spark.sql(
+        "SELECT "
+        + q.format(x="ln(1.0 / (tt + v)) - ln(1.0 / (tr + v))")
+        + " AS r0 FROM (" + totals_sql + ")",
+        counts=counts,
     )
     return {
         "counts": counts,
@@ -235,10 +257,18 @@ def dsir_log_weights(
     keys (broadcast when bucketed — B rows; unbucketed tables join
     shuffled and are the adjudication rung, not the scale rung) → one
     per-doc sum with map-side partial aggregation."""
-    feats = _featurize(
-        _gram_rows(docs, id_col, text_col),
-        model["num_buckets"],
-        model.get("portable_hash", False),
+    feat = _feat_sql(model["num_buckets"], model.get("portable_hash", False))
+    # the docs-side explode+featurize rides ONE WITH-CTE statement (one
+    # parse/analysis — the DataFrame chain paid ~45 ms of driver
+    # analysis PER operation on these deep plans); the model joins stay
+    # DataFrame-API because the model's frames may belong to a different
+    # session than ``docs`` (streaming foreachBatch clones), where
+    # parameterized spark.sql cannot resolve them
+    feats = docs.sparkSession.sql(
+        "WITH grams AS ("
+        + _gram_rows_sql(id_col, text_col, "{docs}")
+        + f")\nSELECT id, {feat} AS feat FROM grams",
+        docs=docs,
     )
     ratios = model["ratios"]
     if model["num_buckets"] is not None:

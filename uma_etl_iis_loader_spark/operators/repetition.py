@@ -55,7 +55,10 @@ def repetition_metrics(
     # unified gram-family tokenization: filter empty tokens (trim alone
     # strips only spaces, so leading \n/\t would inject phantom '' words
     # into the n-gram windows)
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # SQL-string form of the same expression (NOT lowercased — this
+    # operator's documented tokenization): routes the window builders
+    # through the gram family's one-call construction path
+    words = f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.length(text_col).cast("long").alias("n_chars"),

@@ -24,6 +24,20 @@ from ..operators.search import bm25_scores
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .registry import register
 
+
+def _union_all(*dfs: DataFrame) -> DataFrame:
+    """N-way unionByName fold. NOTE (r13, measured): a single
+    parameterized ``spark.sql`` UNION ALL over the branches is NOT a
+    win — the df-substitution path re-analyzes every branch subtree
+    from unresolved (sampling_ops fn() 10 s → 31 s when tried), while
+    the chained ``unionByName`` reuses each branch's cached analysis
+    and only re-analyzes the accumulating union spine (~40 ms/branch).
+    Keep the fold."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
 # ---------------------------------------------------------------------------
 # exact dedup — canonical-form fingerprint
 # ---------------------------------------------------------------------------
@@ -905,21 +919,10 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content_length").cast("int").alias("n_bytes"),
         F.concat_ws(":", "warc_type", "target_uri", "text").alias("tag"),
     )
-    return (
-        stats.unionByName(frames)
-        .unionByName(resized)
-        .unionByName(decoded)
-        .unionByName(decoded_png)
-        .unionByName(decoded_jpeg)
-        .unionByName(wav_rows)
-        .unionByName(fft_rows)
-        .unionByName(resampled)
-        .unionByName(vids)
-        .unionByName(mjpeg)
-        .unionByName(dhash_rows)
-        .unionByName(mixed)
-        .unionByName(warc_rows)
-        .unionByName(exif_rows)
+    return _union_all(
+        stats, frames, resized, decoded, decoded_png, decoded_jpeg,
+        wav_rows, fft_rows, resampled, vids, mjpeg, dhash_rows, mixed,
+        warc_rows, exif_rows,
     )
 
 
@@ -1698,16 +1701,11 @@ def q_sampling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_contaminated"),
     )
     return (
-        split_rows.unionByName(cont_rows)
-        .unionByName(strat_rows)
-        .unionByName(tm_rows)
-        .unionByName(dsir_w_rows)
-        .unionByName(dsir_pick_rows)
-        .unionByName(dsir_wb_rows)
-        .unionByName(shard_rows)
-        .unionByName(dec_rows)
-        .unionByName(ns_rows)
-        .unionByName(ws_rows)
+        _union_all(
+            split_rows, cont_rows, strat_rows, tm_rows, dsir_w_rows,
+            dsir_pick_rows, dsir_wb_rows, shard_rows, dec_rows, ns_rows,
+            ws_rows,
+        )
     )
 
 
@@ -2004,11 +2002,8 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("prec") >= 0.9, 1.0).otherwise(0.0).alias("val"),
         )
     )
-    return (
-        pair_rows.unionByName(cluster_rows)
-        .unionByName(canonical_rows)
-        .unionByName(recall_row)
-        .unionByName(precision_row)
+    return _union_all(
+        pair_rows, cluster_rows, canonical_rows, recall_row, precision_row
     )
 
 
@@ -3447,11 +3442,10 @@ def q_llm_prep_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonicalize_url("url").alias("txt"),
     )
     return (
-        chunk.unionByName(pack).unionByName(cap).unionByName(pii)
-        .unionByName(bpe).unionByName(lm_rows).unionByName(bucket_rows)
-        .unionByName(c4)
-        .unionByName(gopher).unionByName(repgram).unionByName(span_rows)
-        .unionByName(url_rows)
+        _union_all(
+            chunk, pack, cap, pii, bpe, lm_rows, bucket_rows, c4,
+            gopher, repgram, span_rows, url_rows,
+        )
     )
 
 
