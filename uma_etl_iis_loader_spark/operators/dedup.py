@@ -295,9 +295,30 @@ def _minhash_sig_udf(num_hashes: int):
         # (closure rebuilt per task); cap it so an adversarial
         # distinct-gram corpus can't balloon worker memory.
         gram_idx: dict = {}
-        perm_cols: list = []  # list of (num_hashes,) uint64 columns
         perm = np.empty((num_hashes, 0), dtype=np.uint64)
         sentinel = np.full(num_hashes, np.iinfo(np.int64).max)
+
+        def extend_table(new):
+            # hash + permute a LIST of new distinct grams in one shot —
+            # the permuted table grows once per Arrow batch, never per
+            # doc (a per-doc concatenate is O(docs × distinct) copying)
+            nonlocal perm
+            base = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "little",
+                    )
+                    for g in new
+                ),
+                dtype=np.uint64,
+                count=len(new),
+            )
+            # universal-hash permutations; mod 2^61-1 keeps values in
+            # int64 range after the wrap-around multiply
+            cols = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(p)
+            perm = np.concatenate([perm, cols], axis=1)
+
         out = []
         for gs in grams:
             if gs is None or len(gs) == 0:
@@ -307,35 +328,12 @@ def _minhash_sig_udf(num_hashes: int):
             if new:
                 if len(gram_idx) > 2_000_000:
                     gram_idx.clear()
-                    perm_cols = []
+                    perm = np.empty((num_hashes, 0), dtype=np.uint64)
                     new = list(gs)
-                base = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(
-                                g.encode(), digest_size=8
-                            ).digest(),
-                            "little",
-                        )
-                        for g in new
-                    ),
-                    dtype=np.uint64,
-                    count=len(new),
-                )
-                # universal-hash permutations of the new distinct grams;
-                # mod 2^61-1 keeps values in int64 range after the
-                # wrap-around multiply
-                cols = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(p)
                 start = len(gram_idx)
                 for j, g in enumerate(new):
-                    gram_idx.setdefault(g, start + j)
-                perm_cols.append(cols)
-                perm = (
-                    np.concatenate(perm_cols, axis=1)
-                    if len(perm_cols) > 1
-                    else perm_cols[0]
-                )
-                perm_cols = [perm]
+                    gram_idx[g] = start + j
+                extend_table(new)
             idx = np.fromiter(
                 (gram_idx[g] for g in gs), dtype=np.intp, count=len(gs)
             )

@@ -595,6 +595,17 @@ def q_multimodal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assets = documents_as_assets(read_fixture(spark, sf_dir, "documents"))
+    # NOTE (r13, measured): do NOT repartition this input to the core
+    # count. The union already runs its ~15 kernel branches as parallel
+    # single tasks (wall ≈ slowest branch's serial CPU, ~0.9 s after
+    # the r13 codec work); spreading each branch across 32 partitions
+    # multiplied the cell 2.3 s → 10.4 s at local[32] (and 5 s at
+    # local[8]) — 30 python-eval stages × 32 tasks fork hundreds of
+    # fresh Python workers whose pandas/numpy imports dwarf the kernel
+    # CPU. This is the cell's 8-vs-32-core anti-scaling mechanism: the
+    # floor is worker/stage setup, not codec work. At corpus scale the
+    # scan fans out on its own and per-worker import cost amortizes
+    # over full batches.
     null_i = F.lit(None).cast("int")
     null_s = F.lit(None).cast("string")
     stats = fake_decode_features(assets).select(
